@@ -1,0 +1,134 @@
+"""MAPPING compiler — the reference's core transform, Spark-first.
+
+The reference flattens nested API JSON one Python dict at a time with a
+recursive interpreter (``map_response_to_database_format``,
+``/root/reference/dags/jira/jira_base_processor.py:65-106``). Instead of
+interpreting per row, we COMPILE the same declarative MAPPING dict into
+a list of Catalyst column expressions once, then run it as a single
+``df.select(...)`` — vectorized, codegen'd, and column-pruned at the
+parquet/JSON scan. At 100 TB this is the difference between a Python
+loop per record and a JVM whole-stage-codegen pipeline.
+
+Semantics preserved exactly (cited to the reference):
+
+* unmapped keys are dropped (``jira_base_processor.py:88-91``) —
+  expressed as "only mapped paths appear in the select", which Catalyst
+  turns into column pruning at the source;
+* nested dicts recurse with a ``parent_key_`` prefix built from the RAW
+  json keys, while the leaf name comes from the MAPPING
+  (``jira_base_processor.py:94-96``), e.g. ``author.accountId -> author_id``;
+* list values are joined into a single ``'//'``-delimited string
+  (``jira_base_processor.py:98-100``) — ``concat_ws`` over a
+  cast-to-string ``transform``;
+* missing keys produce NULL columns (the reference produces narrower
+  per-row INSERTs whose absent columns become SQL NULLs — same
+  observable table state, see SURVEY.md §2A).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+Mapping = dict[str, "str | Mapping"]
+
+JOIN_CHAR = "//"
+
+
+def _leaf_name(parent: str, mapped: str) -> str:
+    return f"{parent}_{mapped}" if parent else mapped
+
+
+def compile_mapping(
+    mapping: Mapping,
+    schema: T.StructType | None = None,
+    path: str = "",
+    parent: str = "",
+    join_char: str = JOIN_CHAR,
+) -> list[Column]:
+    """Compile a declarative MAPPING dict into select expressions.
+
+    ``schema`` (when given) is the StructType of the input at the current
+    nesting level; it is used to (a) emit NULL for paths absent from the
+    data and (b) detect array leaves that need the ``'//'`` join.
+    """
+    cols: list[Column] = []
+    fields = {f.name: f for f in schema.fields} if schema is not None else None
+    for key, mapped in mapping.items():
+        child_path = f"{path}.{key}" if path else key
+        field = fields.get(key) if fields is not None else None
+        if isinstance(mapped, dict):
+            child_schema = None
+            if field is not None and isinstance(field.dataType, T.StructType):
+                child_schema = field.dataType
+            if fields is not None and field is None:
+                # whole nested branch missing from the data → NULL leaves
+                cols.extend(
+                    _null_leaves(mapped, _chain(parent, key))
+                )
+                continue
+            cols.extend(
+                compile_mapping(
+                    mapped, child_schema, child_path, _chain(parent, key), join_char
+                )
+            )
+        else:
+            name = _leaf_name(parent, mapped)
+            if fields is not None and field is None:
+                cols.append(F.lit(None).cast("string").alias(name))
+            elif field is not None and isinstance(field.dataType, T.ArrayType):
+                cols.append(
+                    F.concat_ws(
+                        join_char,
+                        F.transform(F.col(child_path), lambda x: x.cast("string")),
+                    ).alias(name)
+                )
+            else:
+                cols.append(F.col(child_path).alias(name))
+    return cols
+
+
+def _chain(parent: str, key: str) -> str:
+    return f"{parent}_{key}" if parent else key
+
+
+def _null_leaves(mapping: Mapping, parent: str) -> list[Column]:
+    out: list[Column] = []
+    for key, mapped in mapping.items():
+        if isinstance(mapped, dict):
+            out.extend(_null_leaves(mapped, _chain(parent, key)))
+        else:
+            out.append(F.lit(None).cast("string").alias(_leaf_name(parent, mapped)))
+    return out
+
+
+def flatten(df: DataFrame, mapping: Mapping, join_char: str = JOIN_CHAR) -> DataFrame:
+    """Apply a compiled MAPPING to a DataFrame of (possibly nested) rows."""
+    return df.select(*compile_mapping(mapping, df.schema, join_char=join_char))
+
+
+def mapping_to_schema(
+    mapping: Mapping, leaf_types: dict[str, T.DataType] | None = None
+) -> T.StructType:
+    """Derive a StructType for ``from_json`` from a MAPPING dict.
+
+    Leaf types default to StringType; override per flat output name via
+    ``leaf_types``. Used to parse raw JSON page payloads with an explicit
+    schema (never inference — see catalog.py).
+    """
+    leaf_types = leaf_types or {}
+
+    def build(m: Mapping, parent: str) -> T.StructType:
+        fields = []
+        for key, mapped in m.items():
+            if isinstance(mapped, dict):
+                fields.append(T.StructField(key, build(mapped, _chain(parent, key))))
+            else:
+                name = _leaf_name(parent, mapped)
+                fields.append(
+                    T.StructField(key, leaf_types.get(name, T.StringType()))
+                )
+        return T.StructType(fields)
+
+    return build(mapping, "")

@@ -1,0 +1,59 @@
+"""Keyed upsert (last-writer-wins MERGE) as a distributed operator.
+
+The reference upserts one record at a time with dialect-specific SQL
+(``INSERT ... ON CONFLICT DO UPDATE`` / ``ON DUPLICATE KEY UPDATE`` /
+``MERGE INTO`` — ``/root/reference/dags/jira/db_ops.py:29-43,56-70,83-100``),
+relying on two invariants (SURVEY.md §3.4):
+
+* **last-writer-wins** — later duplicates overwrite earlier ones within
+  a batch (per-record sequential execute);
+* **idempotent replay** — applying the same batch twice ≡ once, which
+  is what makes the retry/resume loop safe.
+
+Spark has no per-row upsert (and per-row round-trips are the
+anti-pattern the reference itself suffers from — 1 INSERT per row).
+The distributed equivalent: union base + updates with a source
+priority, then keep exactly one row per key with a window
+``row_number() = 1`` ordered by (priority desc, batch ordinal desc).
+One shuffle on the key; map-side nothing to pre-aggregate, but AQE
+coalesces and skew-splits the shuffle. Both invariants hold by
+construction: replays add rows that lose/tie deterministically.
+
+For a transactional table format (Delta/Iceberg) this operator lowers
+to ``MERGE INTO``; on plain parquet the caller persists via
+atomic-directory-swap (see sinks/parquet_upsert.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PRIORITY = "__src_priority"
+_ORD = "__batch_ord"
+_RN = "__rn"
+
+
+def upsert(base: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
+    """Last-writer-wins merge of ``updates`` into ``base`` on ``key``.
+
+    ``updates`` rows win over ``base`` rows; within ``updates``, later
+    rows win (batch ordinal), mirroring the reference's sequential
+    per-record execution order.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    base_tagged = base.withColumn(_PRIORITY, F.lit(0)).withColumn(
+        _ORD, F.lit(0).cast("long")
+    )
+    upd_tagged = updates.withColumn(_PRIORITY, F.lit(1)).withColumn(
+        _ORD, F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(_PRIORITY).desc(), F.col(_ORD).desc()
+    )
+    return (
+        base_tagged.unionByName(upd_tagged)
+        .withColumn(_RN, F.row_number().over(w))
+        .where(F.col(_RN) == 1)
+        .drop(_PRIORITY, _ORD, _RN)
+    )

@@ -1,0 +1,148 @@
+"""Scans, sources, sinks — SURVEY.md §2B "Scans, sources, sinks".
+
+Provenance: reference operators A1/A4 (scan), A2/A3 (paginated
+sources), A6 (pruning), A8-A10 (keyed upsert), A11 (DDL).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.operators.upsert import upsert
+from airflow_jira_etl_spark.registry import query
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table scan with a declared StructType (reference A1/A4:
+    load an entity table — ``/root/reference/dags/jira/users/users_processor.py:53-95``)."""
+    return catalog.load(spark, sf_dir, "customer")
+
+
+@query(
+    "scan_filter_prune",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+      AND l_quantity > 25.0
+    """,
+)
+def scan_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan with pushed predicate + pruned columns (reference A6 drops
+    unmapped keys in Python, ``jira_base_processor.py:88-91``; here
+    Catalyst pushes both the filter and the 3-column projection into the
+    parquet reader — verify with .explain(): PushedFilters + ReadSchema)."""
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 25.0)
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+PAGE_SIZE = 100  # the reference's page size (fetch_jira_tempo_worklogs.py:31)
+
+
+@query(
+    "source_paged_union",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value, props,
+           CAST(floor(event_id / {PAGE_SIZE}) AS INTEGER) AS page_ord
+    FROM events
+    """,
+)
+def source_paged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-paginated source simulation (reference A3,
+    ``issue_processor.py:114-167``): page 0 discovers ``total``, then
+    the remaining offsets are fetched as independent page DataFrames and
+    unioned in order with a page ordinal — the fan-out parallelism the
+    serial reference loop cannot do. Each "page" is a filter on the
+    offset key, so at scale every page scan prunes to its range."""
+    events = catalog.load(spark, sf_dir, "events")
+    # Page 0 discovers total (the A3 `total` capture at issue_processor.py:141-142).
+    total = events.agg(F.max("event_id")).collect()[0][0] + 1
+    n_pages = (total + PAGE_SIZE - 1) // PAGE_SIZE
+    pages = [
+        events.where(
+            (F.col("event_id") >= i * PAGE_SIZE)
+            & (F.col("event_id") < (i + 1) * PAGE_SIZE)
+        ).withColumn("page_ord", F.lit(i).cast("int"))
+        for i in range(n_pages)
+    ]
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "sink_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               round(o_totalprice * 1.1, 4) AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    merged AS (
+        SELECT *, 0 AS src FROM orders
+        UNION ALL
+        SELECT *, 1 AS src FROM updates
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+        FROM merged
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM ranked WHERE rn = 1
+    """,
+)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins keyed upsert (reference A8-A10, db_ops.py) as a
+    distributed window-dedup merge — see operators/upsert.py."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    updates = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = upsert(orders, updates, "o_orderkey")
+    return merged.withColumn("o_totalprice", F.round("o_totalprice", 4))
+
+
+@query("sink_create_table")  # rows-only: DDL + physical write + read-back
+def sink_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL + write + read-back (reference A11: CREATE TABLE IF NOT
+    EXISTS as first DAG task, ``db_ops.py:22-27``,
+    ``fetch_jira_tempo_worklogs.py:102-106``). Writes a real parquet
+    table to a scratch dir and reads it back — the round-trip is the
+    assertion."""
+    out_dir = os.path.join(SCRATCH, "sink_create_table")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    catalog.register_views(spark, sf_dir)
+    df = spark.sql(
+        """
+        SELECT c_custkey, upper(c_name) AS c_name_upper, c_mktsegment
+        FROM customer WHERE c_acctbal > 0
+        """
+    )
+    df.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)

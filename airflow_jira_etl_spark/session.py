@@ -1,0 +1,45 @@
+"""SparkSession factory.
+
+Local-mode defaults are tuned for the test harness (local[32],
+single JVM); the same builder settings are what we would submit to a
+1000-executor cluster, minus ``master`` — AQE, skew-join handling and
+partition coalescing are the scale levers, and they are runtime
+(adaptive) rather than hand-tuned so the plan survives a 100× data
+scale-up without re-tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "airflow_jira_etl_spark") -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Session timezone is pinned to UTC so timestamp semantics agree with
+    columnar engines that store naive-UTC (parquet readers, DuckDB).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores ts as TIMESTAMP(NANOS) which the Spark
+        # parquet reader rejects; read as long nanos and convert in
+        # catalog.load (truncate to micros — same as other engines).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

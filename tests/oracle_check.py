@@ -1,0 +1,79 @@
+"""Driver-mimicking oracle comparison: Spark result vs DuckDB SQL.
+
+Canonicalization mirrors the driver contract (BASELINE.md): row count,
+column names (sorted), and an order-insensitive value comparison with
+floats rounded to 4 dp. Used by tests/test_oracle.py to gate every
+registered query before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+
+from airflow_jira_etl_spark.catalog import TABLES, table_path
+
+ROUND_DP = 4
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"
+        )
+    return con
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, ROUND_DP)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_value(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name, canonicalize values, sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_canon_value(row[i]) for i in order) for row in rows]
+    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return out
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
+    """Return a diff report; empty `errors` list means match."""
+    spark_cols = list(spark_df.columns)
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    duck = con.execute(sql)
+    duck_cols = [d[0] for d in duck.description]
+    duck_rows = duck.fetchall()
+
+    errors: list[str] = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        errors.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    if len(spark_rows) != len(duck_rows):
+        errors.append(f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}")
+    if not errors:
+        s = canon_rows(spark_cols, spark_rows)
+        d = canon_rows(duck_cols, duck_rows)
+        if s != d:
+            mism = [(a, b) for a, b in zip(s, d) if a != b][:3]
+            errors.append(f"values differ; first mismatches: {mism}")
+    return {"errors": errors, "spark_rows": len(spark_rows), "duck_rows": len(duck_rows)}
