@@ -1,1 +1,265 @@
-"""Placeholder — queries land in a later milestone."""
+"""Aggregations — SURVEY.md §2B "Aggregations".
+
+The canonical shape is the reference's raison-d'être rollup: "billable
+seconds by author/day" (worklog measures at
+``/root/reference/dags/fetch_jira_tempo_worklogs.py:84-86``) — here as
+TPC-H-Q1-style multi-measure group-bys over lineitem/orders/events.
+
+Scale notes: every groupBy below is a hash aggregate with map-side
+partial aggregation, so only |groups| rows cross the shuffle — the
+plan shape is identical at sf0.001 and 100 TB. ``count distinct`` is
+the exception (needs the raw keys per group); the approximate variant
+(HLL++) is the 100 TB path and is bounded against exact in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.functions.rounding import fround
+from airflow_jira_etl_spark.registry import query
+
+
+@query(
+    "agg_group_sum",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS sum_disc_price,
+           round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+           round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+           round(avg(l_discount) + 1e-9, 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style multi-measure group-by — sums, averages and counts
+    by the two status flags."""
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            fround(F.avg("l_quantity")).alias("avg_qty"),
+            fround(F.avg("l_extendedprice")).alias("avg_price"),
+            fround(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group (expand + two-phase aggregate)."""
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: estimates differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HLL++) — the 100 TB path for
+    cardinality: constant memory per group vs the exact expand.
+    Cross-engine estimates differ by design → rows-only check here;
+    tests/test_operators.py bounds the estimate against exact ±5%."""
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice) + 1e-9, 4) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 8
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            fround(F.sum("o_totalprice")).alias("total_spend"),
+        )
+        .where(F.col("n_orders") > 8)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(c_acctbal) + 1e-9, 4) AS total_bal,
+           count(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    nation = catalog.load(spark, sf_dir, "nation")
+    region = catalog.load(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        fround(F.sum("c_acctbal")).alias("total_bal"),
+        F.count("*").alias("n_cust"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice) + 1e-9, 4) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping combinations)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        fround(F.sum("o_totalprice")).alias("total_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER)
+             AS grp_id,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets + grouping id (which-set marker)."""
+    catalog.load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
+                 AS grp_id,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           round(min(value) + 1e-9, 4) AS min_v,
+           round(max(value) + 1e-9, 4) AS max_v,
+           round(stddev_samp(value) + 1e-9, 4) AS sd_v,
+           round(var_samp(value) + 1e-9, 4) AS var_v,
+           round(quantile_cont(value, 0.5) + 1e-9, 4) AS median_v
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. exact interpolated median."""
+    events = catalog.load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        fround(F.min("value")).alias("min_v"),
+        fround(F.max("value")).alias("max_v"),
+        fround(F.stddev_samp("value")).alias("sd_v"),
+        fround(F.var_samp("value")).alias("var_v"),
+        fround(F.expr("percentile(value, 0.5)")).alias("median_v"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT lang, string_agg(part_name, '//' ORDER BY part_name) AS names_joined
+    FROM (
+        SELECT d.lang AS lang, p.p_name AS part_name
+        FROM documents d JOIN part p ON d.doc_id = p.p_partkey
+    )
+    GROUP BY lang
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list → sort → '//'-join as a grouped aggregate — the
+    reference's A7 array→delimited-string op
+    (``jira_base_processor.py:98-100``) lifted to a per-group aggregate."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    part = catalog.load(spark, sf_dir, "part")
+    joined = documents.join(part, documents.doc_id == part.p_partkey).select(
+        "lang", F.col("p_name").alias("part_name")
+    )
+    return joined.groupBy("lang").agg(
+        F.concat_ws("//", F.sort_array(F.collect_list("part_name"))).alias(
+            "names_joined"
+        )
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type counts per user. The pivot values are DECLARED
+    (not discovered) — at scale an undeclared pivot needs an extra
+    distinct pass over the fact table."""
+    events = catalog.load(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    )
+    # pivot yields NULL for empty cells; count semantics say 0
+    return pivoted.fillna(0, subset=EVENT_TYPES)

@@ -1,1 +1,245 @@
-"""Placeholder — queries land in a later milestone."""
+"""Scalar function suites — SURVEY.md §2B "Scalar functions".
+
+String/date/math/array/map-json/conditional surfaces over the fixture
+tables — the expression vocabulary the reference's mappings imply
+(display-name/url munging ``users_processor.py:20``, DATE/TIME/TIMESTAMP
+columns ``fetch_jira_tempo_worklogs.py:86-90``, '//'-joined labels
+``jira_base_processor.py:98-100``). All built-in ``pyspark.sql.functions``
+— JVM-side, whole-stage-codegen'd; no Python in the hot path.
+
+Cross-engine type discipline: functions whose return types differ
+across engines (year→int vs bigint, ceil→long vs double) are cast
+explicitly on BOTH sides so the oracle schema compare is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.functions.rounding import fround
+from airflow_jira_etl_spark.registry import query
+
+
+@query(
+    "fn_string_suite",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           substr(c_name, 10, 5) AS name_mid,
+           trim(concat('  ', c_name, '  ')) AS name_trimmed,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           concat(c_name, '@', c_mktsegment) AS name_tagged,
+           replace(c_name, 'Customer', 'User') AS name_replaced,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS name_num
+    FROM customer
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substr/trim/length/concat/replace/regexp_extract —
+    the display-name & url munging the reference's mappings imply."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 10, 5).alias("name_mid"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit("@"), F.col("c_mktsegment")).alias(
+            "name_tagged"
+        ),
+        F.regexp_replace("c_name", "Customer", "User").alias("name_replaced"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("name_num"),
+    )
+
+
+@query(
+    "fn_date_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month_num,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER)
+             AS days_to_2002,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week
+    FROM orders
+    """,
+)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/date_trunc/datediff/date_add/last_day/weekofyear
+    on the order-date column (the reference's DATE/TIMESTAMP columns,
+    ``fetch_jira_tempo_worklogs.py:86-90``)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month_num"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+    )
+
+
+@query(
+    "fn_timestamp_parse",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+             AS ts_reparsed,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix_sec,
+           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_from_unix,
+           CAST(ts AS DATE) AS ts_date
+    FROM events
+    """,
+)
+def fn_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format → parse round-trip + unix-seconds round-trip (the
+    reference's TIME/TIMESTAMP text columns parsed on ingest)."""
+    events = catalog.load(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    ts_str = F.date_format("ts", fmt)
+    return events.select(
+        "event_id",
+        ts_str.alias("ts_str"),
+        F.to_timestamp(ts_str, fmt).alias("ts_reparsed"),
+        F.unix_timestamp("ts").alias("ts_unix_sec"),
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts_from_unix"),
+        F.col("ts").cast("date").alias("ts_date"),
+    )
+
+
+@query(
+    "fn_math_suite",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice + 1e-9, 2) AS price_2dp,
+           abs(o_totalprice - 250000.0) AS dist_from_mid,
+           CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_k_ceil,
+           CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k_floor,
+           round(pow(o_totalprice / 100000.0, 2) + 1e-9, 4) AS price_sq,
+           round(sqrt(o_totalprice) + 1e-9, 4) AS price_sqrt,
+           round(ln(o_totalprice) + 1e-9, 4) AS price_ln,
+           CAST(o_orderkey % 10 AS BIGINT) AS key_mod,
+           CAST(sign(o_totalprice - 250000.0) AS INTEGER) AS above_mid
+    FROM orders
+    """,
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/pow/sqrt/ln/mod/sign."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.round(p + F.lit(1e-9), 2).alias("price_2dp"),
+        F.abs(p - 250000.0).alias("dist_from_mid"),
+        F.ceil(p / 1000.0).alias("price_k_ceil"),
+        F.floor(p / 1000.0).alias("price_k_floor"),
+        fround(F.pow(p / 100000.0, 2)).alias("price_sq"),
+        fround(F.sqrt(p)).alias("price_sqrt"),
+        fround(F.log(p)).alias("price_ln"),
+        (F.col("o_orderkey") % 10).alias("key_mod"),
+        F.signum(p - 250000.0).cast("int").alias("above_mid"),
+    )
+
+
+@query(
+    "fn_array_suite",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    )
+    SELECT doc_id,
+           unnest(tokens) AS token,
+           CAST(len(tokens) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(tokens)) AS INTEGER) AS n_distinct,
+           list_contains(tokens, 'spark') AS has_spark,
+           list_sort(tokens)[1] AS min_token
+    FROM toks
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split→array, explode, size, array_distinct, array_contains,
+    sort_array — the inverse of the reference's A7 (recover the labels
+    array from the '//'-joined string)."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    )
+    return toks.select(
+        "doc_id",
+        F.explode("tokens").alias("token"),
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+        F.array_contains("tokens", "spark").alias("has_spark"),
+        F.element_at(F.sort_array("tokens"), 1).alias("min_token"),
+    )
+
+
+@query(
+    "fn_map_json_suite",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           array_to_string(json_keys(props), ',') AS keys_joined,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+    FROM events
+    """,
+)
+def fn_map_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object / from_json-to-map / map_keys on the JSON props
+    column (the reference's nested-JSON access, A5)."""
+    events = catalog.load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_joined"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@query(
+    "fn_conditional_suite",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+           nullif(o_orderpriority, '3-MEDIUM') AS prio_or_null,
+           CAST(coalesce(nullif(o_orderpriority, '3-MEDIUM'), o_orderstatus) IS NULL
+                AS BOOLEAN) AS both_null,
+           greatest(o_totalprice, 250000.0) AS price_floor_mid,
+           least(o_totalprice, 250000.0) AS price_cap_mid
+    FROM orders
+    """,
+)
+def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce/nullif/greatest/least (the reference's null-heavy rows —
+    SURVEY.md §2A heterogeneous-rows note)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    prio_or_null = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_filled"),
+        prio_or_null.alias("prio_or_null"),
+        F.coalesce(prio_or_null, F.col("o_orderstatus")).isNull().alias("both_null"),
+        F.greatest(F.col("o_totalprice"), F.lit(250000.0)).alias("price_floor_mid"),
+        F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("price_cap_mid"),
+    )

@@ -1,1 +1,228 @@
-"""Placeholder — queries land in a later milestone."""
+"""Window functions — SURVEY.md §2B "Window functions".
+
+The analytic layer over the reference's fact tables ("running billable
+hours", "latest worklog per author" — shapes its star schema exists
+for). Every window below partitions on a key with bounded per-key
+cardinality, so state stays bounded per task at any scale; order
+columns always include a unique tiebreak (determinism under ties is a
+correctness property, not a style choice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.functions.rounding import fround
+from airflow_jira_etl_spark.registry import query
+
+
+@query(
+    "win_rank_dense_rownum",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(row_number() OVER w AS BIGINT) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_rank_dense_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per partition."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. At scale this is the one windowed
+    filter Spark optimizes specially (rank-limit pushdown in recent
+    releases); partitioning bounds state to one customer's orders."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) + 1e-9, 4)
+             AS running_value
+    FROM events
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum over time per user (running billable-hours
+    analog of the reference's worklog measures)."""
+    events = catalog.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        fround(F.sum("value").over(w)).alias("running_value"),
+    )
+
+
+@query(
+    "win_sliding_rows_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 4)
+             AS moving_avg
+    FROM events
+    """,
+)
+def win_sliding_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 3-row sliding frame."""
+    events = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        fround(F.avg("value").over(w)).alias("moving_avg"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW)
+             AS n_similar_cheaper
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric order key: how many of the customer's
+    orders fall within 50k below this one's price. RANGE frames are
+    value-based so ties need no tiebreak (all peers share a frame)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    # The Python rangeBetween API only accepts integral bounds; the SQL
+    # frame syntax supports fractional offsets on a numeric order key.
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.expr(
+            "count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+            "RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW)"
+        ).alias("n_similar_cheaper"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(lag(value, 1, 0.0) OVER w + 1e-9, 4) AS prev_value,
+           round(lead(value, 1, -1.0) OVER w + 1e-9, 4) AS next_value,
+           epoch_us(ts - lag(ts, 1) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with defaults + session-gap deltas on the event stream
+    (exact integer microseconds so the oracle compare is float-free)."""
+    events = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        fround(F.lag("value", 1, 0.0).over(w)).alias("prev_value"),
+        fround(F.lead("value", 1, -1.0).over(w)).alias("next_value"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))).alias(
+            "gap_us"
+        ),
+    )
+
+
+@query(
+    "win_ntile_percent",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w + 1e-9, 4) AS pct_rank,
+           round(cume_dist() OVER w + 1e-9, 4) AS cdist
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) / percent_rank / cume_dist over a global ordering.
+    NOTE: an un-partitioned window serializes into one task — fine for
+    a final ranked report (output-sized data), never for fact-scale
+    input; fact-scale ranking goes through the partitioned forms above."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        fround(F.percent_rank().over(w)).alias("pct_rank"),
+        fround(F.cume_dist().over(w)).alias("cdist"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           round(first_value(value) OVER w + 1e-9, 4) AS first_v,
+           round(last_value(value) OVER w + 1e-9, 4) AS last_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full-partition frame
+    (the default frame stops at CURRENT ROW, a classic silent-wrong)."""
+    events = catalog.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        fround(F.first("value").over(w)).alias("first_v"),
+        fround(F.last("value").over(w)).alias("last_v"),
+    )
