@@ -1,0 +1,27 @@
+"""Vector similarity primitives — JVM-side, no Python in the hot path.
+
+Cosine over ``array<float>`` embedding columns is expressed with
+higher-order functions (``zip_with`` + ``aggregate``) so the whole
+computation stays inside whole-stage codegen. Elements are cast to
+double BEFORE accumulation: float32 accumulation loses ~7 digits and
+makes cross-engine comparison (and ranking stability) flaky.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with double accumulation (sequential left fold)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm2(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))

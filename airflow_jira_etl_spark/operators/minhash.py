@@ -1,0 +1,94 @@
+"""MinHash-LSH near-duplicate detection, hand-rolled and deterministic.
+
+The 100 TB dedup path: an all-pairs similarity join is quadratic and
+impossible at scale; MinHash-LSH reduces it to (1) a linear signature
+pass, (2) a band-bucket shuffle, (3) pairwise verification only within
+buckets. All three stages are built-in DataFrame ops — the signature
+uses ``xxhash64(shingle, seed)`` (JVM, codegen) instead of spark.ml's
+``MinHashLSH`` so the hash family is explicit and seed-stable across
+runs (no fitted model state).
+
+Pipeline:
+  tokens → k-shingles → H min-hashes (one aggregate pass)
+         → B bands of R rows (H = B·R) → band-hash buckets
+         → candidate pairs within buckets → exact Jaccard verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+N_BANDS = 4  # rows per band R = N_HASHES / N_BANDS = 4
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """k-shingles (word n-grams) of a token array, distinct."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = N_HASHES) -> list[Column]:
+    """One min-hash per seed, each a single JVM aggregate over the
+    shingle array — no explode, no shuffle."""
+    return [
+        F.array_min(
+            F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))
+        ).alias(f"mh_{seed}")
+        for seed in range(n_hashes)
+    ]
+
+
+def add_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    return df.withColumn("__shingles", shingles(toks)).select(
+        "*", *minhash_signature(F.col("__shingles"))
+    )
+
+
+def band_buckets(df: DataFrame, id_col: str) -> DataFrame:
+    """Emit (band_id, band_hash, id, signature...) — one row per band."""
+    rows_per_band = N_HASHES // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*cols).alias("band_hash"))
+        )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col("__shingles").alias("shingles"),
+        F.explode(F.array(*bands)).alias("band"),
+    ).select("id", "shingles", "band.band_id", "band.band_hash")
+
+
+def candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """MinHash-LSH candidate pairs with exact Jaccard on the shingle
+    sets, deduplicated across bands. Returns (id1, id2, jaccard)."""
+    sig = add_signature(df, text_col)
+    buckets = band_buckets(sig, id_col)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.shingles").alias("sh1"),
+            F.col("b.shingles").alias("sh2"),
+        )
+        .dropDuplicates(["id1", "id2"])  # same pair may collide in >1 band
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = F.size(F.array_union("sh1", "sh2")).cast("double")
+    return pairs.select(
+        "id1", "id2", F.round(inter / union + F.lit(1e-9), 4).alias("jaccard")
+    )

@@ -1,1 +1,466 @@
-"""Placeholder — queries land in a later milestone."""
+"""North-star LLM-data-pipeline operators — SURVEY.md §2B "North-star".
+
+Dedup, similarity search, text analysis and the UDF/UDAF/UDTF surfaces
+over the ``documents``/``embeddings`` fixtures — the training-data
+operations a 100 TB pipeline needs. Scale design per operator is noted
+inline; the common rule: candidate generation must be (near-)linear
+(LSH buckets, band blocking), never an unblocked quadratic self-join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.functions.rounding import fround
+from airflow_jira_etl_spark.functions.similarity import cosine
+from airflow_jira_etl_spark.operators.minhash import candidate_pairs
+from airflow_jira_etl_spark.registry import query
+
+
+# ---------------------------------------------------------------- dedup
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id,
+           lower(trim(text)) AS norm_text,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY lower(trim(text))
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text. Keeper choice is deterministic
+    (min doc_id), not arrival order — at scale "first seen" is
+    partition-order-dependent and non-reproducible. One hash shuffle
+    on the normalized text; at 100 TB, hash the text first
+    (sha2) so the shuffle key is 32 bytes, not the document."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    return (
+        documents.groupBy(F.lower(F.trim(F.col("text"))).alias("norm_text"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+        .select("doc_id", "norm_text", "n_dups")
+    )
+
+
+@query("llm_dedup_minhash")  # rows-only: hash-family-specific output
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash-LSH (operators/minhash.py):
+    linear signature pass → band-bucket shuffle → in-bucket pairs with
+    exact Jaccard verify. The scale path for fuzzy dedup — the planted
+    near-dup recall test lives in tests/test_operators.py."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    return candidate_pairs(documents, "doc_id", "text")
+
+
+@query(
+    "llm_dedup_simhash",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(
+                 (length(token) * 2654435761
+                  + ascii(token) * 40503
+                  + ascii(reverse(token)) * 65599) % 1048573 AS BIGINT) AS th
+        FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, b.b AS bit,
+               CASE WHEN (th >> b.b) & 1 = 1 THEN 1 ELSE -1 END AS v
+        FROM h, (SELECT unnest(range(16)) AS b) AS b
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v_sum > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+             AS simhash16
+    FROM (SELECT doc_id, bit, sum(v) AS v_sum FROM bits GROUP BY 1, 2) g
+    GROUP BY doc_id
+    """,
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (near-dup fingerprint; Hamming
+    distance ≤ r on the fingerprint ≈ high cosine of term sets).
+    Token hash is a portable arithmetic hash (length/first/last
+    codepoint polynomial mod 2^20) so the DuckDB oracle reproduces it
+    exactly; swap in xxhash64 for production quality — structure and
+    scale shape (explode → two hash aggregates, all JVM) is identical.
+    At 100 TB: 2 narrow shuffles keyed by doc_id, fully parallel."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("token"),
+    )
+    th = (
+        F.length("token") * F.lit(2654435761)
+        + F.ascii("token") * F.lit(40503)
+        + F.ascii(F.reverse(F.col("token"))) * F.lit(65599)
+    ) % F.lit(1048573)
+    h = tok.select("doc_id", th.cast("long").alias("th"))
+    bits = h.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+        "th",
+    ).select(
+        "doc_id",
+        "bit",
+        # shiftright's Python wrapper only takes a literal shift count;
+        # the column-shift form goes through the SQL expression
+        F.when(F.expr("shiftright(th, bit) & 1") == 1, 1)
+        .otherwise(-1)
+        .alias("v"),
+    )
+    v_sum = bits.groupBy("doc_id", "bit").agg(F.sum("v").alias("v_sum"))
+    return (
+        v_sum.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v_sum") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash16")
+        )
+    )
+
+
+@query(
+    "llm_dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, lang,
+               list_distinct([text[i:i+3] FOR i IN range(1, greatest(length(text) - 2, 2))])
+                 AS g,
+               CAST(floor(doc_id / 50) AS BIGINT) AS band
+        FROM documents
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.g, b.g))) + 1e-9, 4) AS jaccard
+    FROM grams a
+    JOIN grams b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    """,
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard similarity over banded candidate pairs
+    (lang × id-window blocking keeps pair count linear; the unblocked
+    version is the quadratic trap — LSH above is the principled scale
+    path, this is the exact-verification kernel it shares)."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    grams = documents.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(length(text) - 3, 1)),"
+            " i -> substring(text, i, 4)))"
+        ).alias("g"),
+        (F.col("doc_id") / 50).cast("long").alias("band"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = F.size(F.array_intersect("a.g", "b.g")).cast("double")
+    union = F.size(F.array_union("a.g", "b.g")).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            fround(inter / union).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------- similarity search
+
+@query(
+    "llm_sim_topk",
+    oracle="""
+    WITH probe AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, label,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), probe.p)
+                 + 1e-9, 4) AS cos_sim
+    FROM embeddings, probe
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a probe vector: one broadcast
+    of the probe, one codegen'd map over the table, TakeOrdered top-k —
+    the exact-baseline ANN. Only k rows reach the driver at any scale.
+    (The bucketed/IVF variant is llm_sim_ivf_topk.)"""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p")
+    )
+    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+    scored = joined.select(
+        "vec_id",
+        "label",
+        fround(cosine(F.col("embedding"), F.col("p"))).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+@query(
+    "llm_sim_pairs_threshold",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) + 1e-9, 4)
+             AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b
+      ON a.label = b.label
+     AND CAST(floor(a.vec_id / 100) AS BIGINT) = CAST(floor(b.vec_id / 100) AS BIGINT)
+     AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.25
+    """,
+)
+def llm_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ τ within (label × id-band) blocks.
+    Banding keeps candidate generation linear; at 100 TB the band key
+    becomes an LSH bucket (random hyperplane signs) instead of an id
+    window — same join shape, same plan."""
+    emb = catalog.load(spark, sf_dir, "embeddings").withColumn(
+        "band", (F.col("vec_id") / 100).cast("long")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= 0.25)
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.col("a.label").alias("label"),
+            fround(cos).alias("cos_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------- text analysis
+
+@query(
+    "llm_text_tokens",
+    oracle="""
+    SELECT token, count(*) AS freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    """,
+)
+def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → explode → term & document frequency (the unigram LM
+    statistics pass). Explode + two-level hash agg; at scale the
+    map-side partial agg collapses the token stream before the shuffle."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    return tok.groupBy("token").agg(
+        F.count("*").alias("freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars) + 1e-9, 4) AS avg_chars,
+           count(*) FILTER (WHERE n_chars < 200) AS n_short,
+           count(*) FILTER (WHERE n_chars >= 200 AND n_chars < 400) AS n_medium,
+           count(*) FILTER (WHERE n_chars >= 400) AS n_long,
+           round(avg(len(string_split(text, ' '))) + 1e-9, 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics + length histogram buckets —
+    the quality-scoring aggregate of a data-curation pipeline."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    return documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        fround(F.avg("n_chars")).alias("avg_chars"),
+        F.count(F.when(F.col("n_chars") < 200, 1)).alias("n_short"),
+        F.count(
+            F.when((F.col("n_chars") >= 200) & (F.col("n_chars") < 400), 1)
+        ).alias("n_medium"),
+        F.count(F.when(F.col("n_chars") >= 400, 1)).alias("n_long"),
+        fround(F.avg(F.size(F.split(F.col("text"), " ")))).alias("avg_tokens"),
+    )
+
+
+@query(
+    "llm_text_quality",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')) + 1e-9, 4) AS chars_per_token,
+           round(CAST(len(list_filter(string_split(lower(text), ' '),
+                                      t -> t IN ('the', 'a', 'of', 'and')))
+                      AS DOUBLE) / len(string_split(text, ' ')) + 1e-9, 4)
+             AS stopword_ratio,
+           (length(text) >= 100 AND length(text) < 1000) AS length_ok
+    FROM documents
+    """,
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: chars-per-token, stopword ratio,
+    length gate — the classic C4/Gopher-style filter signals, all as
+    codegen'd expressions (no UDF)."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    low_toks = F.split(F.lower(F.col("text")), " ")
+    stop = F.filter(
+        low_toks, lambda t: t.isin("the", "a", "of", "and")
+    )
+    return documents.select(
+        "doc_id",
+        fround(F.length("text").cast("double") / F.size(toks)).alias(
+            "chars_per_token"
+        ),
+        fround(F.size(stop).cast("double") / F.size(toks)).alias("stopword_ratio"),
+        ((F.length("text") >= 100) & (F.length("text") < 1000)).alias("length_ok"),
+    )
+
+
+# ------------------------------------------------- UDF / UDAF / UDTF
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+                 + 1e-9, 4) AS chars_per_token
+    FROM documents
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF surface — deliberately the SLOW path
+    (per-row serde, no codegen); kept for API parity and contrasted
+    with the vectorized twin below. Never use this shape in a 100 TB
+    hot path."""
+    documents = catalog.load(spark, sf_dir, "documents")
+
+    @F.udf(T.DoubleType())
+    def chars_per_token(text: str) -> float:
+        return round(len(text) / len(text.split(" ")) + 1e-9, 4)
+
+    return documents.select(
+        "doc_id", chars_per_token(F.col("text")).alias("chars_per_token")
+    )
+
+
+@query(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+                 + 1e-9, 4) AS chars_per_token
+    FROM documents
+    """,
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same function as an Arrow-batched pandas UDF — the correct
+    Python escape hatch at scale (~10-100× the row-at-a-time UDF)."""
+    documents = catalog.load(spark, sf_dir, "documents")
+
+    @F.pandas_udf(T.DoubleType())
+    def chars_per_token(text: pd.Series) -> pd.Series:
+        return (text.str.len() / (text.str.count(" ") + 1) + 1e-9).round(4)
+
+    return documents.select(
+        "doc_id", chars_per_token(F.col("text")).alias("chars_per_token")
+    )
+
+
+@query(
+    "udaf_grouped_agg",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value))) + 1e-9, 4) AS geo_mean_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF (geometric mean of value per
+    event_type) — the custom-aggregate surface. The arithmetic runs
+    vectorized in numpy per group; partial aggregation is NOT available
+    for pandas UDAFs, so at scale prefer the algebraic rewrite
+    exp(avg(ln(x))) (shown in the oracle) — both are provided."""
+    import numpy as np
+
+    events = catalog.load(spark, sf_dir, "events")
+
+    @F.pandas_udf(T.DoubleType())
+    def geo_mean(v: pd.Series) -> float:
+        return float(round(np.exp(np.log(v.to_numpy()).mean()) + 1e-9, 4))
+
+    return events.groupBy("event_type").agg(
+        geo_mean("value").alias("geo_mean_value")
+    )
+
+
+@query(
+    "udtf_explode_kv",
+    oracle="""
+    SELECT event_id, k AS key,
+           json_extract_string(props, '$.' || k) AS val
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
+)
+def udtf_explode_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface: one row → many (parse the JSON props object into
+    key/value rows). Uses a Python UDTF (Spark 3.5+) under LATERAL —
+    the table-function escape hatch; the all-JVM equivalent is
+    explode(from_json(map)) and is what a hot path should use."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, val string")
+    class ParseKV:
+        def eval(self, props: str):
+            import json
+
+            if props:
+                for k, v in json.loads(props).items():
+                    yield k, str(v)
+
+    spark.udtf.register("parse_kv", ParseKV)
+    catalog.load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT e.event_id, f.key, f.val
+        FROM events e, LATERAL parse_kv(e.props) f
+        """
+    ).select("event_id", "key", F.col("val"))

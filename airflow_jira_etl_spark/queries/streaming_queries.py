@@ -1,1 +1,263 @@
-"""Placeholder — queries land in a later milestone."""
+"""Structured Streaming — SURVEY.md §2B "Streaming".
+
+Each query runs a REAL streaming job (``readStream`` → transform →
+``writeStream`` with the ``availableNow`` trigger) to completion and
+returns the result as a batch DataFrame, so the driver's DuckDB oracle
+checks the batch-equivalent output. The stream source is the events
+table — the stand-in for the reference's paginated micro-batch loop
+(``worklog_processor.py:80-106``).
+
+Scale notes: windowed/session aggregations keep state per (key,
+window) in the state store and emit on watermark; the same code runs
+unbounded on a real source (kafka) — availableNow is just the bounded
+test harness.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.functions.rounding import fround
+from airflow_jira_etl_spark.registry import query
+from airflow_jira_etl_spark.sinks.parquet_upsert import ParquetUpsertTable
+from airflow_jira_etl_spark.streaming.source import (
+    read_events_stream,
+    run_available_now,
+    write_event_pages,
+)
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
+)
+
+
+def _ck(name: str) -> str:
+    return os.path.join(SCRATCH, "checkpoints", name)
+
+
+@query(
+    "stream_tumbling_count",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts per type — the micro-batch page
+    analog of the reference's cursor loop (A2), as a streaming window
+    aggregate."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_available_now(agg, _ck("tumbling"), "stream_tumbling_out")
+
+
+@query(
+    "stream_sliding_avg",
+    oracle="""
+    WITH expanded AS (
+        SELECT make_timestamp(
+                 (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - i.i * 900) * 1000000
+               ) AS window_start,
+               value
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS i) AS i
+    )
+    SELECT window_start,
+           count(*) AS n_events,
+           round(avg(value) + 1e-9, 4) AS avg_value
+    FROM expanded
+    GROUP BY 1
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 15 min slide): every event lands in
+    4 overlapping windows. The oracle expands the slides explicitly."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            fround(F.avg("value")).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+    return run_available_now(agg, _ck("sliding"), "stream_sliding_out")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           round(sum(value) + 1e-9, 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-min inactivity gap per user — Spark's
+    native ``session_window`` state merging vs the batch
+    gaps-and-islands oracle (the risky equivalence SURVEY.md §7 flags)."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            fround(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, _ck("session"), "stream_session_out")
+
+
+@query("stream_watermark_late")  # rows-only: streaming-only semantics
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data handling (the reference's out-of-order
+    page replays, SURVEY.md §2A idempotency note): 10-minute watermark
+    on 1-hour tumbling windows, append output — only windows the
+    watermark has closed are emitted. Streaming-only semantics → the
+    driver records the weaker rows-only check; the equivalence to a
+    watermark-filtered batch agg is asserted in tests/test_streaming.py."""
+    import shutil
+
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    ck = _ck("watermark")
+    shutil.rmtree(ck, ignore_errors=True)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_watermark_out")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM stream_watermark_out")
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on a key set — the upsert-key semantics of the
+    reference's sink (A8) in stream form: ``dropDuplicates`` keeps
+    per-key state so replayed pages can't double-count. Output is the
+    key set (arrival-order-independent, hence oracle-checkable)."""
+    dedup = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    ck = _ck("dedup")
+    import shutil
+
+    shutil.rmtree(ck, ignore_errors=True)
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_out")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM stream_dedup_out")
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           round(value + 1e-9, 4) AS value
+    FROM events
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end A2→A8 pipeline: the events table is paged out as
+    ordered files (the reference's paginated responses), streamed one
+    page per micro-batch, and each batch MERGEd into a parquet upsert
+    table (window-dedup + atomic generation swap — sinks/parquet_upsert).
+    The final table state equals the full input — the reference's
+    idempotent-replay invariant made observable."""
+    pages_dir = os.path.join(SCRATCH, "event_pages")
+    table_dir = os.path.join(SCRATCH, "upsert_table")
+    write_event_pages(spark, sf_dir, pages_dir, page_size=250)
+    table = ParquetUpsertTable(spark, table_dir, key="event_id")
+    table.destroy()
+    table = ParquetUpsertTable(spark, table_dir, key="event_id")
+
+    raw = (
+        spark.readStream.schema(catalog._EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(pages_dir, "page_*"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            fround(F.col("value")).alias("value"),
+        )
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.apply(batch_df)
+
+    ck = _ck("foreachbatch")
+    import shutil
+
+    shutil.rmtree(ck, ignore_errors=True)
+    q = (
+        raw.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read()
