@@ -4,14 +4,18 @@ The 100 TB dedup path: an all-pairs similarity join is quadratic and
 impossible at scale; MinHash-LSH reduces it to (1) a linear signature
 pass, (2) a band-bucket shuffle, (3) pairwise verification only within
 buckets. All three stages are built-in DataFrame ops — the signature
-uses ``xxhash64(shingle, seed)`` (JVM, codegen) instead of spark.ml's
-``MinHashLSH`` so the hash family is explicit and seed-stable across
-runs (no fitted model state).
+uses ``xxhash64`` (JVM, codegen) instead of spark.ml's ``MinHashLSH``
+so the hash family is explicit and seed-stable across runs (no fitted
+model state).
 
 Pipeline:
-  tokens → k-shingles → H min-hashes (one aggregate pass)
+  tokens → k-shingles → shingle hashes (8-byte longs — strings are
+  hashed ONCE and never carried into the shuffle; the band join and
+  the Jaccard verify both run over long arrays)
+         → H min-hashes (one aggregate pass, no explode)
          → B bands of R rows (H = B·R) → band-hash buckets
-         → candidate pairs within buckets → exact Jaccard verify.
+         → candidate pairs within buckets → Jaccard verify on the
+           hashed shingle sets.
 """
 
 from __future__ import annotations
@@ -32,12 +36,20 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, n_hashes: int = N_HASHES) -> list[Column]:
+def shingle_hashes(tokens: Column, k: int = 3) -> Column:
+    """Distinct 64-bit shingle hashes — the compact set representation
+    all downstream stages operate on."""
+    return F.array_distinct(
+        F.transform(shingles(tokens, k), lambda s: F.xxhash64(s))
+    )
+
+
+def minhash_signature(hashes: Column, n_hashes: int = N_HASHES) -> list[Column]:
     """One min-hash per seed, each a single JVM aggregate over the
-    shingle array — no explode, no shuffle."""
+    shingle-hash array — no explode, no shuffle."""
     return [
         F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))
+            F.transform(hashes, lambda h: F.xxhash64(h, F.lit(seed)))
         ).alias(f"mh_{seed}")
         for seed in range(n_hashes)
     ]
@@ -45,13 +57,13 @@ def minhash_signature(shingle_col: Column, n_hashes: int = N_HASHES) -> list[Col
 
 def add_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    return df.withColumn("__shingles", shingles(toks)).select(
-        "*", *minhash_signature(F.col("__shingles"))
+    return df.withColumn("__sh", shingle_hashes(toks)).select(
+        "*", *minhash_signature(F.col("__sh"))
     )
 
 
 def band_buckets(df: DataFrame, id_col: str) -> DataFrame:
-    """Emit (band_id, band_hash, id, signature...) — one row per band."""
+    """Emit (band_id, band_hash, id, shingle-hash set) — one row per band."""
     rows_per_band = N_HASHES // N_BANDS
     bands = []
     for b in range(N_BANDS):
@@ -61,13 +73,13 @@ def band_buckets(df: DataFrame, id_col: str) -> DataFrame:
         )
     return df.select(
         F.col(id_col).alias("id"),
-        F.col("__shingles").alias("shingles"),
+        F.col("__sh").alias("sh"),
         F.explode(F.array(*bands)).alias("band"),
-    ).select("id", "shingles", "band.band_id", "band.band_hash")
+    ).select("id", "sh", "band.band_id", "band.band_hash")
 
 
 def candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """MinHash-LSH candidate pairs with exact Jaccard on the shingle
+    """MinHash-LSH candidate pairs with Jaccard on the hashed shingle
     sets, deduplicated across bands. Returns (id1, id2, jaccard)."""
     sig = add_signature(df, text_col)
     buckets = band_buckets(sig, id_col)
@@ -82,8 +94,8 @@ def candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            F.col("a.shingles").alias("sh1"),
-            F.col("b.shingles").alias("sh2"),
+            F.col("a.sh").alias("sh1"),
+            F.col("b.sh").alias("sh2"),
         )
         .dropDuplicates(["id1", "id2"])  # same pair may collide in >1 band
     )

@@ -54,34 +54,45 @@ def scan_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PAGE_SIZE = 100  # the reference's page size (fetch_jira_tempo_worklogs.py:31)
+# Fan-out width for the paged-source simulation. The reference pages
+# by a FIXED size (limit=100, fetch_jira_tempo_worklogs.py:31) and
+# scans serially; the Spark design inverts it — a fixed number of
+# parallel fetch partitions whose size scales with `total`. A
+# fixed-SIZE page at 100 TB means millions of pages and a
+# million-way union plan (Catalyst chokes long before the cluster
+# does); a fixed WIDTH keeps the plan constant and each partition's
+# range scan prunes to its offset window.
+N_PAGES = 16
 
 
 @query(
     "source_paged_union",
     oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(ceil((max(event_id) + 1) / {N_PAGES}.0) AS BIGINT) AS page_size
+        FROM events
+    )
     SELECT event_id, ts, user_id, event_type, value, props,
-           CAST(floor(event_id / {PAGE_SIZE}) AS INTEGER) AS page_ord
-    FROM events
+           CAST(floor(event_id / page_size) AS INTEGER) AS page_ord
+    FROM events, bounds
     """,
 )
 def source_paged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-paginated source simulation (reference A3,
-    ``issue_processor.py:114-167``): page 0 discovers ``total``, then
-    the remaining offsets are fetched as independent page DataFrames and
-    unioned in order with a page ordinal — the fan-out parallelism the
-    serial reference loop cannot do. Each "page" is a filter on the
-    offset key, so at scale every page scan prunes to its range."""
+    ``issue_processor.py:114-167``): page 0 discovers ``total``
+    (the A3 capture at :141-142), then N_PAGES offset ranges are
+    fetched as independent page DataFrames and unioned with a page
+    ordinal — the fan-out parallelism the serial reference loop cannot
+    do. Each page filter prunes its scan to the offset range."""
     events = catalog.load(spark, sf_dir, "events")
-    # Page 0 discovers total (the A3 `total` capture at issue_processor.py:141-142).
     total = events.agg(F.max("event_id")).collect()[0][0] + 1
-    n_pages = (total + PAGE_SIZE - 1) // PAGE_SIZE
+    page_size = -(-total // N_PAGES)  # ceil
     pages = [
         events.where(
-            (F.col("event_id") >= i * PAGE_SIZE)
-            & (F.col("event_id") < (i + 1) * PAGE_SIZE)
+            (F.col("event_id") >= i * page_size)
+            & (F.col("event_id") < (i + 1) * page_size)
         ).withColumn("page_ord", F.lit(i).cast("int"))
-        for i in range(n_pages)
+        for i in range(N_PAGES)
     ]
     out = pages[0]
     for p in pages[1:]:

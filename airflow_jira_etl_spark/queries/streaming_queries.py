@@ -228,7 +228,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent-replay invariant made observable."""
     pages_dir = os.path.join(SCRATCH, "event_pages")
     table_dir = os.path.join(SCRATCH, "upsert_table")
-    write_event_pages(spark, sf_dir, pages_dir, page_size=250)
+    write_event_pages(spark, sf_dir, pages_dir, n_pages=8)
     table = ParquetUpsertTable(spark, table_dir, key="event_id")
     table.destroy()
     table = ParquetUpsertTable(spark, table_dir, key="event_id")

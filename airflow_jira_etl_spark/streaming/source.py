@@ -55,17 +55,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def write_event_pages(
-    spark: SparkSession, sf_dir: str, out_dir: str, page_size: int = 250
+    spark: SparkSession, sf_dir: str, out_dir: str, n_pages: int = 8
 ) -> int:
     """Materialize the events table as ordered page files (the
-    reference's paginated responses). Returns the page count."""
+    reference's paginated responses). Page COUNT is fixed and page
+    size scales with the table — each downstream micro-batch MERGE
+    rewrites the table once, so total work is O(n_pages · n), not the
+    O(n²/page_size) a fixed-size page would cost. Returns the page
+    count."""
     from airflow_jira_etl_spark import catalog
 
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     events = catalog.load(spark, sf_dir, "events")
     total = events.agg(F.max("event_id")).collect()[0][0] + 1
-    n_pages = (total + page_size - 1) // page_size
+    page_size = -(-total // n_pages)  # ceil
     for i in range(n_pages):
         page = events.where(
             (F.col("event_id") >= i * page_size)

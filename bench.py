@@ -1,0 +1,66 @@
+"""Benchmark runner — driver contract (BASELINE.md).
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total-sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Timing is end-to-end per query: plan construction + execution to a
+count over the result (results are not collected to the driver — at
+bench scale a full collect would measure Arrow transfer, not the
+query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from airflow_jira_etl_spark import registry
+from airflow_jira_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    registry.load_all_queries()
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the queries, not session startup
+    t0 = time.perf_counter()
+    from airflow_jira_etl_spark import catalog
+
+    for t in catalog.TABLES:
+        catalog.load(spark, SF_DIR, t).count()
+    warm_s = time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry.QUERIES):
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    out = {
+        "metric": "total wall-clock over all registered queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "n_queries": len(timings),
+        "warmup_sec": round(warm_s, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Operator property tests: upsert LWW + idempotency, minhash recall,
+approx-distinct error bound, similarity sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.operators.minhash import candidate_pairs
+from airflow_jira_etl_spark.operators.upsert import upsert
+
+
+def test_upsert_last_writer_wins(spark):
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    updates = spark.createDataFrame(
+        # two updates for k=2: the LATER one must win (the reference's
+        # per-record sequential execute order, db_ops.py:32-41)
+        [Row(k=2, v="b1"), Row(k=2, v="b2"), Row(k=4, v="d")]
+    )
+    got = {r.k: r.v for r in upsert(base, updates, "k").collect()}
+    assert got == {1: "a", 2: "b2", 3: "c", 4: "d"}
+
+
+def test_upsert_idempotent_replay(spark):
+    base = spark.createDataFrame([Row(k=i, v=f"v{i}") for i in range(10)])
+    updates = spark.createDataFrame([Row(k=i, v=f"u{i}") for i in range(5, 15)])
+    once = upsert(base, updates, "k")
+    twice = upsert(once, updates, "k")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    """Planted near-duplicates (one word changed in ~40) must be
+    recalled; unrelated docs must not flood the candidate set."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(40)]
+        docs.append((2 * i, " ".join(words)))
+        near = list(words)
+        near[5] = "CHANGED"
+        docs.append((2 * i + 1, " ".join(near)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = candidate_pairs(df, "doc_id", "text").collect()
+    found = {(p.id1, p.id2) for p in pairs}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"recall {recall}"
+    # jaccard of a planted pair is high; random pairs (if any) are low
+    for p in pairs:
+        if (p.id1, p.id2) in planted:
+            assert p.jaccard > 0.5
+
+
+def test_approx_distinct_within_5pct(spark, sf_dir):
+    li = catalog.load(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact <= 0.05
+
+
+def test_cosine_self_similarity_is_one(spark, sf_dir):
+    from airflow_jira_etl_spark.functions.similarity import cosine
+
+    emb = catalog.load(spark, sf_dir, "embeddings").limit(20)
+    rows = emb.select(
+        F.round(cosine(F.col("embedding"), F.col("embedding")), 6).alias("c")
+    ).collect()
+    assert all(abs(r.c - 1.0) < 1e-5 for r in rows)

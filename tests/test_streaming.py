@@ -1,0 +1,48 @@
+"""Streaming ≡ batch equivalence: the availableNow micro-batch runs
+must produce the batch plan's answer (SURVEY.md §5.2 property)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_jira_etl_spark import catalog, registry
+
+registry.load_all_queries()
+
+
+def _batch_tumbling(spark, sf_dir):
+    events = catalog.load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        ).agg(F.count("*").alias("n_events"))
+    )
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream = registry.QUERIES["stream_tumbling_count"](spark, sf_dir)
+    batch = _batch_tumbling(spark, sf_dir)
+    assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_watermark_emits_closed_windows_subset(spark, sf_dir):
+    """Append-mode output under a watermark must be a subset of the
+    batch answer, missing only windows the watermark left open."""
+    emitted = registry.QUERIES["stream_watermark_late"](spark, sf_dir)
+    batch = _batch_tumbling(spark, sf_dir)
+    emitted_rows = set(map(tuple, emitted.collect()))
+    batch_rows = set(map(tuple, batch.collect()))
+    assert emitted_rows <= batch_rows
+    # everything except the final (still-open) windows is emitted
+    assert len(batch_rows) - len(emitted_rows) <= len(
+        {r[0] for r in batch_rows - emitted_rows}
+    ) * 5  # ≤ #event_types per open window
+
+
+def test_foreachbatch_upsert_replay_idempotent(spark, sf_dir):
+    """Running the whole paged foreachBatch pipeline twice converges to
+    the same table state (the reference's replay invariant)."""
+    q = registry.QUERIES["stream_foreachbatch_upsert"]
+    once = sorted(map(tuple, q(spark, sf_dir).collect()))
+    twice = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert once == twice
