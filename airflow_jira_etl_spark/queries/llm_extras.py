@@ -1,0 +1,210 @@
+"""Training-data-pipeline extras beyond SURVEY §2B's list: language ID,
+BPE-ish token counting, rolling-hash fingerprinting, LSH-bucketed ANN,
+multimodal decode/frame-sample plumbing.
+
+All classification/fingerprint arithmetic is portable (engine-agnostic
+expressions), so even heuristic operators get exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.functions.rounding import fround
+from airflow_jira_etl_spark.operators.multimodal import (
+    attach_media,
+    decode_features,
+    sample_frames,
+)
+from airflow_jira_etl_spark.registry import query
+
+
+@query(
+    "llm_lang_id",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+                 / length(text) AS vowel_ratio,
+               CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS avg_tok_len
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           round(vowel_ratio + 1e-9, 4) AS vowel_ratio,
+           round(avg_tok_len + 1e-9, 4) AS avg_tok_len,
+           CASE WHEN vowel_ratio >= 0.34 THEN 'lat-vowelheavy'
+                WHEN avg_tok_len >= 5.5 THEN 'lat-longtoken'
+                ELSE 'lat-short' END AS lang_pred
+    FROM feats
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: featurize (vowel ratio, mean token
+    length) then threshold-classify — the n-gram-profile shape of a
+    real lang-ID pass (featurize → score per language → argmax), all
+    whole-stage-codegen expressions. A production profile swaps the
+    thresholds for per-language n-gram log-odds; plan shape and scale
+    behavior (pure map, no shuffle) are identical."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    vowels = F.regexp_replace(F.lower(F.col("text")), "[^aeiou]", "")
+    vowel_ratio = F.length(vowels).cast("double") / F.length("text")
+    avg_tok_len = F.length("text").cast("double") / F.size(F.split(F.col("text"), " "))
+    return documents.select(
+        "doc_id",
+        "lang",
+        fround(vowel_ratio).alias("vowel_ratio"),
+        fround(avg_tok_len).alias("avg_tok_len"),
+        F.when(vowel_ratio >= 0.34, "lat-vowelheavy")
+        .when(avg_tok_len >= 5.5, "lat-longtoken")
+        .otherwise("lat-short")
+        .alias("lang_pred"),
+    )
+
+
+@query(
+    "llm_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
+             AS regex_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens
+    FROM documents
+    """,
+)
+def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    pre-tokenizer (letter runs | digit runs | single symbols — the
+    GPT-2 pre-tokenizer shape), and the chars/4 estimator used for
+    quick corpus budgeting. Pure map, no shuffle."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("regex_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("bpe_est_tokens"),
+    )
+
+
+@query(
+    "llm_fingerprint_rolling",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               [ (ascii(text[i:i]) * 29791
+                  + ascii(text[i+1:i+1]) * 961
+                  + ascii(text[i+2:i+2]) * 31
+                  + ascii(text[i+3:i+3])) % 1048573
+                 FOR i IN range(1, greatest(length(text) - 2, 2)) ] AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_min(hs) AS BIGINT) AS fp_min,
+           CAST(list_max(hs) AS BIGINT) AS fp_max,
+           CAST(len(list_distinct(hs)) AS INTEGER) AS n_distinct_grams,
+           CAST(list_min(hs) % 64 AS BIGINT) AS fp_bucket
+    FROM grams
+    """,
+)
+def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint via a polynomial rolling hash over char
+    4-grams (winnowing-style: the min-hash of the gram stream is the
+    fingerprint; fp_bucket is the dedup shuffle key). The base-31
+    polynomial is computed identically in both engines — a portable
+    stand-in for xxhash64, which a production build would use. Pure
+    map + array ops; no shuffle until the bucket groupBy a dedup
+    consumer would add."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    hs = F.expr(
+        "transform(sequence(1, greatest(length(text) - 3, 1)), i -> "
+        " (ascii(substring(text, i, 1)) * 29791"
+        "  + ascii(substring(text, i + 1, 1)) * 961"
+        "  + ascii(substring(text, i + 2, 1)) * 31"
+        "  + ascii(substring(text, i + 3, 1))) % 1048573)"
+    )
+    g = documents.select("doc_id", hs.alias("hs"))
+    return g.select(
+        "doc_id",
+        F.array_min("hs").cast("long").alias("fp_min"),
+        F.array_max("hs").cast("long").alias("fp_max"),
+        F.size(F.array_distinct("hs")).alias("n_distinct_grams"),
+        (F.array_min("hs") % 64).cast("long").alias("fp_bucket"),
+    )
+
+
+@query(
+    "llm_sim_lsh_topk",
+    oracle="""
+    WITH sig AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+               CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+               + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+               + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+               + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END AS bucket
+        FROM embeddings
+    ),
+    probe AS (SELECT e AS p, bucket AS pb FROM sig WHERE vec_id = 0)
+    SELECT vec_id, label, bucket,
+           round(list_cosine_similarity(e, probe.p) + 1e-9, 4) AS cos_sim
+    FROM sig, probe
+    WHERE vec_id <> 0 AND bucket = probe.pb
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: sign bits of the first 4
+    dimensions form a 16-way random-hyperplane bucket (axis-aligned
+    hyperplanes — deterministic and portable; production draws random
+    Gaussian planes, same plan). Only the probe's bucket is scanned —
+    the scan shrinks ~16× and, crucially, the bucket is a partition key
+    at scale: the probe routes to ONE partition instead of
+    broadcasting to all. The exact-baseline twin is llm_sim_topk."""
+    from airflow_jira_etl_spark.functions.similarity import cosine
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.element_at("embedding", 1) > 0, 1).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 4) > 0, 8).otherwise(0)
+    )
+    sig = emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    probe = sig.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p"), F.col("bucket").alias("pb")
+    )
+    return (
+        sig.where(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), F.col("bucket") == F.col("pb"))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            fround(cosine(F.col("embedding"), F.col("p"))).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@query("mm_decode_features")  # rows-only: mapInPandas kernel output
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: documents → binary payload column +
+    typed metadata → Arrow-batched mapInPandas feature extraction
+    (operators/multimodal.py; decode kernel is a deterministic fake —
+    codec libs are absent — but schema/batching/partitioning are real)."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    return decode_features(attach_media(documents))
+
+
+@query("mm_sample_frames")  # rows-only: mapInPandas kernel output
+def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media payloads: one row in → N frame
+    rows out through mapInPandas (the video keyframe-extraction shape)."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    return sample_frames(attach_media(documents.limit(200)), n_frames=4)

@@ -49,4 +49,5 @@ def load_all_queries() -> None:
         scalar_functions,
         streaming_queries,
         llm_ops,
+        llm_extras,
     )

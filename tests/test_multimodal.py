@@ -1,0 +1,44 @@
+"""Multimodal plumbing tests: the fake decode kernel computes real
+byte statistics, so outputs are exactly checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from airflow_jira_etl_spark.operators.multimodal import (
+    attach_media,
+    decode_features,
+    sample_frames,
+)
+
+
+def _media(spark, texts):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t)) for i, t in enumerate(texts)]
+    )
+    return attach_media(df)
+
+
+def test_decode_features_byte_stats(spark):
+    media = _media(spark, ["abc", "hello world"])
+    rows = {r.doc_id: r for r in decode_features(media).collect()}
+    assert rows[0].n_bytes == 3
+    assert rows[0].byte_sum == ord("a") + ord("b") + ord("c")
+    assert rows[0].first_byte == ord("a")
+    assert rows[1].n_bytes == 11
+    assert rows[0].fake_width == 3 % 640
+
+
+def test_sample_frames_shape_and_coverage(spark):
+    media = _media(spark, ["0123456789abcdef"])  # 16 bytes -> 4 frames of 4
+    frames = sorted(sample_frames(media, n_frames=4).collect(), key=lambda r: r.frame_idx)
+    assert [f.frame_idx for f in frames] == [0, 1, 2, 3]
+    assert bytes(frames[0].frame_bytes) == b"0123"
+    assert bytes(frames[3].frame_bytes) == b"cdef"
+
+
+def test_sample_frames_short_payload(spark):
+    media = _media(spark, ["ab"])  # shorter than frame count
+    frames = sample_frames(media, n_frames=4).collect()
+    assert 1 <= len(frames) <= 2  # step=1: frames at offsets 0,1
+    assert bytes(frames[0].frame_bytes) == b"a"
