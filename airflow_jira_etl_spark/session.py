@@ -36,6 +36,9 @@ def get_spark(app_name: str = "airflow_jira_etl_spark") -> SparkSession:
         # parquet reader rejects; read as long nanos and convert in
         # catalog.load (truncate to micros — same as other engines).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # allow custom Python DataSources (sources/rest_datasource) to
+        # receive pushed filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
