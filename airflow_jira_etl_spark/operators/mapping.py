@@ -78,11 +78,15 @@ def compile_mapping(
             if fields is not None and field is None:
                 cols.append(F.lit(None).cast("string").alias(name))
             elif field is not None and isinstance(field.dataType, T.ArrayType):
+                # concat_ws maps a NULL array to '' — but a missing
+                # path must stay NULL (the reference emits no column,
+                # which surfaces as SQL NULL; SURVEY.md §2A note)
+                arr = F.col(child_path)
+                joined = F.concat_ws(
+                    join_char, F.transform(arr, lambda x: x.cast("string"))
+                )
                 cols.append(
-                    F.concat_ws(
-                        join_char,
-                        F.transform(F.col(child_path), lambda x: x.cast("string")),
-                    ).alias(name)
+                    F.when(arr.isNull(), F.lit(None)).otherwise(joined).alias(name)
                 )
             else:
                 cols.append(F.col(child_path).alias(name))

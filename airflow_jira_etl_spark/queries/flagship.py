@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.registry import query
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,7 +44,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + F.lit(1e-9),
+                4,
             ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
@@ -53,8 +56,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FLAGSHIP_ORACLE = """
 SELECT n_name,
-       date_trunc('month', o_orderdate) AS order_month,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue,
        count(*) AS n_lineitems
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -65,3 +68,6 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+# the flagship is itself part of the correctness gate
+query("flagship_revenue_by_nation", oracle=FLAGSHIP_ORACLE)(flagship)

@@ -40,6 +40,7 @@ def load_all_queries() -> None:
     """Import every query module so registration side-effects run."""
     # Imports are deferred so `import airflow_jira_etl_spark` stays cheap.
     from airflow_jira_etl_spark.queries import (  # noqa: F401
+        flagship,
         scans,
         projections,
         joins,
