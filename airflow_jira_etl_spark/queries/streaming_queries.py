@@ -212,6 +212,60 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_profile",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value) + 1e-9, 4) AS total_value,
+           round(max(value) + 1e-9, 4) AS peak_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState,
+    streaming/stateful.py): per-user running profile carried across
+    micro-batches — the events table is paged into 8 files streamed one
+    per batch, so state genuinely crosses batch boundaries. The
+    update-mode emissions are monotone counters; the final per-user
+    state (= the batch answer) is their max."""
+    import shutil
+
+    from airflow_jira_etl_spark.streaming.stateful import running_user_profile
+
+    pages_dir = os.path.join(SCRATCH, "event_pages_state")
+    write_event_pages(spark, sf_dir, pages_dir, n_pages=8)
+    stream = (
+        spark.readStream.schema(catalog._EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(pages_dir, "page_*"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    profile = running_user_profile(stream)
+    ck = _ck("stateful")
+    shutil.rmtree(ck, ignore_errors=True)
+    q = (
+        profile.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_stateful_out")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        """
+        SELECT user_id,
+               max(n_events) AS n_events,
+               round(max(total_value) + 1e-9, 4) AS total_value,
+               round(max(peak_value) + 1e-9, 4) AS peak_value
+        FROM stream_stateful_out
+        GROUP BY user_id
+        """
+    )
+
+
+@query(
     "stream_foreachbatch_upsert",
     oracle="""
     SELECT event_id, user_id, event_type,
