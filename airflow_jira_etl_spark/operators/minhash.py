@@ -28,20 +28,19 @@ N_BANDS = 4  # rows per band R = N_HASHES / N_BANDS = 4
 
 
 def shingles(tokens: Column, k: int = 3) -> Column:
-    """k-shingles (word n-grams) of a token array, distinct."""
+    """k-shingles (word n-grams) of a token array. NOT deduplicated:
+    every consumer is duplicate-insensitive (min-hash ignores repeats;
+    array_intersect/array_union have set semantics), and array_distinct
+    costs more than the whole signature pass."""
     n = F.size(tokens)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
-    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
 
 
 def shingle_hashes(tokens: Column, k: int = 3) -> Column:
-    """Distinct 64-bit shingle hashes — the compact set representation
-    all downstream stages operate on."""
-    return F.array_distinct(
-        F.transform(shingles(tokens, k), lambda s: F.xxhash64(s))
-    )
+    """64-bit shingle hashes — the compact representation all
+    downstream stages operate on (may contain duplicates; see above)."""
+    return F.transform(shingles(tokens, k), lambda s: F.xxhash64(s))
 
 
 def minhash_signature(hashes: Column, n_hashes: int = N_HASHES) -> list[Column]:
@@ -63,7 +62,10 @@ def add_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def band_buckets(df: DataFrame, id_col: str) -> DataFrame:
-    """Emit (band_id, band_hash, id, shingle-hash set) — one row per band."""
+    """Emit (id, band_id, band_hash) — one NARROW row per band. The
+    shingle sets deliberately do NOT travel through the bucket
+    shuffle: at 440 hashes/doc they would dominate shuffle volume;
+    they are re-attached only to the (few) surviving pairs."""
     rows_per_band = N_HASHES // N_BANDS
     bands = []
     for b in range(N_BANDS):
@@ -73,16 +75,20 @@ def band_buckets(df: DataFrame, id_col: str) -> DataFrame:
         )
     return df.select(
         F.col(id_col).alias("id"),
-        F.col("__sh").alias("sh"),
         F.explode(F.array(*bands)).alias("band"),
-    ).select("id", "sh", "band.band_id", "band.band_hash")
+    ).select("id", "band.band_id", "band.band_hash")
 
 
 def candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """MinHash-LSH candidate pairs with Jaccard on the hashed shingle
-    sets, deduplicated across bands. Returns (id1, id2, jaccard)."""
+    sets, deduplicated across bands. Returns (id1, id2, jaccard).
+
+    Shuffle budget: the band self-join moves 3 longs/row; the shingle
+    sets are joined back only for candidate pairs (|pairs| ≪ |docs|).
+    The narrow bucket table is cached — a self-join otherwise
+    recomputes the whole signature pass once per side."""
     sig = add_signature(df, text_col)
-    buckets = band_buckets(sig, id_col)
+    buckets = band_buckets(sig, id_col).cache()
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
@@ -91,16 +97,16 @@ def candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.sh").alias("sh1"),
-            F.col("b.sh").alias("sh2"),
-        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .dropDuplicates(["id1", "id2"])  # same pair may collide in >1 band
+    )
+    sets = sig.select(F.col(id_col).alias("id"), F.col("__sh").alias("sh"))
+    pairs_with_sets = (
+        pairs.join(sets.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+        .join(sets.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
     )
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = F.size(F.array_union("sh1", "sh2")).cast("double")
-    return pairs.select(
+    return pairs_with_sets.select(
         "id1", "id2", F.round(inter / union + F.lit(1e-9), 4).alias("jaccard")
     )

@@ -1,0 +1,78 @@
+"""Scale-pattern tests: salted aggregation correctness on skewed data,
+and bucketed co-located joins eliminating the shuffle."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.operators.salt import salted_agg
+
+
+def test_salted_agg_matches_plain_agg_on_skew(spark):
+    # 90% of rows share one hot key
+    df = spark.range(0, 50_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    plain = {
+        (r.k): (r.total, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count("*").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.total, r.n)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "total": (F.sum("v"), F.sum("total")),
+                "n": (F.count("*"), F.sum("n")),
+            },
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """bucketBy co-location: a join between two tables bucketed on the
+    join key must plan WITHOUT an Exchange on either side — the shuffle
+    happened once at write time, every subsequent join rides it."""
+    # warehouse dir is a static conf; put the database in tmp_path via
+    # an explicit LOCATION instead
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buck LOCATION '{tmp_path}/wh'")
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders")
+    (
+        lineitem.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("buck.lineitem_b")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("buck.orders_b")
+    )
+    li = spark.table("buck.lineitem_b")
+    o = spark.table("buck.orders_b")
+    # at this SF the planner would rather broadcast (cheaper than the
+    # bucketed SMJ); disable broadcast to expose the big-table path the
+    # buckets exist for — at 100 TB neither side is broadcastable
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        expected = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
