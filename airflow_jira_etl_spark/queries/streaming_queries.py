@@ -234,7 +234,7 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_jira_etl_spark.streaming.stateful import running_user_profile
 
     pages_dir = os.path.join(SCRATCH, "event_pages_state")
-    write_event_pages(spark, sf_dir, pages_dir, n_pages=8)
+    write_event_pages(spark, sf_dir, pages_dir, n_pages=4)
     stream = (
         spark.readStream.schema(catalog._EVENTS_RAW)
         .option("maxFilesPerTrigger", 1)
@@ -244,15 +244,24 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = running_user_profile(stream)
     ck = _ck("stateful")
     shutil.rmtree(ck, ignore_errors=True)
-    q = (
-        profile.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("stream_stateful_out")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State-store shard count = shuffle partitions at query start; each
+    # shard costs a file-backed state dir + a Python worker round-trip
+    # PER BATCH, so size state partitions to key cardinality (hundreds
+    # to a few thousand user keys here), not CPU count.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            profile.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("stream_stateful_out")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.sql(
         """
         SELECT user_id,
