@@ -410,6 +410,7 @@ def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            round(exp(avg(ln(value))) + 1e-9, 4) AS geo_mean_value
     FROM events
+    WHERE value > 0
     GROUP BY event_type
     """,
 )
@@ -418,7 +419,9 @@ def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type) — the custom-aggregate surface. The arithmetic runs
     vectorized in numpy per group; partial aggregation is NOT available
     for pandas UDAFs, so at scale prefer the algebraic rewrite
-    exp(avg(ln(x))) (shown in the oracle) — both are provided."""
+    exp(avg(ln(x))) (shown in the oracle) — both are provided.
+    Non-positive values are excluded (geometric mean's domain; an
+    unguarded ln(0) is an error in strict engines)."""
     import numpy as np
 
     events = catalog.load(spark, sf_dir, "events")
@@ -427,8 +430,10 @@ def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def geo_mean(v: pd.Series) -> float:
         return float(round(np.exp(np.log(v.to_numpy()).mean()) + 1e-9, 4))
 
-    return events.groupBy("event_type").agg(
-        geo_mean("value").alias("geo_mean_value")
+    return (
+        events.where(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(geo_mean("value").alias("geo_mean_value"))
     )
 
 

@@ -76,3 +76,35 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_plan_shapes_hold(spark, sf_dir):
+    """Plan-shape regression guards: pushdown, top-k lowering, and the
+    single-shuffle MERGE must not silently degrade."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+
+    def fplan(name):
+        df = registry.QUERIES[name](spark, sf_dir)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    scan = fplan("scan_filter_prune")
+    assert "GreaterThanOrEqual(l_shipdate" in scan  # predicate at the reader
+    assert "l_tax" not in scan  # column pruning held
+
+    topk = fplan("sort_limit_topk")
+    assert "TakeOrderedAndProject" in topk
+
+    wtopk = fplan("win_topk_per_group")
+    assert "WindowGroupLimit" in wtopk  # rank-limit pushdown
+
+    upsert_plan = fplan("sink_upsert")
+    # exactly one hash-partitioning exchange on the merge key
+    assert upsert_plan.count("hashpartitioning(o_orderkey") == 1
+    # ...and the rn=1 filter is limit-pushed into the window
+    assert "WindowGroupLimit" in upsert_plan
