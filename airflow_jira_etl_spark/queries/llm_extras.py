@@ -192,6 +192,19 @@ def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_sim_ivf_topk")  # rows-only: quantizer floats are engine-specific
+def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators/ivf.py): deterministic coarse
+    k-means (2 fixed Lloyd's iterations, no RNG) → cluster index →
+    probe scans only the 2 nearest clusters. The iterative-algorithm
+    exemplar of the engine; accuracy vs the exact baseline is bounded
+    in tests/test_operators.py (probe's true top-1 must be found)."""
+    from airflow_jira_etl_spark.operators.ivf import ivf_topk
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return ivf_topk(spark, emb, probe_id=0, k_clusters=8, top_k=10, n_probe=2)
+
+
 @query("mm_decode_features")  # rows-only: mapInPandas kernel output
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: documents → binary payload column +
