@@ -1,0 +1,183 @@
+"""Composite analytic reports — multi-operator compositions in the
+TPC-H mold, the "downstream dashboards" the reference's star schema
+exists to feed (README.md:4 of the reference; join keys per SURVEY §2B).
+
+Each composes several already-verified operators (multi-join + filter +
+aggregate + window/top-k) so the correctness gate also covers operator
+INTERACTION, not just isolated shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.functions.rounding import fround
+from airflow_jira_etl_spark.registry import query
+
+
+@query(
+    "report_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 20
+    """,
+)
+def report_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped revenue by order for one segment.
+    Two fact joins + selective filters pushed to all three scans +
+    top-20 (TakeOrderedAndProject after the aggregate)."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    orders = catalog.load(spark, sf_dir, "orders")
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .where(F.col("o_orderdate") < cutoff)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "report_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND c_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def report_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue through LOCAL suppliers (customer and
+    supplier in the same nation) for one region and year. Five joins —
+    two fact-side shuffles, three broadcast dims — plus the
+    local-supplier theta condition applied as a post-join filter."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    orders = catalog.load(spark, sf_dir, "orders")
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    supplier = catalog.load(spark, sf_dir, "supplier")
+    nation = catalog.load(spark, sf_dir, "nation")
+    region = catalog.load(spark, sf_dir, "region")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "report_forecast_revenue_change",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount) + 1e-9, 4) AS potential_revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def report_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: a single fully-pushed-down scan + global
+    aggregate — the cheapest possible plan (no joins, no wide shuffle;
+    the partial aggregate reduces each partition to one row)."""
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            fround(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "potential_revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "report_top_parts_per_brand",
+    oracle="""
+    WITH part_rev AS (
+        SELECT p_brand, p_name,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_name
+    )
+    SELECT p_brand, p_name, revenue, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, rank() OVER (PARTITION BY p_brand
+                               ORDER BY revenue DESC, p_name) AS rnk
+        FROM part_rev
+    )
+    WHERE rnk <= 3
+    """,
+)
+def report_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg → window composition: revenue per (brand, part), then top-3
+    parts per brand. The window runs on the AGGREGATED rows (output-
+    sized), never on the raw fact table."""
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    part_rev = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_name")
+        .agg(
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), "p_name")
+    return (
+        part_rev.withColumn("rnk", F.rank().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+    )

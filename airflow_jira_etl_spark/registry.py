@@ -48,6 +48,7 @@ def load_all_queries() -> None:
         windows,
         sorts_sets,
         scalar_functions,
+        reports,
         streaming_queries,
         timeofday_queries,
         llm_ops,

@@ -47,3 +47,28 @@ def test_pipeline_cycle_detection():
     p.task("b", upstream=["a"])(lambda ctx: None)
     with pytest.raises(RuntimeError, match="cycle"):
         p.run({})
+
+
+def test_dag_specs_mirror_reference_shape():
+    """Three entity DAGs, @daily/catchup-off/1-retry-5-min defaults,
+    ensure_table >> ingest dependency (the reference's DAG config at
+    fetch_jira_tempo_worklogs.py:15-26,114)."""
+    from airflow_jira_etl_spark.orchestration import build_airflow_dags, build_dag_specs
+
+    specs = build_dag_specs()
+    assert [s.dag_id for s in specs] == [
+        "fetch_jira_tempo_worklogs",
+        "fetch_jira_issues",
+        "fetch_jira_users",
+    ]
+    for s in specs:
+        assert (s.schedule, s.catchup, s.retries, s.retry_delay_minutes) == (
+            "@daily",
+            False,
+            1,
+            5,
+        )
+        deps = {t.task_id: t.upstream for t in s.tasks}
+        assert deps["ingest_and_merge"] == ("ensure_table",)
+    # airflow absent here: materialization degrades to []
+    assert build_airflow_dags() == []
