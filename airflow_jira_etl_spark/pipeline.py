@@ -21,12 +21,19 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from airflow_jira_etl_spark.entities import WORKLOG_MAPPING
+from airflow_jira_etl_spark.entities import (
+    ISSUE_MAPPING,
+    USER_MAPPING,
+    WORKLOG_MAPPING,
+)
 from airflow_jira_etl_spark.sinks.parquet_upsert import ParquetUpsertTable
 from airflow_jira_etl_spark.sources.paged_rest import (
     Fetcher,
     cursor_scan,
+    offset_scan_parallel,
+    raw_json_to_flat,
     records_to_flat_df,
+    single_page_scan,
 )
 
 
@@ -103,3 +110,98 @@ def worklog_pipeline(
             ctx["table"].apply(batch)
 
     return p
+
+
+def issues_pipeline(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    url: str,
+    table_root: str,
+) -> Pipeline:
+    """The issues DAG: offset pagination fans out across executors
+    (A3 parallelism, ``issue_processor.py:114-167``); the whole extract
+    lands as ONE distributed DataFrame and ONE merge."""
+    p = Pipeline("fetch_jira_issues")
+
+    @p.task("ensure_table")
+    def ensure_table(ctx: dict) -> None:
+        ctx["table"] = ParquetUpsertTable(
+            spark, os.path.join(table_root, "issues"), key="issue_id"
+        )
+
+    @p.task("ingest_fanout", upstream=["ensure_table"])
+    def ingest_fanout(ctx: dict) -> None:
+        raw = offset_scan_parallel(spark, fetcher, url, records_key="issues")
+        ctx["flat"] = raw_json_to_flat(raw, ISSUE_MAPPING)
+
+    @p.task("merge_upsert", upstream=["ingest_fanout"])
+    def merge_upsert(ctx: dict) -> None:
+        ctx["table"].apply(ctx["flat"])
+
+    return p
+
+
+def users_pipeline(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    url: str,
+    table_root: str,
+) -> Pipeline:
+    """The users DAG: single-page scan (A4, ``users_processor.py:53-95``)."""
+    p = Pipeline("fetch_jira_users")
+
+    @p.task("ensure_table")
+    def ensure_table(ctx: dict) -> None:
+        ctx["table"] = ParquetUpsertTable(
+            spark, os.path.join(table_root, "users"), key="account_id"
+        )
+
+    @p.task("ingest_page", upstream=["ensure_table"])
+    def ingest_page(ctx: dict) -> None:
+        records = single_page_scan(fetcher, url)
+        ctx["flat"] = records_to_flat_df(spark, records, USER_MAPPING)
+
+    @p.task("merge_upsert", upstream=["ingest_page"])
+    def merge_upsert(ctx: dict) -> None:
+        ctx["table"].apply(ctx["flat"])
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI entry point the orchestration DAG specs submit
+    (``spark-submit -m airflow_jira_etl_spark.pipeline``). Wires the
+    entity pipeline named by ``--entity``; the fetcher comes from
+    ``--fetcher`` (dotted factory path, defaulting to the in-repo
+    emulator so the wiring is runnable anywhere)."""
+    import argparse
+    import importlib
+
+    from airflow_jira_etl_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--entity", required=True,
+                    choices=["tempo_worklogs", "issues", "users"])
+    ap.add_argument("--task", default="all")
+    ap.add_argument("--url", default="https://api/search")
+    ap.add_argument(
+        "--fetcher",
+        default="airflow_jira_etl_spark.sources.fixture_fetchers:synthetic_issues_fetcher",
+    )
+    ap.add_argument("--table-root", default=".scratch/pipeline_tables")
+    ns = ap.parse_args(argv)
+
+    mod_name, _, fn_name = ns.fetcher.partition(":")
+    fetcher = getattr(importlib.import_module(mod_name), fn_name)({})
+    spark = get_spark(f"pipeline-{ns.entity}")
+    builders = {
+        "tempo_worklogs": worklog_pipeline,
+        "issues": issues_pipeline,
+        "users": users_pipeline,
+    }
+    pipeline = builders[ns.entity](spark, fetcher, ns.url, ns.table_root)
+    pipeline.run({})
+
+
+if __name__ == "__main__":
+    main()

@@ -205,6 +205,24 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, emb, probe_id=0, k_clusters=8, top_k=10, n_probe=2)
 
 
+@query("llm_dedup_clusters")  # rows-only: depends on hash-family pair output
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: MinHash-LSH pairs (jaccard ≥ 0.7) →
+    connected components (operators/components.py, iterative label
+    propagation) → every document labeled (component, is_canonical).
+    The deliverable of a corpus-dedup pass: keep rows where
+    is_canonical. Topology correctness is pinned by the planted-graph
+    test in tests/test_operators.py."""
+    from airflow_jira_etl_spark.operators.components import dedup_clusters
+    from airflow_jira_etl_spark.operators.minhash import candidate_pairs
+
+    documents = catalog.load(spark, sf_dir, "documents")
+    pairs = candidate_pairs(documents, "doc_id", "text").where(
+        F.col("jaccard") >= 0.7
+    )
+    return dedup_clusters(pairs, documents, "doc_id")
+
+
 @query("mm_decode_features")  # rows-only: mapInPandas kernel output
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: documents → binary payload column +

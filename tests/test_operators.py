@@ -103,3 +103,34 @@ def test_ivf_topk_is_deterministic_and_sane(spark, sf_dir):
         assert abs(exact[vid] - score) < 1e-9  # scores are true cosines
     # descending order
     assert [s for _, s in got1] == sorted((s for _, s in got1), reverse=True)
+
+
+def test_connected_components_chains_and_singletons(spark):
+    """Planted topology: a 4-chain (1-2-3-4), a triangle (10,11,12),
+    an isolated pair (20,21), singletons 30/31."""
+    from pyspark.sql import Row
+
+    from airflow_jira_etl_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(id1=1, id2=2), Row(id1=2, id2=3), Row(id1=3, id2=4),
+         Row(id1=10, id2=11), Row(id1=11, id2=12), Row(id1=10, id2=12),
+         Row(id1=20, id2=21)]
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    all_ids = spark.createDataFrame(
+        [Row(doc_id=i) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 30, 31]]
+    )
+    clusters = {
+        r.id: (r.component, r.is_canonical)
+        for r in dedup_clusters(pairs, all_ids, "doc_id").collect()
+    }
+    assert clusters[30] == (30, True) and clusters[31] == (31, True)
+    assert clusters[4] == (1, False) and clusters[1] == (1, True)
+    canonical = [i for i, (_, c) in clusters.items() if c]
+    assert sorted(canonical) == [1, 10, 20, 30, 31]

@@ -72,3 +72,31 @@ def test_dag_specs_mirror_reference_shape():
         assert deps["ingest_and_merge"] == ("ensure_table",)
     # airflow absent here: materialization degrades to []
     assert build_airflow_dags() == []
+
+
+def test_issues_pipeline_offset_fanout(spark, tmp_path):
+    from airflow_jira_etl_spark.pipeline import issues_pipeline
+    from airflow_jira_etl_spark.sources import fixture_fetchers
+
+    fetch = fixture_fetchers.synthetic_issues_fetcher({})
+    ctx: dict = {}
+    issues_pipeline(spark, fetch, "https://api/search", str(tmp_path)).run(ctx)
+    table = ctx["table"].read()
+    assert table.count() == fixture_fetchers.TOTAL
+    assert "issue_id" in table.columns and "issue_key" in table.columns
+
+
+def test_users_pipeline_single_page(spark, tmp_path):
+    from airflow_jira_etl_spark.pipeline import users_pipeline
+
+    def fetch(url, params=None):
+        return [
+            {"self": "u1", "accountId": "a1", "displayName": "Jane", "active": "true"},
+            {"self": "u2", "accountId": "a2", "displayName": "Kai", "active": "false"},
+        ]
+
+    ctx: dict = {}
+    users_pipeline(spark, fetch, "https://api/users", str(tmp_path)).run(ctx)
+    table = ctx["table"].read()
+    assert table.count() == 2
+    assert {"account_id", "display_name", "url"} <= set(table.columns)
