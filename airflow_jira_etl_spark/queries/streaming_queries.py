@@ -27,6 +27,7 @@ from airflow_jira_etl_spark.sinks.parquet_upsert import ParquetUpsertTable
 from airflow_jira_etl_spark.streaming.source import (
     read_events_stream,
     run_available_now,
+    scoped_shuffle_partitions,
     write_event_pages,
 )
 
@@ -169,15 +170,16 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ck = _ck("watermark")
     shutil.rmtree(ck, ignore_errors=True)
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_watermark_out")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_watermark_out")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql("SELECT * FROM stream_watermark_out")
 
 
@@ -199,15 +201,16 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(ck, ignore_errors=True)
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_dedup_out")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark):
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_dedup_out")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql("SELECT * FROM stream_dedup_out")
 
 
@@ -244,13 +247,7 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = running_user_profile(stream)
     ck = _ck("stateful")
     shutil.rmtree(ck, ignore_errors=True)
-    # State-store shard count = shuffle partitions at query start; each
-    # shard costs a file-backed state dir + a Python worker round-trip
-    # PER BATCH, so size state partitions to key cardinality (hundreds
-    # to a few thousand user keys here), not CPU count.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with scoped_shuffle_partitions(spark):
         q = (
             profile.writeStream.outputMode("update")
             .format("memory")
@@ -260,8 +257,6 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.sql(
         """
         SELECT user_id,
@@ -316,11 +311,12 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(ck, ignore_errors=True)
-    q = (
-        raw.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark):
+        q = (
+            raw.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return table.read()

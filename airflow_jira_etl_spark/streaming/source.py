@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,17 +87,37 @@ def write_event_pages(
     return n_pages
 
 
+STREAM_STATE_PARTITIONS = "8"
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark, n: str = STREAM_STATE_PARTITIONS):
+    """Stateful streaming shard count = shuffle partitions at query
+    start, and every shard costs a state directory + task per
+    micro-batch. Scope it to the state size (keys/windows — hundreds
+    to thousands here), not CPU count; on a real cluster this is a
+    per-job tuning knob, the scoping pattern is the point."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, name: str) -> DataFrame:
     """Run a streaming DataFrame to completion with availableNow into a
     memory sink; return the result as a batch DataFrame."""
     shutil.rmtree(checkpoint, ignore_errors=True)
-    q = (
-        stream_df.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+    spark = stream_df.sparkSession
+    with scoped_shuffle_partitions(spark):
+        q = (
+            stream_df.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
