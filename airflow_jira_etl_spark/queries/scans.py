@@ -139,6 +139,69 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn("o_totalprice", F.round("o_totalprice", 4))
 
 
+@query("source_rest_datasource")  # rows-only: custom source, no table behind it
+def source_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom paginated-REST DataSource as a first-class scan:
+    ``spark.read.format('paged_rest')`` against the deterministic API
+    emulator, with an EqualTo filter pushed down INTO the API query
+    params (sources/rest_datasource.py). One InputPartition per offset
+    page — the A3 fan-out as a real Spark source."""
+    from airflow_jira_etl_spark.session import ensure_runtime_confs
+    from airflow_jira_etl_spark.sources.rest_datasource import PagedRestDataSource
+
+    ensure_runtime_confs(spark)
+    try:
+        spark.dataSource.register(PagedRestDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("paged_rest")
+        .options(
+            url="https://api/search",
+            fetcher=(
+                "airflow_jira_etl_spark.sources.fixture_fetchers"
+                ":synthetic_issues_fetcher"
+            ),
+            schema_ddl="id string, self string, key string, priority string, project_id string",
+            records_key="issues",
+            param_columns="priority,project_id",
+        )
+        .load()
+        .where(F.col("priority") == "high")
+        .select("id", "key", "priority")
+    )
+
+
+@query(
+    "sink_partitioned_write",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value + 1e-9, 4) AS value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout — the core 100 TB storage
+    practice: write events partitioned by event_type, read back only
+    two partitions. The read-back filter becomes a PartitionFilter
+    (directory pruning — asserted in tests/test_scale_patterns.py):
+    untouched partitions are never listed, let alone scanned."""
+    out_dir = os.path.join(SCRATCH, "events_by_type")
+    events = catalog.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round(F.col("value") + F.lit(1e-9), 4).alias("value")
+    )
+    (
+        events.write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out_dir)
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
 @query("sink_create_table")  # rows-only: DDL + physical write + read-back
 def sink_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDL + write + read-back (reference A11: CREATE TABLE IF NOT

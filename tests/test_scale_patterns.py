@@ -108,3 +108,15 @@ def test_plan_shapes_hold(spark, sf_dir):
     assert upsert_plan.count("hashpartitioning(o_orderkey") == 1
     # ...and the rn=1 filter is limit-pushed into the window
     assert "WindowGroupLimit" in upsert_plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    """The partitioned sink's read-back filter must be a PartitionFilter
+    (directory pruning), not a data filter."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    df = registry.QUERIES["sink_partitioned_write"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters:")[1][:200]
