@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -106,6 +107,74 @@ class PagedRestReader(DataSourceReader):
             )
 
 
+class PagedRestStreamReader(SimpleDataSourceStreamReader):
+    """The reference's cursor/offset page loop as an UNBOUNDED
+    Structured Streaming source: each micro-batch reads the pages that
+    appeared since the last committed offset, and the offset (the next
+    ``startAt``) lives in the CHECKPOINT — exactly the resume-where-
+    you-left-off state the reference keeps on ``self``
+    (``worklog_processor.py:106``, ``issue_processor.py:103-104``), but
+    crash-safe and replayable. Combined with the idempotent upsert sink
+    this gives end-to-end exactly-once page ingestion.
+
+    Page reads happen on the driver (SimpleDataSourceStreamReader
+    contract) — appropriate here because a cursor API is inherently a
+    serial, low-rate source; the heavy lifting (parse/flatten/merge)
+    stays distributed downstream."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = dict(options)
+        self.url = options["url"]
+        self.fetcher_spec = options["fetcher"]
+        self.records_key = options.get("records_key", "issues")
+        self.max_pages_per_batch = int(options.get("max_pages_per_batch", 1))
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"startAt": 0}
+
+    def _fetch_page(self, start_at: int) -> dict:
+        fetch = _load_fetcher(self.fetcher_spec, self.options)
+        params = {"startAt": start_at}
+        return with_retry(lambda: fetch(self.url, params))
+
+    def _rows(self, page: dict):
+        names = self.schema.fieldNames()
+        for rec in page.get(self.records_key, []):
+            yield tuple(
+                v if isinstance(v, str) or v is None else json.dumps(v)
+                for v in (rec.get(n) for n in names)
+            )
+
+    def read(self, start: dict):
+        start_at = int(start["startAt"])
+        rows: list[tuple] = []
+        for _ in range(self.max_pages_per_batch):
+            page = self._fetch_page(start_at)
+            total = int(page.get("total", 0))
+            stride = int(page.get("maxResults", 100)) or 100
+            if start_at >= total:
+                break
+            rows.extend(self._rows(page))
+            start_at += stride
+        return iter(rows), {"startAt": start_at}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        # deterministic replay for recovery: re-fetch the page range
+        start_at = int(start["startAt"])
+        end_at = int(end["startAt"])
+        rows: list[tuple] = []
+        while start_at < end_at:
+            page = self._fetch_page(start_at)
+            stride = int(page.get("maxResults", 100)) or 100
+            rows.extend(self._rows(page))
+            start_at += stride
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; the API holds no state
+
+
 class PagedRestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -116,6 +185,9 @@ class PagedRestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> PagedRestReader:
         return PagedRestReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> PagedRestStreamReader:  # noqa: N802
+        return PagedRestStreamReader(schema, self.options)
 
 
 def register(spark) -> None:

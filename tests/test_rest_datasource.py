@@ -57,3 +57,36 @@ def test_residual_filter_still_applied(spark):
     # LIKE is not pushable -> Spark evaluates it post-scan
     df = _read(spark).where("priority = 'low'").where("key LIKE 'PROJ-1%'")
     assert all(r.key.startswith("PROJ-1") and r.priority == "low" for r in df.collect())
+
+
+def test_streaming_source_resumes_from_checkpoint(spark, tmp_path):
+    """The cursor loop as a streaming source: each availableNow run
+    ingests the pages one read() reports, the next ``startAt`` offset
+    lives in the CHECKPOINT, and every restart resumes exactly where
+    the previous run stopped — the reference's mid-scan resume
+    (cursor kept on ``self``, worklog_processor.py:106) made
+    crash-safe. Repeated restarts drain the API with no duplicates
+    and no gaps."""
+    opts = dict(OPTS, max_pages_per_batch="2")
+    out = spark.readStream.format("paged_rest").options(**opts).load()
+    ck = str(tmp_path / "ck")
+    sink = str(tmp_path / "sink")
+
+    n_runs = 0
+    for _ in range(12):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_runs += 1
+        ids = [int(r.id) for r in spark.read.parquet(sink).collect()]
+        if len(ids) >= fixture_fetchers.TOTAL:
+            break
+    assert sorted(ids) == list(range(fixture_fetchers.TOTAL))  # no dups, no gaps
+    # it genuinely took multiple restarts (2 pages = 50 records per run)
+    assert n_runs >= 3
