@@ -1,0 +1,122 @@
+"""Unpivot, subqueries, and reproducible sampling/splits.
+
+The sampling ops use ARITHMETIC hashing (Knuth multiplicative mod 100)
+rather than ``rand()``: at 100 TB, reproducible sampling must be a
+pure function of the row key — stable across retries, partitionings
+and engines — or every stage retry silently changes the corpus. The
+same property makes them exactly SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.registry import query
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via ``stack`` — the inverse of agg_pivot;
+    one generator row per measure, no shuffle."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, "
+            "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"
+        ),
+    ).select("c_custkey", "metric", "value")
+
+
+@query(
+    "filter_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_orderstatus = o.o_orderstatus)
+    """,
+)
+def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders above their status group's
+    average. Catalyst de-correlates this into an aggregate + join —
+    no per-row subquery execution ever happens (check the plan: one
+    extra aggregate, one join)."""
+    catalog.load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_orderstatus = o.o_orderstatus)
+        """
+    )
+
+
+# Knuth's multiplicative hash; mod 100 gives a stable percent bucket.
+_HASH_A = 2654435761
+
+
+@query(
+    "llm_corpus_sample",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST((doc_id * {_HASH_A}) % 100 AS BIGINT) AS pct_bucket
+    FROM documents
+    WHERE (doc_id * {_HASH_A}) % 100 < 10
+    """,
+)
+def llm_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% corpus sample by key hash. Unlike
+    ``df.sample()`` (rand() per task — changes under retries and
+    repartitioning), the hash bucket is a pure function of doc_id:
+    the same document is always in or out, on any cluster."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _HASH_A) % 100
+    return (
+        documents.withColumn("pct_bucket", bucket.cast("long"))
+        .where(F.col("pct_bucket") < 10)
+        .select("doc_id", "lang", "pct_bucket")
+    )
+
+
+@query(
+    "llm_train_val_test_split",
+    oracle=f"""
+    SELECT lang, split,
+           count(*) AS n_docs
+    FROM (
+        SELECT lang,
+               CASE WHEN (doc_id * {_HASH_A}) % 100 < 80 THEN 'train'
+                    WHEN (doc_id * {_HASH_A}) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY lang, split
+    """,
+)
+def llm_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by key hash,
+    summarized per language. Documents never migrate between splits as
+    the corpus grows — append-only stability, the property that matters
+    for dataset versioning."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _HASH_A) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        documents.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -49,6 +49,7 @@ def load_all_queries() -> None:
         sorts_sets,
         scalar_functions,
         reports,
+        sampling,
         streaming_queries,
         timeofday_queries,
         llm_ops,
