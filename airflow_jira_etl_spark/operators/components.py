@@ -27,7 +27,20 @@ MAX_ITERS = 10
 
 def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
     """(id1, id2) undirected edges → (id, component) with component =
-    min id reachable. Deterministic for any edge order."""
+    min id reachable. Deterministic for any edge order.
+
+    Shuffle partitions are scoped down for the fixpoint loop: each
+    iteration is a small join + aggregate over |dup-pairs| rows, and
+    per-iteration scheduling overhead at CPU-count partitions dominates
+    the actual work. (At true scale, size this to the edge count.)"""
+    spark = pairs.sparkSession
+    from airflow_jira_etl_spark.session import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 8):
+        return _connected_components(pairs, max_iters)
+
+
+def _connected_components(pairs: DataFrame, max_iters: int) -> DataFrame:
     edges = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))

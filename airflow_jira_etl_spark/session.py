@@ -44,6 +44,23 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: str | int):
+    """Temporarily size shuffle partitions to a job's actual
+    parallelism need (state cardinality for streaming, fixpoint-loop
+    overhead for iterative algorithms) instead of the global CPU-count
+    default; restores the previous value on exit."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def get_spark(app_name: str = "airflow_jira_etl_spark") -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 

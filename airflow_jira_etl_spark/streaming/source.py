@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import os
 import shutil
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,19 +89,18 @@ def write_event_pages(
 STREAM_STATE_PARTITIONS = "8"
 
 
-@contextmanager
+
 def scoped_shuffle_partitions(spark, n: str = STREAM_STATE_PARTITIONS):
     """Stateful streaming shard count = shuffle partitions at query
     start, and every shard costs a state directory + task per
     micro-batch. Scope it to the state size (keys/windows — hundreds
-    to thousands here), not CPU count; on a real cluster this is a
-    per-job tuning knob, the scoping pattern is the point."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n)
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    to thousands here), not CPU count. Delegates to the generic helper
+    in session.py."""
+    from airflow_jira_etl_spark.session import (
+        scoped_shuffle_partitions as generic,
+    )
+
+    return generic(spark, n)
 
 
 def run_available_now(stream_df: DataFrame, checkpoint: str, name: str) -> DataFrame:
