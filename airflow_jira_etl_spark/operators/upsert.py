@@ -34,21 +34,43 @@ _ORD = "__batch_ord"
 _RN = "__rn"
 
 
-def upsert(base: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    ordinal_col: str | None = None,
+    cluster_cols: list[str] | None = None,
+) -> DataFrame:
     """Last-writer-wins merge of ``updates`` into ``base`` on ``key``.
 
     ``updates`` rows win over ``base`` rows; within ``updates``, later
-    rows win (batch ordinal), mirroring the reference's sequential
-    per-record execution order.
+    rows win, mirroring the reference's sequential per-record execution
+    order. "Later" is defined by ``ordinal_col`` when given (an
+    explicit ordering column the caller owns — page offset, event id,
+    ingest sequence); otherwise by ``monotonically_increasing_id()``,
+    which tracks the CURRENT partition layout — that matches source
+    order only if ``updates`` was not shuffled/repartitioned upstream.
+    Callers that need reference-faithful sequential semantics on a
+    shuffled batch must pass ``ordinal_col``.
+
+    ``cluster_cols``: optional columns FUNCTIONALLY DEPENDENT on the
+    key (e.g. a bucket id computed from it) prepended to the window
+    partitioning. Semantically a no-op — every key still resolves to
+    one row — but it makes the merge's single shuffle also CLUSTER the
+    output by those columns, so a downstream ``partitionBy`` write
+    needs no second shuffle.
     """
     keys = [key] if isinstance(key, str) else list(key)
     base_tagged = base.withColumn(_PRIORITY, F.lit(0)).withColumn(
         _ORD, F.lit(0).cast("long")
     )
-    upd_tagged = updates.withColumn(_PRIORITY, F.lit(1)).withColumn(
-        _ORD, F.monotonically_increasing_id()
+    ord_expr = (
+        F.col(ordinal_col).cast("long")
+        if ordinal_col is not None
+        else F.monotonically_increasing_id()
     )
-    w = Window.partitionBy(*keys).orderBy(
+    upd_tagged = updates.withColumn(_PRIORITY, F.lit(1)).withColumn(_ORD, ord_expr)
+    w = Window.partitionBy(*(cluster_cols or []), *keys).orderBy(
         F.col(_PRIORITY).desc(), F.col(_ORD).desc()
     )
     return (

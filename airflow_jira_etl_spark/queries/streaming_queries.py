@@ -281,15 +281,27 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end A2→A8 pipeline: the events table is paged out as
     ordered files (the reference's paginated responses), streamed one
     page per micro-batch, and each batch MERGEd into a parquet upsert
-    table (window-dedup + atomic generation swap — sinks/parquet_upsert).
-    The final table state equals the full input — the reference's
-    idempotent-replay invariant made observable."""
+    table (sinks/parquet_upsert: dirty-bucket copy-on-write + manifest
+    commit). Cursor pages are CONTIGUOUS key ranges, so the table uses
+    a range bucketer — each micro-batch dirties only the buckets its
+    key span covers, and bytes written per batch stay proportional to
+    the batch, not the table. The final table state equals the full
+    input — the reference's idempotent-replay invariant made
+    observable."""
+    from airflow_jira_etl_spark.sinks.parquet_upsert import range_bucketer
+
     pages_dir = os.path.join(SCRATCH, "event_pages")
     table_dir = os.path.join(SCRATCH, "upsert_table")
-    write_event_pages(spark, sf_dir, pages_dir, n_pages=8)
-    table = ParquetUpsertTable(spark, table_dir, key="event_id")
+    page_size = write_event_pages(spark, sf_dir, pages_dir, n_pages=8)
+    # bucket width = 1/8 page -> a page dirties ~8 buckets; ~64 total
+    bucketer = range_bucketer(max(page_size // 8, 1))
+    table = ParquetUpsertTable(
+        spark, table_dir, key="event_id", bucketer=bucketer
+    )
     table.destroy()
-    table = ParquetUpsertTable(spark, table_dir, key="event_id")
+    table = ParquetUpsertTable(
+        spark, table_dir, key="event_id", bucketer=bucketer
+    )
 
     raw = (
         spark.readStream.schema(catalog._EVENTS_RAW)

@@ -1,37 +1,101 @@
-"""Upsert-able parquet table: window-dedup MERGE + atomic directory swap.
+"""Upsert-able parquet table: bucketed copy-on-write MERGE + manifest commits.
 
 The reference's sink is a per-row ``INSERT ... ON CONFLICT DO UPDATE``
 (``/root/reference/dags/jira/db_ops.py:29-43``). Plain parquet has no
 transactional MERGE, so the engine-level equivalent (SURVEY.md §4.2-2)
-is: read base ∪ apply updates via the distributed upsert operator →
-write to a fresh generation directory → atomically flip a pointer file.
-Readers resolve the pointer first, so they always see a complete
-generation — the parquet-native stand-in for a Delta/Iceberg commit.
-Replay-safe: re-applying a batch produces an identical generation
-(last-writer-wins), which is the reference's idempotency invariant
-(SURVEY.md §3.4).
+is Delta-style copy-on-write at FILE granularity:
+
+* the table is hash-bucketed on the upsert key into ``n_buckets``
+  immutable bucket directories (``__bucket=K``);
+* a MERGE batch computes its **dirty buckets** (the buckets its keys
+  hash into), reads ONLY those buckets' current files, merges via the
+  distributed upsert operator, and writes ONLY those buckets anew;
+* a generation commit is a tiny JSON **manifest** mapping every bucket
+  to the generation directory that last rewrote it — clean buckets
+  keep pointing at their old files (no copy, no link — object-store
+  safe);
+* readers resolve ``_CURRENT`` → manifest → file list, so they always
+  see one complete, consistent generation.
+
+Bytes written per batch ≈ ``|dirty buckets| × table_bytes / n_buckets``
+— proportional to the batch's key spread, not to table size (size
+``n_buckets`` so a bucket ≈ one target parquet file, e.g. 128 MB, at
+the expected table volume; at 100 TB that is thousands of buckets and
+a small batch touches only its own). Replay-safe: re-applying a batch
+dirties the same buckets and produces identical contents
+(last-writer-wins), the reference's idempotency invariant (SURVEY.md
+§3.4). ``vacuum`` provides the bounded-storage half of the sink
+contract: generations beyond the retention window are deleted, while
+every data directory still referenced by a retained manifest survives
+(so a reader holding a recent pointer keeps working mid-GC).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark.operators.upsert import upsert
 
 _POINTER = "_CURRENT"
+_MANIFEST = "_MANIFEST.json"
+_BUCKET = "__bucket"
+
+DEFAULT_N_BUCKETS = 16
+
+# A bucketer maps (DataFrame, key columns, n_buckets) -> bucket Column.
+Bucketer = Callable[[DataFrame, list[str], int], Column]
+
+
+def hash_bucketer(df: DataFrame, keys: list[str], n_buckets: int) -> Column:
+    """Default bucket function: stable hash of the key columns. Right
+    for uniformly-random update keys; every key mutates exactly one
+    bucket forever."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def range_bucketer(width: int) -> Bucketer:
+    """Range bucket on a single numeric key: ``key div width``. The
+    right function for append-mostly / locally-clustered keys (page
+    cursors, auto-increment ids): a contiguous batch dirties only the
+    few buckets its key range spans, where a hash would spray it across
+    all of them. Bucket count grows with the key domain — harmless,
+    buckets are directories."""
+
+    def bucketer(df: DataFrame, keys: list[str], n_buckets: int) -> Column:
+        return (F.col(keys[0]) / width).cast("int")
+
+    return bucketer
 
 
 class ParquetUpsertTable:
-    """A directory-backed table supporting idempotent keyed upsert."""
+    """A directory-backed table supporting idempotent keyed upsert with
+    bucket-granular copy-on-write and generation retention."""
 
-    def __init__(self, spark: SparkSession, root: str, key: str | list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key: str | list[str],
+        n_buckets: int = DEFAULT_N_BUCKETS,
+        bucketer: Bucketer = hash_bucketer,
+    ):
         self.spark = spark
         self.root = root
         self.key = key
+        self.keys = [key] if isinstance(key, str) else list(key)
+        self.n_buckets = n_buckets
+        self.bucketer = bucketer
         os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------ commit log
 
     def _pointer_path(self) -> str:
         return os.path.join(self.root, _POINTER)
@@ -44,29 +108,110 @@ class ParquetUpsertTable:
         except FileNotFoundError:
             return None
 
-    def read(self) -> DataFrame | None:
-        gen = self.current_generation()
-        if gen is None:
+    def _read_manifest(self, gen_dir: str | None = None) -> dict | None:
+        gen_dir = gen_dir or self.current_generation()
+        if gen_dir is None:
             return None
-        return self.spark.read.parquet(gen)
+        with open(os.path.join(gen_dir, _MANIFEST)) as f:
+            return json.load(f)
 
-    def apply(self, updates: DataFrame) -> None:
-        """MERGE a batch of updates (last-writer-wins on the key)."""
-        base = self.read()
-        merged = updates if base is None else upsert(base, updates, self.key)
+    def _bucket_paths(self, manifest: dict, buckets=None) -> list[str]:
+        items = manifest["buckets"].items()
+        if buckets is not None:
+            wanted = {str(b) for b in buckets}
+            items = [(b, p) for b, p in items if b in wanted]
+        return [os.path.join(self.root, p) for _, p in items]
+
+    # ------------------------------------------------------------ read
+
+    def read(self) -> DataFrame | None:
+        manifest = self._read_manifest()
+        if manifest is None:
+            return None
+        paths = self._bucket_paths(manifest)
+        return self.spark.read.parquet(*paths)
+
+    # ----------------------------------------------------------- merge
+
+    def apply(self, updates: DataFrame, ordinal_col: str | None = None) -> None:
+        """MERGE a batch of updates (last-writer-wins on the key;
+        ``ordinal_col`` breaks intra-batch duplicate-key ties — see
+        operators/upsert.py)."""
+        manifest = self._read_manifest()
+        n_buckets = manifest["n_buckets"] if manifest else self.n_buckets
+        upd = updates.withColumn(
+            _BUCKET, self.bucketer(updates, self.keys, n_buckets)
+        )
+        # the dirty-bucket set is <= n_buckets small ints — a scalar
+        # collect, same class as a COUNT, not a data collect
+        dirty = sorted(r[0] for r in upd.select(_BUCKET).distinct().collect())
+        if manifest is not None:
+            base_paths = self._bucket_paths(manifest, dirty)
+        else:
+            base_paths = []
+        if base_paths:
+            base = self.spark.read.parquet(*base_paths)
+            base = base.withColumn(_BUCKET, self.bucketer(base, self.keys, n_buckets))
+        else:
+            # first write (or all-new buckets): dedup within the batch
+            base = upd.limit(0)
+        # clustering the merge window by bucket makes its one shuffle
+        # also the write clustering -> no extra repartition shuffle
+        merged = upsert(
+            base, upd, self.keys, ordinal_col=ordinal_col, cluster_cols=[_BUCKET]
+        )
+
         cur = self.current_generation()
         cur_n = int(os.path.basename(cur).split("_")[1]) if cur else -1
-        new_gen = f"gen_{cur_n + 1:06d}"
-        out = os.path.join(self.root, new_gen)
+        gen_name = f"gen_{cur_n + 1:06d}"
+        out = os.path.join(self.root, gen_name)
         shutil.rmtree(out, ignore_errors=True)
-        merged.write.mode("overwrite").parquet(out)
+        merged.write.partitionBy(_BUCKET).mode("overwrite").parquet(out)
+        new_buckets = dict(manifest["buckets"]) if manifest else {}
+        for b in dirty:
+            new_buckets[str(b)] = f"{gen_name}/{_BUCKET}={b}"
+        with open(os.path.join(out, _MANIFEST), "w") as f:
+            json.dump({"n_buckets": n_buckets, "buckets": new_buckets}, f)
         # atomic pointer flip: write-then-rename on the same filesystem
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
-            f.write(new_gen)
+            f.write(gen_name)
         os.replace(tmp, self._pointer_path())
-        # old generations are kept for readers mid-scan; GC is a
-        # separate concern (time-based retention, as in Delta VACUUM)
+
+    # -------------------------------------------------------------- GC
+
+    def generations(self) -> list[str]:
+        """Generation dir names present on disk, oldest first."""
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if d.startswith("gen_") and os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def vacuum(self, retain_last: int = 2) -> list[str]:
+        """Delete generations beyond the retention window (Delta
+        VACUUM). Keeps (a) the last ``retain_last`` committed manifests
+        and (b) every data directory any retained manifest references —
+        so a reader that resolved any retained pointer is unaffected.
+        Returns the deleted generation names."""
+        gens = self.generations()
+        with_manifest = [
+            g
+            for g in gens
+            if os.path.exists(os.path.join(self.root, g, _MANIFEST))
+        ]
+        keep_manifests = with_manifest[-retain_last:]
+        referenced = set(keep_manifests)
+        for g in keep_manifests:
+            m = self._read_manifest(os.path.join(self.root, g))
+            for rel in m["buckets"].values():
+                referenced.add(rel.split("/", 1)[0])
+        deleted = []
+        for g in gens:
+            if g not in referenced:
+                shutil.rmtree(os.path.join(self.root, g), ignore_errors=True)
+                deleted.append(g)
+        return deleted
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

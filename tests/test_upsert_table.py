@@ -1,0 +1,126 @@
+"""ParquetUpsertTable contract: dirty-bucket copy-on-write, manifest
+reads, generation retention (the bounded-storage half of the
+reference's sink contract — ``/root/reference/dags/jira/db_ops.py``
+delegates it to Postgres; the parquet table must provide it itself)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from airflow_jira_etl_spark.sinks.parquet_upsert import (
+    ParquetUpsertTable,
+    range_bucketer,
+)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _bucket_dirs(gen_dir: str) -> list[str]:
+    return sorted(
+        d for d in os.listdir(gen_dir) if d.startswith("__bucket=")
+    )
+
+
+@pytest.fixture()
+def rows_df(spark):
+    return spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+
+
+def test_small_batch_rewrites_only_dirty_buckets(spark, tmp_path, rows_df):
+    """Bytes written per batch must track the batch's key spread, not
+    the table size — the core copy-on-write invariant."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=64)
+    t.apply(rows_df)
+    gen0 = t.current_generation()
+    full_bytes = _dir_bytes(gen0)
+
+    upd = spark.createDataFrame(
+        [(7, -1.0), (8, -2.0), (4999, -3.0)], "k long, v double"
+    )
+    t.apply(upd)
+    gen1 = t.current_generation()
+    assert gen1 != gen0
+    # at most one bucket dir per updated key was rewritten
+    assert len(_bucket_dirs(gen1)) <= 3
+    assert _dir_bytes(gen1) < full_bytes / 4
+
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 5000
+    assert got[7] == -1.0 and got[8] == -2.0 and got[4999] == -3.0
+    assert got[0] == 0.0  # untouched bucket still readable via manifest
+
+
+def test_replay_idempotent(spark, tmp_path, rows_df):
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=8)
+    t.apply(rows_df)
+    upd = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    t.apply(upd)
+    first = sorted((r.k, r.v) for r in t.read().collect())
+    t.apply(upd)  # replay
+    assert sorted((r.k, r.v) for r in t.read().collect()) == first
+
+
+def test_range_bucketer_key_locality(spark, tmp_path):
+    """A contiguous key batch under a range bucketer dirties only the
+    buckets its span covers (the cursor-page ingest shape)."""
+    t = ParquetUpsertTable(
+        spark,
+        str(tmp_path / "t"),
+        key="k",
+        bucketer=range_bucketer(100),
+    )
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v")
+    )
+    t.apply(base)
+    assert len(_bucket_dirs(t.current_generation())) == 10
+    page = spark.range(150).select(
+        (F.col("id") + 200).alias("k"), F.lit(1.0).alias("v")
+    )
+    t.apply(page)  # keys 200..349 span exactly buckets 2 and 3
+    assert _bucket_dirs(t.current_generation()) == ["__bucket=2", "__bucket=3"]
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 1000
+    assert got[200] == 1.0 and got[349] == 1.0 and got[199] == 0.0
+
+
+def test_vacuum_retention_keeps_referenced_data(spark, tmp_path, rows_df):
+    """Generations beyond retention are removed; every data directory a
+    retained manifest references survives, so a reader holding the
+    PRIOR pointer keeps working after vacuum."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=16)
+    t.apply(rows_df)  # gen 0: all buckets
+    for i in range(4):  # gens 1..4 each rewrite key 1's bucket
+        upd = spark.createDataFrame([(1, float(-i))], "k long, v double")
+        t.apply(upd)
+
+    prior_gen = os.path.join(t.root, "gen_000003")
+    prior_manifest = t._read_manifest(prior_gen)
+    prior_paths = t._bucket_paths(prior_manifest)
+
+    deleted = t.vacuum(retain_last=2)
+    # gens 1 and 2's bucket rewrites were superseded by gens 3 and 4,
+    # so no retained manifest references them -> gone
+    assert "gen_000001" in deleted and "gen_000002" in deleted
+    # gen 0 holds the clean buckets every later manifest still points
+    # at -> it must survive even though it is far beyond retention
+    assert os.path.isdir(os.path.join(t.root, "gen_000000"))
+
+    # the concurrent reader who resolved the prior pointer still reads
+    prior_df = spark.read.parquet(*prior_paths)
+    assert prior_df.count() == 5000
+    # and the current pointer reads the newest state
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[1] == -3.0 and len(got) == 5000
