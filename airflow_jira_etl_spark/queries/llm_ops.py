@@ -136,54 +136,129 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_dedup_ngram_jaccard",
-    oracle="""
-    WITH grams AS (
-        SELECT doc_id, lang,
-               list_distinct([text[i:i+3] FOR i IN range(1, greatest(length(text) - 2, 2))])
-                 AS g,
-               CAST(floor(doc_id / 50) AS BIGINT) AS band
-        FROM documents
-    )
-    SELECT a.doc_id AS id1, b.doc_id AS id2,
-           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.g, b.g))) + 1e-9, 4) AS jaccard
-    FROM grams a
-    JOIN grams b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
-    """,
+# Portable MinHash family for the oracled n-gram dedup below: affine
+# permutations (A*h + B) mod P over char-4-gram rolling hashes. P is
+# prime (2^20 - 3) so each (A, B) is a true permutation of the hash
+# domain; every constant is plain integer arithmetic DuckDB reproduces
+# bit-for-bit. Production swaps in xxhash64 (operators/minhash.py) —
+# same bands→buckets→verify shape.
+_NG_P = 1048573
+_NG_SEEDS = [(37, 126), (101, 4373), (499, 9973), (1009, 11317), (2003, 30011), (4999, 70001)]
+_NG_GRAM_HASHES = (
+    "transform(sequence(1, greatest(length(text) - 3, 1)), i -> "
+    " (CAST(ascii(substring(text, i, 1)) AS BIGINT) * 29791"
+    "  + ascii(substring(text, i + 1, 1)) * 961"
+    "  + ascii(substring(text, i + 2, 1)) * 31"
+    "  + ascii(substring(text, i + 3, 1))) % 1048573)"
 )
-def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-4-gram Jaccard similarity over banded candidate pairs
-    (lang × id-window blocking keeps pair count linear; the unblocked
-    version is the quadratic trap — LSH above is the principled scale
-    path, this is the exact-verification kernel it shares)."""
-    documents = catalog.load(spark, sf_dir, "documents")
-    grams = documents.select(
-        "doc_id",
-        "lang",
-        F.expr(
-            "array_distinct(transform(sequence(1, greatest(length(text) - 3, 1)),"
-            " i -> substring(text, i, 4)))"
-        ).alias("g"),
-        (F.col("doc_id") / 50).cast("long").alias("band"),
+
+
+_NG_JACCARD_ORACLE = """
+    WITH grams AS (
+        SELECT doc_id,
+               [ (CAST(ascii(text[i:i]) AS BIGINT) * 29791 + ascii(text[i+1:i+1]) * 961
+                  + ascii(text[i+2:i+2]) * 31 + ascii(text[i+3:i+3])) % 1048573
+                 FOR i IN range(1, greatest(length(text) - 2, 2)) ] AS hs
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, list_distinct(hs) AS hset,
+               list_min([ (h * 37 + 126) % 1048573 FOR h IN hs ]) AS mh0,
+               list_min([ (h * 101 + 4373) % 1048573 FOR h IN hs ]) AS mh1,
+               list_min([ (h * 499 + 9973) % 1048573 FOR h IN hs ]) AS mh2,
+               list_min([ (h * 1009 + 11317) % 1048573 FOR h IN hs ]) AS mh3,
+               list_min([ (h * 2003 + 30011) % 1048573 FOR h IN hs ]) AS mh4,
+               list_min([ (h * 4999 + 70001) % 1048573 FOR h IN hs ]) AS mh5
+        FROM grams
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, mh0 * 1048573 + mh1 AS band_hash FROM sig
+        UNION ALL SELECT doc_id, 1, mh2 * 1048573 + mh3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh4 * 1048573 + mh5 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = F.size(F.array_intersect("a.g", "b.g")).cast("double")
-    union = F.size(F.array_union("a.g", "b.g")).cast("double")
-    return (
+    SELECT c.id1, c.id2,
+           round(CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.hset, sb.hset))) + 1e-9, 4)
+             AS jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id1
+    JOIN sig sb ON sb.doc_id = c.id2
+    """
+
+
+def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
+    """Character-4-gram Jaccard with REAL similarity blocking: MinHash
+    bands (3 bands × 2 rows from a portable affine hash family) replace
+    any id-window convenience key, so near-duplicates are found no
+    matter how far apart their doc_ids are. Same shape as
+    operators/minhash.py: linear signature pass → narrow band-bucket
+    self-join (3 longs/row) → exact Jaccard verify only on surviving
+    pairs, with the gram sets re-attached after the join.
+
+    Takes any DataFrame with (doc_id long, text string); the query
+    below applies it to the documents table, the planted-distant-id
+    recall test applies it to synthetic fixtures."""
+    g = documents.select("doc_id", F.expr(_NG_GRAM_HASHES).alias("hs"))
+
+    def _perm(a: int, b: int):
+        # closure factory: F.transform counts default args as lambda
+        # parameters, so `lambda h, a=a, b=b` breaks arity inference
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_NG_P)
+
+    mhs = [
+        F.array_min(F.transform(F.col("hs"), _perm(a, b))).alias(f"mh{s}")
+        for s, (a, b) in enumerate(_NG_SEEDS)
+    ]
+    sig = g.select("doc_id", F.array_distinct("hs").alias("hset"), *mhs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        (F.col(f"mh{2 * i}") * _NG_P + F.col(f"mh{2 * i + 1}")).alias(
+                            "band_hash"
+                        ),
+                    )
+                    for i in range(3)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash").cache()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.band") == F.col("b.band"))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
-            fround(inter / union).alias("jaccard"),
-        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])  # same pair may collide in >1 band
     )
+    hsets = sig.select("doc_id", "hset")
+    pairs = cand.join(
+        hsets.select(F.col("doc_id").alias("id1"), F.col("hset").alias("h1")), "id1"
+    ).join(
+        hsets.select(F.col("doc_id").alias("id2"), F.col("hset").alias("h2")), "id2"
+    )
+    inter = F.size(F.array_intersect("h1", "h2")).cast("double")
+    union = F.size(F.array_union("h1", "h2")).cast("double")
+    return pairs.select("id1", "id2", fround(inter / union).alias("jaccard"))
+
+
+@query("llm_dedup_ngram_jaccard", oracle=_NG_JACCARD_ORACLE)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-banded character-4-gram Jaccard dedup over the documents
+    table — see ngram_jaccard_pairs for the blocking design."""
+    return ngram_jaccard_pairs(catalog.load(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------- similarity search
@@ -221,44 +296,81 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
 
 
+def _hyperplane_bucket_spark() -> F.Column:
+    """6 random-hyperplane sign bits → 64-way LSH bucket. Each plane is
+    a ±1 pattern over its own disjoint 4-dim block (dims 4j+1..4j+4 with
+    signs + + - -), so the planes are exactly orthogonal and every
+    arithmetic step is a 4-term double sum both engines evaluate in the
+    same left-to-right order — bit-identical bucket ids."""
+    bucket = F.lit(0)
+    for j in range(6):
+        s = (
+            F.element_at("embedding", 4 * j + 1).cast("double")
+            + F.element_at("embedding", 4 * j + 2).cast("double")
+            - F.element_at("embedding", 4 * j + 3).cast("double")
+            - F.element_at("embedding", 4 * j + 4).cast("double")
+        )
+        bucket = bucket + F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def _hyperplane_bucket_sql(tbl: str) -> str:
+    terms = []
+    for j in range(6):
+        s = (
+            f"(CAST({tbl}.embedding[{4 * j + 1}] AS DOUBLE)"
+            f" + CAST({tbl}.embedding[{4 * j + 2}] AS DOUBLE)"
+            f" - CAST({tbl}.embedding[{4 * j + 3}] AS DOUBLE)"
+            f" - CAST({tbl}.embedding[{4 * j + 4}] AS DOUBLE))"
+        )
+        terms.append(f"CASE WHEN {s} > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(terms)
+
+
 @query(
     "llm_sim_pairs_threshold",
-    oracle="""
-    SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, embedding,
+               {_hyperplane_bucket_sql('embeddings')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])) + 1e-9, 4)
              AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b
-      ON a.label = b.label
-     AND CAST(floor(a.vec_id / 100) AS BIGINT) = CAST(floor(b.vec_id / 100) AS BIGINT)
+    FROM sig a
+    JOIN sig b
+      ON a.bucket = b.bucket
      AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.25
     """,
 )
 def llm_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine ≥ τ within (label × id-band) blocks.
-    Banding keeps candidate generation linear; at 100 TB the band key
-    becomes an LSH bucket (random hyperplane signs) instead of an id
-    window — same join shape, same plan."""
+    """All pairs with cosine ≥ τ within REAL similarity blocks: a
+    64-way random-hyperplane LSH bucket (sign bits of 6 orthogonal
+    projections) replaces any id-window convenience key — high-cosine
+    vectors land in the same bucket regardless of their ids. The
+    bucket is the shuffle key: candidate generation stays linear
+    (avg bucket size = n/64) and at rest the bucket doubles as a
+    partition key so each bucket's pairs verify co-located."""
     emb = catalog.load(spark, sf_dir, "embeddings").withColumn(
-        "band", (F.col("vec_id") / 100).cast("long")
+        "bucket", _hyperplane_bucket_spark()
     )
     a, b = emb.alias("a"), emb.alias("b")
     cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.band") == F.col("b.band"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .where(cos >= 0.25)
         .select(
             F.col("a.vec_id").alias("id1"),
             F.col("b.vec_id").alias("id2"),
-            F.col("a.label").alias("label"),
+            F.col("a.bucket").alias("bucket"),
             fround(cos).alias("cos_sim"),
         )
     )

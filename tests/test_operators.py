@@ -134,3 +134,61 @@ def test_connected_components_chains_and_singletons(spark):
     assert clusters[4] == (1, False) and clusters[1] == (1, True)
     canonical = [i for i, (_, c) in clusters.items() if c]
     assert sorted(canonical) == [1, 10, 20, 30, 31]
+
+def test_ngram_jaccard_finds_distant_id_near_dups(spark):
+    """Near-duplicates whose doc_ids are ~10^6 apart MUST be recalled —
+    this is the regression guard against id-window blocking (banding by
+    doc_id/50 would make every planted pair invisible)."""
+    import random
+
+    rng = random.Random(11)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    docs = []
+    for i in range(30):
+        text = "".join(rng.choice(alphabet) for _ in range(200))
+        near = text[:100] + ("X" + text[101:])  # one char changed
+        docs.append((i, text))
+        docs.append((1_000_000 + i, near))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from airflow_jira_etl_spark.queries.llm_ops import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(df).collect()
+    found = {(p.id1, p.id2) for p in pairs}
+    planted = {(i, 1_000_000 + i) for i in range(30)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"recall {recall}"
+    by_pair = {(p.id1, p.id2): p.jaccard for p in pairs}
+    for pr in found & planted:
+        assert by_pair[pr] > 0.8  # one char in 200 → jaccard near 1
+
+
+def test_hyperplane_bucket_blocks_by_similarity_not_id(spark):
+    """Identical-direction vectors with distant vec_ids share an LSH
+    bucket (so sim-pair blocking finds them); vectors with flipped
+    block sums land in different buckets."""
+    import random
+
+    from airflow_jira_etl_spark.queries.llm_ops import _hyperplane_bucket_spark
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(20):
+        v = [rng.uniform(-1, 1) for _ in range(32)]
+        w = [x + rng.uniform(-1e-4, 1e-4) for x in v]  # same direction
+        rows.append((i, v))
+        rows.append((5_000_000 + i, w))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = {
+        r.vec_id: r.bucket
+        for r in df.select("vec_id", _hyperplane_bucket_spark().alias("bucket")).collect()
+    }
+    same = sum(b[i] == b[5_000_000 + i] for i in range(20))
+    assert same >= 18  # tiny perturbation can flip a near-zero plane, allow 2
+    # flipping the sign of every coordinate flips every non-zero plane sum
+    flipped = df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    ).select("vec_id", _hyperplane_bucket_spark().alias("bucket"))
+    fb = {r.vec_id: r.bucket for r in flipped.collect()}
+    diff = sum(fb[i] != b[i] for i in range(20))
+    assert diff >= 18
