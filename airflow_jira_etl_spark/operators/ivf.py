@@ -10,11 +10,16 @@ is queries/llm_extras.llm_sim_lsh_topk). Structure:
    average → reassemble). Nothing ever collects whole vector lists:
    the re-center shuffle carries (cluster, pos, partial avg) scalars,
    so cluster size is unbounded.
-2. **Index**: every vector gets its nearest-centroid id — at rest this
-   is a partition/bucket key, so each cluster's vectors are co-located.
+2. **Index**: every vector gets its nearest-centroid id and the
+   assignments are MATERIALIZED ``partitionBy("cluster_id")`` — each
+   cluster is a directory at rest, built once and reused across
+   searches (meta-file keyed, like the streaming page cache).
 3. **Search**: score the probe against k centroids (k rows — tiny,
    driver-side by design), then scan only the ``n_probe`` nearest
-   clusters: the fact scan shrinks ~k/n_probe ×.
+   clusters. Because the index is partitioned by cluster_id the
+   ``isin(probe_clusters)`` filter is a PartitionFilter — Spark prunes
+   the other directories and never opens their files (asserted in
+   tests/test_scale_patterns.py).
 
 Determinism: centroids are seeded by ``vec_id % k`` (no RNG), Lloyd's
 runs a FIXED number of iterations, ties break on cluster_id — same
@@ -23,6 +28,9 @@ testable (rows-only; float scoring is engine-specific).
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -77,20 +85,59 @@ def train_quantizer(
     return centroids
 
 
-def ivf_topk(
+def build_index(
     spark: SparkSession,
     emb: DataFrame,
-    probe_id: int,
     k_clusters: int,
+    path: str,
+    tag: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the IVF index at ``path``: vector assignments written
+    ``partitionBy("cluster_id")`` (one directory per cluster) plus the
+    centroid table. A meta file keys the layout on (k, iters, tag) so
+    repeated calls — every search, every bench run — reuse the files
+    instead of re-training. Returns (indexed, centroids) READ BACK from
+    disk, so downstream cluster filters prune directories."""
+    meta = {"k": k_clusters, "iters": N_ITERS, "tag": tag}
+    meta_path = os.path.join(path, "_IVF_META.json")
+    fresh = True
+    try:
+        with open(meta_path) as f:
+            fresh = json.load(f) != meta
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    vectors_dir = os.path.join(path, "vectors")
+    centroids_dir = os.path.join(path, "centroids")
+    if fresh:
+        from airflow_jira_etl_spark.session import scoped_shuffle_partitions
+
+        # small-key shuffles throughout (k clusters × dims scalars);
+        # repartition by cluster so each directory gets ONE file
+        with scoped_shuffle_partitions(spark, max(8, k_clusters)):
+            emb_c = emb.cache()  # read the source once across Lloyd's passes
+            centroids = train_quantizer(emb_c, k_clusters).cache()
+            assign_clusters(emb_c, centroids).repartition(
+                k_clusters, "cluster_id"
+            ).write.mode("overwrite").partitionBy("cluster_id").parquet(vectors_dir)
+            centroids.write.mode("overwrite").parquet(centroids_dir)
+            centroids.unpersist()
+            emb_c.unpersist()
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    return spark.read.parquet(vectors_dir), spark.read.parquet(centroids_dir)
+
+
+def search_index(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    probe: DataFrame,
+    probe_id: int,
     top_k: int = 10,
     n_probe: int = 2,
 ) -> DataFrame:
-    """End-to-end IVF search for one probe vector."""
-    centroids = train_quantizer(emb, k_clusters).cache()
-    indexed = assign_clusters(emb, centroids)
-    probe = emb.where(F.col("vec_id") == probe_id).select(
-        F.col("embedding").alias("p")
-    )
+    """Directory-pruned IVF search: rank k centroids against the probe
+    (k tiny rows to the driver), then scan only the n_probe winning
+    cluster directories."""
     probe_clusters = [
         r.cluster_id
         for r in centroids.crossJoin(F.broadcast(probe))
@@ -105,7 +152,7 @@ def ivf_topk(
         .crossJoin(F.broadcast(probe))
         .select(
             "vec_id",
-            "cluster_id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
             F.round(cosine(F.col("embedding"), F.col("p")) + F.lit(1e-9), 4).alias(
                 "cos_sim"
             ),
@@ -113,3 +160,28 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(top_k)
     )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    probe_id: int,
+    k_clusters: int,
+    top_k: int = 10,
+    n_probe: int = 2,
+    index_path: str | None = None,
+    index_tag: str = "",
+) -> DataFrame:
+    """End-to-end IVF search for one probe vector. With ``index_path``
+    the index is materialized/reused on disk (the scale path — the
+    cluster filter prunes partition directories); without it the index
+    is computed inline (self-contained, for ad-hoc frames)."""
+    probe = emb.where(F.col("vec_id") == probe_id).select(
+        F.col("embedding").alias("p")
+    )
+    if index_path is not None:
+        indexed, centroids = build_index(spark, emb, k_clusters, index_path, index_tag)
+    else:
+        centroids = train_quantizer(emb, k_clusters).cache()
+        indexed = assign_clusters(emb, centroids)
+    return search_index(indexed, centroids, probe, probe_id, top_k, n_probe)

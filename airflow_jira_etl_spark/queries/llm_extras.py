@@ -195,14 +195,29 @@ def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("llm_sim_ivf_topk")  # rows-only: quantizer floats are engine-specific
 def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (operators/ivf.py): deterministic coarse
-    k-means (2 fixed Lloyd's iterations, no RNG) → cluster index →
-    probe scans only the 2 nearest clusters. The iterative-algorithm
-    exemplar of the engine; accuracy vs the exact baseline is bounded
-    in tests/test_operators.py (probe's true top-1 must be found)."""
+    k-means (2 fixed Lloyd's iterations, no RNG) → index MATERIALIZED
+    partitionBy(cluster_id) under .scratch (built once per sf, reused
+    across searches) → probe scans only the 2 nearest cluster
+    directories via partition pruning. The iterative-algorithm exemplar
+    of the engine; accuracy vs the exact baseline is bounded in
+    tests/test_operators.py (probe's true top-1 must be found)."""
+    import os
+
     from airflow_jira_etl_spark.operators.ivf import ivf_topk
+    from airflow_jira_etl_spark.queries.scans import SCRATCH
 
     emb = catalog.load(spark, sf_dir, "embeddings")
-    return ivf_topk(spark, emb, probe_id=0, k_clusters=8, top_k=10, n_probe=2)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return ivf_topk(
+        spark,
+        emb,
+        probe_id=0,
+        k_clusters=8,
+        top_k=10,
+        n_probe=2,
+        index_path=os.path.join(SCRATCH, "ivf_index", tag + "_k8"),
+        index_tag=tag,
+    )
 
 
 @query("llm_dedup_clusters")  # rows-only: depends on hash-family pair output

@@ -120,3 +120,28 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "event_type" in plan.split("PartitionFilters:")[1][:200]
+
+def test_ivf_materialized_index_prunes_cluster_dirs(spark, sf_dir, tmp_path):
+    """The materialized IVF index must (a) answer identically to the
+    inline path and (b) serve searches via PartitionFilters on
+    cluster_id — a directory-pruned scan, not a full scan + filter."""
+    from airflow_jira_etl_spark.operators.ivf import build_index, ivf_topk, search_index
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    inline = [(r.vec_id, r.cos_sim) for r in ivf_topk(spark, emb, 0, 8).collect()]
+    path = str(tmp_path / "ivf")
+    materialized_df = ivf_topk(spark, emb, 0, 8, index_path=path)
+    materialized = [(r.vec_id, r.cos_sim) for r in materialized_df.collect()]
+    assert materialized == inline
+
+    indexed, centroids = build_index(spark, emb, 8, path)  # meta hit: reuse
+    probe = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    plan = (
+        search_index(indexed, centroids, probe, 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters:")[1][:200]
+    assert "cluster_id" in seg and " IN " in seg
