@@ -7,10 +7,13 @@ DataFrame-iterative form is label propagation to the minimum id:
 
     label(v) ← min(label(v), min over neighbors(label(u)))
 
-iterated to fixpoint. Each iteration is two narrow shuffles (edges ⋈
-labels, then a min-aggregate per vertex); iteration count is bounded
-by the longest path in a component (near-dup clusters are shallow, so
-3-5 iterations close almost everything; the cap is a safety rail).
+iterated to fixpoint, ACCELERATED by pointer jumping (component ←
+label(component) after every propagation step — the path-halving trick
+from the PRAM/large-star literature), so a component of diameter d
+closes in O(log d) rounds, not O(d). Each round is three narrow
+shuffles (edges ⋈ labels, a min-aggregate per vertex, labels ⋈ labels)
+over scalar keys; superseded label generations are unpersisted and the
+lineage is truncated by localCheckpoint every third round.
 
 This is the second iterative-algorithm exemplar in the engine (with
 operators/ivf.py) — convergence-checked with a single count per
@@ -21,23 +24,71 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 MAX_ITERS = 10
+
+# Edge sets below this collect to the driver for union-find — the same
+# size rule as a broadcast join's small side. Dup-pair edges are a tiny
+# fraction of any corpus (they only exist where near-duplicates exist),
+# so in practice most dedup runs take this path; the distributed loop
+# is the correctness rail for adversarial corpora.
+SMALL_EDGE_LIMIT = 200_000
 
 
 def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
     """(id1, id2) undirected edges → (id, component) with component =
     min id reachable. Deterministic for any edge order.
 
-    Shuffle partitions are scoped down for the fixpoint loop: each
-    iteration is a small join + aggregate over |dup-pairs| rows, and
-    per-iteration scheduling overhead at CPU-count partitions dominates
-    the actual work. (At true scale, size this to the edge count.)"""
+    Adaptive execution: small edge sets (≤ SMALL_EDGE_LIMIT, checked
+    with one count) run union-find on the driver — a fixpoint of tiny
+    distributed rounds is pure scheduling overhead when the edges fit
+    in memory. Larger graphs run the distributed label-propagation +
+    pointer-jumping loop under scoped shuffle partitions."""
     spark = pairs.sparkSession
     from airflow_jira_etl_spark.session import scoped_shuffle_partitions
 
-    with scoped_shuffle_partitions(spark, 8):
-        return _connected_components(pairs, max_iters)
+    # narrow (id1, id2) cached once: the size probe and whichever path
+    # wins both read it without recomputing the (expensive) upstream
+    # pair generation
+    edges = pairs.select("id1", "id2").distinct().cache()
+    try:
+        if edges.count() <= SMALL_EDGE_LIMIT:
+            return _union_find_local(spark, pairs, edges)
+        with scoped_shuffle_partitions(spark, 8):
+            return _connected_components(edges, max_iters)
+    finally:
+        edges.unpersist()
+
+
+def _union_find_local(spark, pairs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Driver-side union-find with path compression over a collected
+    small edge list; result is re-distributed as a DataFrame with the
+    caller's id type."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    ids = set()
+    for r in edges.collect():
+        ids.add(r.id1)
+        ids.add(r.id2)
+        ra, rb = find(r.id1), find(r.id2)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(i, find(i)) for i in sorted(ids)]
+    id_type = pairs.schema["id1"].dataType
+    schema = StructType(
+        [StructField("id", id_type), StructField("component", id_type)]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def _connected_components(pairs: DataFrame, max_iters: int) -> DataFrame:
@@ -51,30 +102,49 @@ def _connected_components(pairs: DataFrame, max_iters: int) -> DataFrame:
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .cache()
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
+        # (1) min-label propagation along edges
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
-                ).alias("component"),
-            )
-            .cache()
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", "component")
+            ).alias("component"),
         )
+        # (2) pointer jump: component ← label(component). Labels point at
+        # vertex ids whose own label is never larger, so one jump halves
+        # the remaining path — propagation + jumping converges in
+        # O(log diameter) rounds instead of O(diameter).
+        ptr = stepped.select(
+            F.col("id").alias("cid"), F.col("component").alias("ccomp")
+        )
+        jumped = (
+            stepped.join(ptr, stepped.component == ptr.cid, "left")
+            .select("id", F.coalesce("ccomp", "component").alias("component"))
+        )
+        # hygiene: truncate the growing lineage every 3rd round
+        # (localCheckpoint materializes to executor storage), cache the
+        # others, and always drop the superseded generation.
+        if (it + 1) % 3 == 0:
+            new_labels = jumped.localCheckpoint()
+        else:
+            new_labels = jumped.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.component") != F.col("o.component"))
             .limit(1)
-            .count()
+            .count()  # also materializes new_labels before the unpersist
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -192,3 +192,32 @@ def test_hyperplane_bucket_blocks_by_similarity_not_id(spark):
     fb = {r.vec_id: r.bucket for r in flipped.collect()}
     diff = sum(fb[i] != b[i] for i in range(20))
     assert diff >= 18
+
+def test_connected_components_deep_chain_converges_fast(spark):
+    """A 64-vertex chain has diameter 63; pointer jumping must close it
+    within the 10-round cap (plain min propagation would need 63)."""
+    from pyspark.sql import Row
+
+    from airflow_jira_etl_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame([Row(id1=i, id2=i + 1) for i in range(63)])
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(64)}
+
+def test_connected_components_distributed_path_matches_local(spark, monkeypatch):
+    """Force the distributed label-propagation + pointer-jumping loop
+    (the >SMALL_EDGE_LIMIT path) and pin it to the union-find result on
+    a mixed topology: deep chain + triangle + pair + self-contained."""
+    import airflow_jira_etl_spark.operators.components as C
+    from pyspark.sql import Row
+
+    edges = [Row(id1=i, id2=i + 1) for i in range(40)]  # 41-chain
+    edges += [Row(id1=100, id2=101), Row(id1=101, id2=102), Row(id1=100, id2=102)]
+    edges += [Row(id1=200, id2=201)]
+    pairs = spark.createDataFrame(edges)
+    expected = {r.id: r.component for r in C.connected_components(pairs).collect()}
+
+    monkeypatch.setattr(C, "SMALL_EDGE_LIMIT", 0)
+    got = {r.id: r.component for r in C.connected_components(pairs).collect()}
+    assert got == expected
+    assert got[40] == 0 and got[102] == 100 and got[201] == 200
