@@ -141,81 +141,136 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prime (2^20 - 3) so each (A, B) is a true permutation of the hash
 # domain; every constant is plain integer arithmetic DuckDB reproduces
 # bit-for-bit. Production swaps in xxhash64 (operators/minhash.py) —
-# same bands→buckets→verify shape.
+# same bands→buckets→verify shape. 2 bands × 3 rows: a pair with
+# jaccard j collides in a band with prob j^3, so weak pairs (j≈0.2)
+# rarely become candidates (≈1.6%) while true near-dups (j≳0.9) are
+# caught with prob 1-(1-j^3)^2 ≈ 0.98+ — and the signature stays at 6
+# hashes, which the single-threaded oracle engine can also afford.
 _NG_P = 1048573
-_NG_SEEDS = [(37, 126), (101, 4373), (499, 9973), (1009, 11317), (2003, 30011), (4999, 70001)]
+_NG_SEEDS = [
+    (37, 126), (101, 4373), (499, 9973),
+    (1009, 11317), (2003, 30011), (4999, 70001),
+]
+_NG_BANDS = 2
+_NG_ROWS = 3  # minhashes per band
+_NG_TAU = 0.5  # report only pairs at/above this exact jaccard
+# One pass turns the text into ascii codes (padded with 3 zeros so the
+# window never runs off the end — ascii('') is 0, matching the oracle's
+# out-of-range slice); the gram hash then reads 4 array elements
+# instead of allocating 4 substrings per position. Higher-order
+# functions are interpreted per element, so cheap ops matter.
+_NG_CODES = "concat(transform(split(text, ''), c -> ascii(c)), array(0, 0, 0))"
 _NG_GRAM_HASHES = (
     "transform(sequence(1, greatest(length(text) - 3, 1)), i -> "
-    " (CAST(ascii(substring(text, i, 1)) AS BIGINT) * 29791"
-    "  + ascii(substring(text, i + 1, 1)) * 961"
-    "  + ascii(substring(text, i + 2, 1)) * 31"
-    "  + ascii(substring(text, i + 3, 1))) % 1048573)"
+    " (CAST(element_at(codes, i) AS BIGINT) * 29791"
+    "  + element_at(codes, i + 1) * 961"
+    "  + element_at(codes, i + 2) * 31"
+    "  + element_at(codes, i + 3)) % 1048573)"
 )
 
 
-_NG_JACCARD_ORACLE = """
+def _ng_oracle() -> str:
+    """DuckDB mirror of ngram_jaccard_pairs, generated from the same
+    seed table so the two engines can never drift."""
+    mh_cols = ",\n               ".join(
+        f"list_min([ (h * {a} + {b}) % {_NG_P} FOR h IN hs ]) AS mh{s}"
+        for s, (a, b) in enumerate(_NG_SEEDS)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {i} AS band_id, {hs} FROM sig".format(
+            i=i,
+            hs=", ".join(
+                f"mh{_NG_ROWS * i + r} AS h{r}" for r in range(_NG_ROWS)
+            ),
+        )
+        for i in range(_NG_BANDS)
+    )
+    h_eq = " AND ".join(f"a.h{r} = b.h{r}" for r in range(_NG_ROWS))
+    return f"""
     WITH grams AS (
         SELECT doc_id,
                [ (CAST(ascii(text[i:i]) AS BIGINT) * 29791 + ascii(text[i+1:i+1]) * 961
-                  + ascii(text[i+2:i+2]) * 31 + ascii(text[i+3:i+3])) % 1048573
+                  + ascii(text[i+2:i+2]) * 31 + ascii(text[i+3:i+3])) % {_NG_P}
                  FOR i IN range(1, greatest(length(text) - 2, 2)) ] AS hs
         FROM documents
     ),
     sig AS (
         SELECT doc_id, list_distinct(hs) AS hset,
-               list_min([ (h * 37 + 126) % 1048573 FOR h IN hs ]) AS mh0,
-               list_min([ (h * 101 + 4373) % 1048573 FOR h IN hs ]) AS mh1,
-               list_min([ (h * 499 + 9973) % 1048573 FOR h IN hs ]) AS mh2,
-               list_min([ (h * 1009 + 11317) % 1048573 FOR h IN hs ]) AS mh3,
-               list_min([ (h * 2003 + 30011) % 1048573 FOR h IN hs ]) AS mh4,
-               list_min([ (h * 4999 + 70001) % 1048573 FOR h IN hs ]) AS mh5
+               {mh_cols}
         FROM grams
     ),
     bands AS (
-        SELECT doc_id, 0 AS band_id, mh0 * 1048573 + mh1 AS band_hash FROM sig
-        UNION ALL SELECT doc_id, 1, mh2 * 1048573 + mh3 FROM sig
-        UNION ALL SELECT doc_id, 2, mh4 * 1048573 + mh5 FROM sig
+        {band_selects}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM bands a
-        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        JOIN bands b ON a.band_id = b.band_id AND {h_eq}
                      AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT c.id1, c.id2,
+               CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.hset, sb.hset))) AS j
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id1
+        JOIN sig sb ON sb.doc_id = c.id2
     )
-    SELECT c.id1, c.id2,
-           round(CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
-                 / len(list_distinct(list_concat(sa.hset, sb.hset))) + 1e-9, 4)
-             AS jaccard
-    FROM cand c
-    JOIN sig sa ON sa.doc_id = c.id1
-    JOIN sig sb ON sb.doc_id = c.id2
+    SELECT id1, id2, round(j + 1e-9, 4) AS jaccard
+    FROM scored WHERE j >= {_NG_TAU}
     """
+
+
+_NG_JACCARD_ORACLE = _ng_oracle()
 
 
 def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     """Character-4-gram Jaccard with REAL similarity blocking: MinHash
-    bands (3 bands × 2 rows from a portable affine hash family) replace
+    bands (2 bands × 3 rows from a portable affine hash family) replace
     any id-window convenience key, so near-duplicates are found no
     matter how far apart their doc_ids are. Same shape as
     operators/minhash.py: linear signature pass → narrow band-bucket
-    self-join (3 longs/row) → exact Jaccard verify only on surviving
-    pairs, with the gram sets re-attached after the join.
+    self-join (band_id + 4 minhash longs per row) → exact Jaccard
+    verify only on surviving pairs, with the gram sets re-attached
+    after the join; pairs below τ=0.5 are dropped (a dedup pair list,
+    not an all-similarities dump).
 
     Takes any DataFrame with (doc_id long, text string); the query
     below applies it to the documents table, the planted-distant-id
     recall test applies it to synthetic fixtures."""
-    g = documents.select("doc_id", F.expr(_NG_GRAM_HASHES).alias("hs"))
+    g = documents.select(
+        "doc_id", F.expr(_NG_CODES).alias("codes"), F.length("text").alias("len")
+    ).select("doc_id", F.expr(_NG_GRAM_HASHES.replace("length(text)", "len")).alias("hs"))
 
-    def _perm(a: int, b: int):
-        # closure factory: F.transform counts default args as lambda
-        # parameters, so `lambda h, a=a, b=b` breaks arity inference
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_NG_P)
-
-    mhs = [
-        F.array_min(F.transform(F.col("hs"), _perm(a, b))).alias(f"mh{s}")
+    # all 6 permutation minima in ONE interpreted pass over the gram
+    # array (higher-order fns evaluate per element, so each extra
+    # transform+array_min would materialize and rescan a fresh array)
+    mh_init = "named_struct(" + ", ".join(
+        f"'m{s}', CAST({_NG_P} AS BIGINT)" for s in range(len(_NG_SEEDS))
+    ) + ")"
+    mh_merge = "(acc, h) -> named_struct(" + ", ".join(
+        f"'m{s}', least(acc.m{s}, (h * {a} + {b}) % {_NG_P})"
         for s, (a, b) in enumerate(_NG_SEEDS)
+    ) + ")"
+    mhs = [
+        F.col("mh").getField(f"m{s}").alias(f"mh{s}")
+        for s in range(len(_NG_SEEDS))
     ]
-    sig = g.select("doc_id", F.array_distinct("hs").alias("hset"), *mhs)
+    # sig is read three times (band self-join sides + verify re-attach):
+    # cache the one expensive pass, and fill the cache EAGERLY — both
+    # sides of the self-join otherwise race to materialize it and the
+    # signature computation runs twice concurrently
+    sig = (
+        g.select(
+            "doc_id",
+            F.array_distinct("hs").alias("hset"),
+            F.expr(f"aggregate(hs, {mh_init}, {mh_merge})").alias("mh"),
+        )
+        .select("doc_id", "hset", *mhs)
+        .cache()
+    )
+    sig.count()
+    hcols = [f"h{r}" for r in range(_NG_ROWS)]
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -223,23 +278,22 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        (F.col(f"mh{2 * i}") * _NG_P + F.col(f"mh{2 * i + 1}")).alias(
-                            "band_hash"
-                        ),
+                        *[
+                            F.col(f"mh{_NG_ROWS * i + r}").alias(f"h{r}")
+                            for r in range(_NG_ROWS)
+                        ],
                     )
-                    for i in range(3)
+                    for i in range(_NG_BANDS)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash").cache()
+    ).select("doc_id", "band.band_id", *[f"band.{h}" for h in hcols])
     a, b = bands.alias("a"), bands.alias("b")
+    band_eq = (F.col("a.band_id") == F.col("b.band_id"))
+    for h in hcols:
+        band_eq = band_eq & (F.col(f"a.{h}") == F.col(f"b.{h}"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, band_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .dropDuplicates(["id1", "id2"])  # same pair may collide in >1 band
     )
@@ -251,14 +305,22 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     )
     inter = F.size(F.array_intersect("h1", "h2")).cast("double")
     union = F.size(F.array_union("h1", "h2")).cast("double")
-    return pairs.select("id1", "id2", fround(inter / union).alias("jaccard"))
+    j = inter / union
+    return pairs.where(j >= _NG_TAU).select(
+        "id1", "id2", fround(j).alias("jaccard")
+    )
 
 
 @query("llm_dedup_ngram_jaccard", oracle=_NG_JACCARD_ORACLE)
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-banded character-4-gram Jaccard dedup over the documents
-    table — see ngram_jaccard_pairs for the blocking design."""
-    return ngram_jaccard_pairs(catalog.load(spark, sf_dir, "documents"))
+    table — see ngram_jaccard_pairs for the blocking design. Join
+    stages run at a handful of shuffle partitions: past the signature
+    scan everything is narrow candidate traffic."""
+    from airflow_jira_etl_spark.session import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 8):
+        return ngram_jaccard_pairs(catalog.load(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------- similarity search

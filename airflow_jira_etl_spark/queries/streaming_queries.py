@@ -292,7 +292,9 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages_dir = os.path.join(SCRATCH, "event_pages")
     table_dir = os.path.join(SCRATCH, "upsert_table")
-    page_size = write_event_pages(spark, sf_dir, pages_dir, n_pages=8)
+    # 4 pages = 4 real micro-batches: enough to exercise cross-batch
+    # merge + manifest chaining; per-batch harness latency is the cost
+    page_size = write_event_pages(spark, sf_dir, pages_dir, n_pages=4)
     # bucket width = 1/8 page -> a page dirties ~8 buckets; ~64 total
     bucketer = range_bucketer(max(page_size // 8, 1))
     table = ParquetUpsertTable(
