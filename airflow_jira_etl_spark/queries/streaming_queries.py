@@ -148,14 +148,34 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, _ck("session"), "stream_session_out")
 
 
-@query("stream_watermark_late")  # rows-only: streaming-only semantics
+@query(
+    "stream_watermark_late",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    ),
+    wm AS (
+        SELECT CAST(max(ts) AS TIMESTAMP) - INTERVAL 10 MINUTE AS w FROM events
+    )
+    SELECT window_start, event_type, n_events
+    FROM agg, wm
+    WHERE window_start + INTERVAL 1 HOUR <= wm.w
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + late-data handling (the reference's out-of-order
     page replays, SURVEY.md §2A idempotency note): 10-minute watermark
     on 1-hour tumbling windows, append output — only windows the
-    watermark has closed are emitted. Streaming-only semantics → the
-    driver records the weaker rows-only check; the equivalence to a
-    watermark-filtered batch agg is asserted in tests/test_streaming.py."""
+    watermark has closed are emitted. Append-mode emission IS
+    batch-expressible for a bounded run: the final watermark is
+    max(event time) - 10 min, and exactly the windows whose END the
+    watermark has passed are emitted — the oracle computes that
+    closed-window set directly. The subset property against the
+    unfiltered batch agg stays asserted in tests/test_streaming.py."""
     import shutil
 
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
