@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 @dataclass(frozen=True)
 class TaskSpec:
     task_id: str
-    entry_point: str  # python -m target executed via spark-submit
+    entry_point: str  # importable module whose FILE spark-submit runs
     args: tuple[str, ...] = ()
     upstream: tuple[str, ...] = ()
 
@@ -51,17 +51,31 @@ def _entity_dag(entity: str, unique_column: str) -> DagSpec:
                 args=(f"--entity={entity}", "--task=ensure_table"),
             ),
             TaskSpec(
+                # merge_upsert is each pipeline's terminal task; --task
+                # runs it plus its upstream closure (ingest), mirroring
+                # the reference's create_table >> fetch_and_save split
                 task_id="ingest_and_merge",
                 entry_point="airflow_jira_etl_spark.pipeline",
                 args=(
                     f"--entity={entity}",
-                    "--task=ingest_and_merge",
+                    "--task=merge_upsert",
                     f"--unique-column={unique_column}",
                 ),
                 upstream=("ensure_table",),
             ),
         ),
     )
+
+
+def entry_point_file(entry_point: str) -> str:
+    """Resolve an importable module name to the absolute source file
+    ``spark-submit`` expects as its application argument."""
+    import importlib.util
+
+    spec = importlib.util.find_spec(entry_point)
+    if spec is None or spec.origin is None:
+        raise ValueError(f"cannot resolve entry point {entry_point!r} to a file")
+    return spec.origin
 
 
 def build_dag_specs() -> list[DagSpec]:
@@ -100,7 +114,9 @@ def build_airflow_dags():  # pragma: no cover - needs airflow installed
         for t in spec.tasks:
             ops[t.task_id] = SparkSubmitOperator(
                 task_id=t.task_id,
-                application="-m " + t.entry_point,
+                # spark-submit takes a FILE; resolve the module to its
+                # source path (the package ships with the job)
+                application=entry_point_file(t.entry_point),
                 application_args=list(t.args),
                 dag=dag,
             )

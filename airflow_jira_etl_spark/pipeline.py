@@ -60,9 +60,28 @@ class Pipeline:
 
         return deco
 
-    def run(self, context: dict) -> list[str]:
+    def upstream_closure(self, name: str) -> set[str]:
+        """``name`` plus every transitive upstream task."""
+        if name not in self.tasks:
+            raise KeyError(
+                f"unknown task {name!r} in {self.name}; have {sorted(self.tasks)}"
+            )
+        seen: set[str] = set()
+        stack = [name]
+        while stack:
+            t = stack.pop()
+            if t not in seen:
+                seen.add(t)
+                stack.extend(self.tasks[t].upstream)
+        return seen
+
+    def run(self, context: dict, only: str | None = None) -> list[str]:
+        """Execute the DAG (topological, fail-fast). With ``only``, run
+        just that task and its upstream closure — the scheduler-facing
+        ``--task`` contract."""
+        wanted = self.upstream_closure(only) if only else set(self.tasks)
         done: list[str] = []
-        remaining = dict(self.tasks)
+        remaining = {n: t for n, t in self.tasks.items() if n in wanted}
         while remaining:
             ready = [
                 t for t in remaining.values() if all(u in done for u in t.upstream)
@@ -84,6 +103,7 @@ def worklog_pipeline(
     fetcher: Fetcher,
     initial_url: str,
     table_root: str,
+    unique_column: str = "tempo_worklog_id",
 ) -> Pipeline:
     """The worklogs DAG re-expressed: ensure table >> paginated ingest
     >> keyed merge (unique key ``tempo_worklog_id``, mirroring the DDL's
@@ -93,7 +113,7 @@ def worklog_pipeline(
     @p.task("ensure_table")
     def ensure_table(ctx: dict) -> None:
         ctx["table"] = ParquetUpsertTable(
-            spark, os.path.join(table_root, "worklogs"), key="tempo_worklog_id"
+            spark, os.path.join(table_root, "worklogs"), key=unique_column
         )
 
     @p.task("ingest_pages", upstream=["ensure_table"])
@@ -117,6 +137,7 @@ def issues_pipeline(
     fetcher: Fetcher,
     url: str,
     table_root: str,
+    unique_column: str = "issue_id",
 ) -> Pipeline:
     """The issues DAG: offset pagination fans out across executors
     (A3 parallelism, ``issue_processor.py:114-167``); the whole extract
@@ -126,7 +147,7 @@ def issues_pipeline(
     @p.task("ensure_table")
     def ensure_table(ctx: dict) -> None:
         ctx["table"] = ParquetUpsertTable(
-            spark, os.path.join(table_root, "issues"), key="issue_id"
+            spark, os.path.join(table_root, "issues"), key=unique_column
         )
 
     @p.task("ingest_fanout", upstream=["ensure_table"])
@@ -146,6 +167,7 @@ def users_pipeline(
     fetcher: Fetcher,
     url: str,
     table_root: str,
+    unique_column: str = "account_id",
 ) -> Pipeline:
     """The users DAG: single-page scan (A4, ``users_processor.py:53-95``)."""
     p = Pipeline("fetch_jira_users")
@@ -153,7 +175,7 @@ def users_pipeline(
     @p.task("ensure_table")
     def ensure_table(ctx: dict) -> None:
         ctx["table"] = ParquetUpsertTable(
-            spark, os.path.join(table_root, "users"), key="account_id"
+            spark, os.path.join(table_root, "users"), key=unique_column
         )
 
     @p.task("ingest_page", upstream=["ensure_table"])
@@ -168,28 +190,45 @@ def users_pipeline(
     return p
 
 
-def main(argv: list[str] | None = None) -> None:
-    """CLI entry point the orchestration DAG specs submit
-    (``spark-submit -m airflow_jira_etl_spark.pipeline``). Wires the
-    entity pipeline named by ``--entity``; the fetcher comes from
-    ``--fetcher`` (dotted factory path, defaulting to the in-repo
-    emulator so the wiring is runnable anywhere)."""
+def parse_args(argv: list[str] | None = None):
+    """The CLI surface the orchestration DAG specs submit against —
+    kept as its own function so spec args are contract-testable without
+    starting Spark."""
     import argparse
-    import importlib
-
-    from airflow_jira_etl_spark.session import get_spark
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--entity", required=True,
                     choices=["tempo_worklogs", "issues", "users"])
-    ap.add_argument("--task", default="all")
+    ap.add_argument(
+        "--task",
+        default="all",
+        help="run only this task and its upstream closure ('all' = whole DAG)",
+    )
     ap.add_argument("--url", default="https://api/search")
     ap.add_argument(
         "--fetcher",
         default="airflow_jira_etl_spark.sources.fixture_fetchers:synthetic_issues_fetcher",
     )
     ap.add_argument("--table-root", default=".scratch/pipeline_tables")
-    ns = ap.parse_args(argv)
+    ap.add_argument(
+        "--unique-column",
+        default=None,
+        help="upsert key override; defaults to the entity's natural key",
+    )
+    return ap.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI entry point the orchestration DAG specs submit
+    (``spark-submit`` on this file). Wires the entity pipeline named by
+    ``--entity``; the fetcher comes from ``--fetcher`` (dotted factory
+    path, defaulting to the in-repo emulator so the wiring is runnable
+    anywhere)."""
+    import importlib
+
+    from airflow_jira_etl_spark.session import get_spark
+
+    ns = parse_args(argv)
 
     mod_name, _, fn_name = ns.fetcher.partition(":")
     fetcher = getattr(importlib.import_module(mod_name), fn_name)({})
@@ -199,8 +238,9 @@ def main(argv: list[str] | None = None) -> None:
         "issues": issues_pipeline,
         "users": users_pipeline,
     }
-    pipeline = builders[ns.entity](spark, fetcher, ns.url, ns.table_root)
-    pipeline.run({})
+    kwargs = {"unique_column": ns.unique_column} if ns.unique_column else {}
+    pipeline = builders[ns.entity](spark, fetcher, ns.url, ns.table_root, **kwargs)
+    pipeline.run({}, only=None if ns.task == "all" else ns.task)
 
 
 if __name__ == "__main__":

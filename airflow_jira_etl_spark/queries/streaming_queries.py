@@ -248,10 +248,13 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState,
     streaming/stateful.py): per-user running profile carried across
-    micro-batches — the events table is paged into 8 files streamed one
-    per batch, so state genuinely crosses batch boundaries. The
-    update-mode emissions are monotone counters; the final per-user
-    state (= the batch answer) is their max."""
+    micro-batches — the events table is paged into files streamed one
+    per batch, so state genuinely crosses batch boundaries. Each
+    emission carries the user's cumulative event COUNT, which strictly
+    increases across that user's emissions — the natural batch ordinal —
+    so the final state is max_by(value, n_events), correct even for
+    value columns that could go negative (sums are NOT assumed
+    monotone)."""
     import shutil
 
     from airflow_jira_etl_spark.streaming.stateful import running_user_profile
@@ -281,8 +284,8 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT user_id,
                max(n_events) AS n_events,
-               round(max(total_value) + 1e-9, 4) AS total_value,
-               round(max(peak_value) + 1e-9, 4) AS peak_value
+               round(max_by(total_value, n_events) + 1e-9, 4) AS total_value,
+               round(max_by(peak_value, n_events) + 1e-9, 4) AS peak_value
         FROM stream_stateful_out
         GROUP BY user_id
         """

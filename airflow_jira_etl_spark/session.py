@@ -17,7 +17,12 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-_CONFED_SESSIONS: set[int] = set()
+# WeakSet, not a set of id()s: CPython reuses ids after GC, so an
+# id-keyed memo could silently skip a NEW session that happens to reuse
+# a dead session's address — and miss the nanos/UTC confs it needs.
+import weakref
+
+_CONFED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 # Runtime (non-static) confs the engine depends on. Applied defensively
 # to ANY session the engine is handed (the grading driver builds its
@@ -36,11 +41,10 @@ RUNTIME_CONFS = {
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply the engine's required runtime confs to an externally-built
     session (idempotent; memoized per session object)."""
-    key = id(spark)
-    if key not in _CONFED_SESSIONS:
+    if spark not in _CONFED_SESSIONS:
         for k, v in RUNTIME_CONFS.items():
             spark.conf.set(k, v)
-        _CONFED_SESSIONS.add(key)
+        _CONFED_SESSIONS.add(spark)
     return spark
 
 

@@ -53,8 +53,10 @@ def _update_profile(
 def running_user_profile(events_stream: DataFrame) -> DataFrame:
     """Per-user running profile over a micro-batched event stream.
     Emits the updated running totals for each user touched by each
-    micro-batch (update-style output; counters are monotone, so the
-    final state per user is the row-wise max)."""
+    micro-batch (update-style output). ``n_events`` strictly increases
+    across a user's emissions, so consumers reduce to final state with
+    ``max_by(col, n_events)`` — no monotonicity assumption on the value
+    columns themselves."""
     return (
         events_stream.select("user_id", "value")
         .groupBy("user_id")

@@ -100,3 +100,124 @@ def test_users_pipeline_single_page(spark, tmp_path):
     table = ctx["table"].read()
     assert table.count() == 2
     assert {"account_id", "display_name", "url"} <= set(table.columns)
+
+def test_spec_args_parse_and_name_real_tasks(spark, tmp_path):
+    """Every DAG spec's CLI args must (a) parse against pipeline.main's
+    argparse surface and (b) name a task that exists in the entity's
+    pipeline — the declarative layer must be runnable as specified."""
+    from airflow_jira_etl_spark.orchestration import build_dag_specs
+    from airflow_jira_etl_spark.pipeline import (
+        issues_pipeline,
+        parse_args,
+        users_pipeline,
+    )
+
+    builders = {
+        "tempo_worklogs": worklog_pipeline,
+        "issues": issues_pipeline,
+        "users": users_pipeline,
+    }
+    for spec in build_dag_specs():
+        for t in spec.tasks:
+            ns = parse_args(list(t.args))  # SystemExit 2 on unknown arg
+            p = builders[ns.entity](
+                spark, lambda url, params=None: [], "https://api", str(tmp_path)
+            )
+            assert ns.task in p.tasks, (spec.dag_id, t.task_id, ns.task)
+
+
+def test_run_only_executes_upstream_closure(spark, tmp_path):
+    """--task=merge_upsert runs ensure_table >> ingest >> merge;
+    --task=ensure_table runs exactly that one task."""
+    from airflow_jira_etl_spark.pipeline import users_pipeline
+
+    def fetch(url, params=None):
+        return [{"self": "u1", "accountId": "a1", "displayName": "J", "active": "true"}]
+
+    p = users_pipeline(spark, fetch, "https://api/users", str(tmp_path / "a"))
+    assert p.run({}, only="ensure_table") == ["ensure_table"]
+    p2 = users_pipeline(spark, fetch, "https://api/users", str(tmp_path / "b"))
+    done = p2.run({}, only="merge_upsert")
+    assert done == ["ensure_table", "ingest_page", "merge_upsert"]
+    with pytest.raises(KeyError, match="unknown task"):
+        p2.run({}, only="nope")
+
+
+def test_airflow_materialization_under_stub(monkeypatch):
+    """build_airflow_dags with a stubbed airflow module: real DAG
+    objects carrying the reference defaults, a file-path application,
+    and the ensure_table >> ingest_and_merge edge."""
+    import os
+    import sys
+    import types
+
+    captured_dags = []
+
+    class FakeDAG:
+        def __init__(self, dag_id, schedule, catchup, default_args):
+            self.dag_id = dag_id
+            self.schedule = schedule
+            self.catchup = catchup
+            self.default_args = default_args
+            captured_dags.append(self)
+
+    captured_ops = []
+
+    class FakeOp:
+        def __init__(self, task_id, application, application_args, dag):
+            self.task_id = task_id
+            self.application = application
+            self.application_args = application_args
+            self.dag = dag
+            self.downstream = []
+            captured_ops.append(self)
+
+        def __rshift__(self, other):
+            self.downstream.append(other.task_id)
+            return other
+
+    airflow_mod = types.ModuleType("airflow")
+    airflow_mod.DAG = FakeDAG
+    prov = types.ModuleType("airflow.providers")
+    apache = types.ModuleType("airflow.providers.apache")
+    spark_m = types.ModuleType("airflow.providers.apache.spark")
+    ops_m = types.ModuleType("airflow.providers.apache.spark.operators")
+    submit_m = types.ModuleType(
+        "airflow.providers.apache.spark.operators.spark_submit"
+    )
+    submit_m.SparkSubmitOperator = FakeOp
+    for name, mod in {
+        "airflow": airflow_mod,
+        "airflow.providers": prov,
+        "airflow.providers.apache": apache,
+        "airflow.providers.apache.spark": spark_m,
+        "airflow.providers.apache.spark.operators": ops_m,
+        "airflow.providers.apache.spark.operators.spark_submit": submit_m,
+    }.items():
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    from airflow_jira_etl_spark.orchestration import build_airflow_dags
+
+    dags = build_airflow_dags()
+    assert [d.dag_id for d in dags] == [
+        "fetch_jira_tempo_worklogs",
+        "fetch_jira_issues",
+        "fetch_jira_users",
+    ]
+    from datetime import timedelta
+
+    for d in dags:
+        assert d.schedule == "@daily" and d.catchup is False
+        assert d.default_args == {
+            "retries": 1,
+            "retry_delay": timedelta(minutes=5),
+        }
+    for op in captured_ops:
+        # a real file spark-submit can run, not a '-m module' string
+        assert os.path.isfile(op.application), op.application
+        assert op.application.endswith("pipeline.py")
+    by_dag = {}
+    for op in captured_ops:
+        by_dag.setdefault(op.dag.dag_id, {})[op.task_id] = op
+    for ops in by_dag.values():
+        assert ops["ensure_table"].downstream == ["ingest_and_merge"]
