@@ -44,8 +44,10 @@ def shingle_hashes(tokens: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(hashes: Column, n_hashes: int = N_HASHES) -> list[Column]:
-    """One min-hash per seed, each a single JVM aggregate over the
-    shingle-hash array — no explode, no shuffle."""
+    """One min-hash per seed as array aggregates — self-contained (no
+    shuffle), but evaluated by the interpreted higher-order-function
+    path. candidate_pairs uses the codegen explode→min-agg form below
+    instead; this form remains for single-pass per-row use."""
     return [
         F.array_min(
             F.transform(hashes, lambda h: F.xxhash64(h, F.lit(seed)))
@@ -58,6 +60,56 @@ def add_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     return df.withColumn("__sh", shingle_hashes(toks)).select(
         "*", *minhash_signature(F.col("__sh"))
+    )
+
+
+def shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, __h) — ONE ROW PER SHINGLE, entirely in whole-stage codegen:
+    posexplode the tokens, window-lead the next k-1 tokens into each
+    row, concat + xxhash64. Produces the same shingle multiset as the
+    array form (``shingles``): positions 0..max(n-k, 0); concat_ws
+    skips the NULL leads a short tail document leaves, matching the
+    short-``slice`` shingle. The per-element interpreted lambda path is
+    ~10× slower than this shape at equal output."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "__pos", "__tok"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    wp = Window.partitionBy(id_col)
+    leads = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, k)]
+    # leads are computed BEFORE the position filter — a window after the
+    # filter would see the trailing rows removed and truncate the last
+    # k-1 shingles
+    shingled = toks.select(
+        id_col,
+        "__pos",
+        F.concat_ws(" ", *leads).alias("__s"),
+        F.count("*").over(wp).alias("__n"),
+    )
+    return shingled.where(
+        F.col("__pos") <= F.greatest(F.col("__n") - k, F.lit(0))
+    ).select(id_col, F.xxhash64("__s").alias("__h"))
+
+
+def minhash_table(
+    rows: DataFrame, id_col: str, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(id, mh_0..mh_{H-1}) from per-shingle rows via per-id min
+    aggregates: every xxhash64 and min combine runs inside whole-stage
+    codegen with map-side partial aggregation — the shuffle carries
+    only |ids| × H longs."""
+    return rows.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("__h", F.lit(seed))).alias(f"mh_{seed}")
+            for seed in range(n_hashes)
+        ]
     )
 
 
@@ -85,10 +137,14 @@ def candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
 
     Shuffle budget: the band self-join moves 3 longs/row; the shingle
     sets are joined back only for candidate pairs (|pairs| ≪ |docs|).
-    The narrow bucket table is cached — a self-join otherwise
-    recomputes the whole signature pass once per side."""
-    sig = add_signature(df, text_col)
-    buckets = band_buckets(sig, id_col).cache()
+    The per-shingle hash rows are cached EAGERLY and once: they feed
+    the minhash aggregation and the verify re-attach, each of which
+    would otherwise recompute the shingling pass. (At 100 TB the same
+    role is played by a materialized signature table on disk, as the
+    IVF index does for vectors.)"""
+    rows = shingle_hash_rows(df, id_col, text_col).cache()
+    rows.count()
+    buckets = band_buckets(minhash_table(rows, id_col), id_col).cache()
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
@@ -100,7 +156,9 @@ def candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .dropDuplicates(["id1", "id2"])  # same pair may collide in >1 band
     )
-    sets = sig.select(F.col(id_col).alias("id"), F.col("__sh").alias("sh"))
+    sets = rows.groupBy(id_col).agg(F.collect_list("__h").alias("sh")).select(
+        F.col(id_col).alias("id"), "sh"
+    )
     pairs_with_sets = (
         pairs.join(sets.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
         .join(sets.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")

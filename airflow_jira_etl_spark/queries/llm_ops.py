@@ -154,19 +154,6 @@ _NG_SEEDS = [
 _NG_BANDS = 2
 _NG_ROWS = 3  # minhashes per band
 _NG_TAU = 0.5  # report only pairs at/above this exact jaccard
-# One pass turns the text into ascii codes (padded with 3 zeros so the
-# window never runs off the end — ascii('') is 0, matching the oracle's
-# out-of-range slice); the gram hash then reads 4 array elements
-# instead of allocating 4 substrings per position. Higher-order
-# functions are interpreted per element, so cheap ops matter.
-_NG_CODES = "concat(transform(split(text, ''), c -> ascii(c)), array(0, 0, 0))"
-_NG_GRAM_HASHES = (
-    "transform(sequence(1, greatest(length(text) - 3, 1)), i -> "
-    " (CAST(element_at(codes, i) AS BIGINT) * 29791"
-    "  + element_at(codes, i + 1) * 961"
-    "  + element_at(codes, i + 2) * 31"
-    "  + element_at(codes, i + 3)) % 1048573)"
-)
 
 
 def _ng_oracle() -> str:
@@ -238,37 +225,39 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     Takes any DataFrame with (doc_id long, text string); the query
     below applies it to the documents table, the planted-distant-id
     recall test applies it to synthetic fixtures."""
-    g = documents.select(
-        "doc_id", F.expr(_NG_CODES).alias("codes"), F.length("text").alias("len")
-    ).select("doc_id", F.expr(_NG_GRAM_HASHES.replace("length(text)", "len")).alias("hs"))
+    # Signature pass in WHOLE-STAGE CODEGEN (the interpreted
+    # higher-order-function form measured ~3× slower): one row per
+    # character via posexplode, window-lead the next 3 char codes, gram
+    # hash + all 6 permutation minima + the distinct gram set in a
+    # single per-doc aggregate. Tail positions zero-pad via coalesce,
+    # matching the oracle's out-of-range slice (ascii('') = 0).
+    from pyspark.sql import Window
 
-    # all 6 permutation minima in ONE interpreted pass over the gram
-    # array (higher-order fns evaluate per element, so each extra
-    # transform+array_min would materialize and rescan a fresh array)
-    mh_init = "named_struct(" + ", ".join(
-        f"'m{s}', CAST({_NG_P} AS BIGINT)" for s in range(len(_NG_SEEDS))
-    ) + ")"
-    mh_merge = "(acc, h) -> named_struct(" + ", ".join(
-        f"'m{s}', least(acc.m{s}, (h * {a} + {b}) % {_NG_P})"
-        for s, (a, b) in enumerate(_NG_SEEDS)
-    ) + ")"
-    mhs = [
-        F.col("mh").getField(f"m{s}").alias(f"mh{s}")
-        for s in range(len(_NG_SEEDS))
+    chars = documents.select(
+        "doc_id",
+        F.length("text").alias("__len"),
+        F.posexplode(F.split(F.col("text"), "")).alias("__pos", "__ch"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("__pos")
+    c = [F.ascii("__ch").cast("bigint")] + [
+        F.coalesce(F.ascii(F.lead("__ch", i).over(w)), F.lit(0)).cast("bigint")
+        for i in range(1, 4)
     ]
+    gram = (c[0] * 29791 + c[1] * 961 + c[2] * 31 + c[3]) % _NG_P
+    grams = chars.select(
+        "doc_id", "__pos", "__len", gram.alias("h")
+    ).where(F.col("__pos") <= F.greatest(F.col("__len") - 4, F.lit(0)))
     # sig is read three times (band self-join sides + verify re-attach):
     # cache the one expensive pass, and fill the cache EAGERLY — both
     # sides of the self-join otherwise race to materialize it and the
     # signature computation runs twice concurrently
-    sig = (
-        g.select(
-            "doc_id",
-            F.array_distinct("hs").alias("hset"),
-            F.expr(f"aggregate(hs, {mh_init}, {mh_merge})").alias("mh"),
-        )
-        .select("doc_id", "hset", *mhs)
-        .cache()
-    )
+    sig = grams.groupBy("doc_id").agg(
+        F.collect_set("h").alias("hset"),
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_NG_P)).alias(f"mh{s}")
+            for s, (a, b) in enumerate(_NG_SEEDS)
+        ],
+    ).cache()
     sig.count()
     hcols = [f"h{r}" for r in range(_NG_ROWS)]
     bands = sig.select(
