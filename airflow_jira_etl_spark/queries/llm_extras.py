@@ -254,3 +254,81 @@ def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows out through mapInPandas (the video keyframe-extraction shape)."""
     documents = catalog.load(spark, sf_dir, "documents")
     return sample_frames(attach_media(documents.limit(200)), n_frames=4)
+
+
+def _sem_clusters_oracle() -> str:
+    from airflow_jira_etl_spark.queries.llm_ops import _hyperplane_bucket_sql
+
+    return _SEM_CLUSTERS_ORACLE.replace(
+        "__BUCKET__", _hyperplane_bucket_sql("embeddings")
+    )
+
+
+_SEM_CLUSTERS_ORACLE = """
+    WITH RECURSIVE sig AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               __BUCKET__ AS bucket
+        FROM embeddings
+    ),
+    p AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM sig a
+        JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.8
+    ),
+    edges AS (
+        SELECT id1 AS src, id2 AS dst FROM p
+        UNION
+        SELECT id2, id1 FROM p
+    ),
+    lbl(id, comp) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        -- propagate smaller labels along edges until fixpoint: the
+        -- recursive-CTE form of min-label connected components
+        SELECT e.src, l.comp
+        FROM edges e
+        JOIN lbl l ON l.id = e.dst
+        WHERE l.comp < e.src
+    )
+    SELECT id AS vec_id, min(comp) AS component,
+           CAST(id = min(comp) AS BOOLEAN) AS is_canonical
+    FROM lbl
+    GROUP BY id
+    """
+
+
+@query("llm_dedup_semantic_clusters", oracle=_sem_clusters_oracle())
+def llm_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based (semantic) dedup, end to end: hyperplane-LSH
+    blocking → cosine ≥ 0.8 candidate pairs → connected components →
+    every vector labeled (component, is_canonical). The semantic twin
+    of llm_dedup_clusters — and, because both the blocking key and the
+    cosine are portable arithmetic, the ONLY clusters query with a full
+    SQL oracle: DuckDB recomputes the transitive closure independently
+    with a recursive CTE, pinning the components operator's semantics
+    against a second engine (the minhash variant can only be
+    rows+recall-checked)."""
+    from airflow_jira_etl_spark.operators.components import dedup_clusters
+    from airflow_jira_etl_spark.queries.llm_ops import _hyperplane_bucket_spark
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "embedding", _hyperplane_bucket_spark().alias("bucket")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    from airflow_jira_etl_spark.functions.similarity import cosine
+
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.8)
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+    )
+    out = dedup_clusters(pairs, emb, "vec_id")
+    return out.select(
+        F.col("id").alias("vec_id"), "component", "is_canonical"
+    )
