@@ -332,3 +332,155 @@ def llm_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("vec_id"), "component", "is_canonical"
     )
+
+
+@query(
+    "llm_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS n_t
+        FROM toks WHERE length(token) > 0
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS n_docs_with FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               CAST(tf.n_t AS DOUBLE) * n.n_docs / (dfreq.n_docs_with + 1)
+                 AS raw_score
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, token, raw_score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY raw_score DESC, token) AS rank
+        FROM scored
+    )
+    SELECT doc_id, token, round(raw_score + 1e-9, 4) AS score, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf — the
+    keyword-extraction shape: term-frequency aggregate, document-
+    frequency aggregate, broadcast corpus size, windowed top-k. The idf
+    here is the LINEAR form n_docs/(df+1): exact small-integer rational
+    arithmetic both engines reproduce bit-for-bit (log-idf is a
+    one-expression swap whose libm last-ulp differences would make
+    cross-engine ranking flaky). Two shuffles total — (doc, term) and
+    (term) — both with map-side partial aggregation; the corpus size
+    joins in as a broadcast scalar."""
+    from pyspark.sql import Window
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.length("token") > 0)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("n_t"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("n_docs_with"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("n_t").cast("double")
+                * F.col("n_docs")
+                / (F.col("n_docs_with") + 1)
+            ).alias("raw_score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("raw_score").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", fround(F.col("raw_score")).alias("score"), "rank")
+    )
+
+
+@query(
+    "llm_quality_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               [t FOR t IN string_split_regex(lower(text), '\\s+') IF length(t) > 0]
+                 AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, ws,
+               [ws[i] || ' ' || ws[i+1] FOR i IN range(1, greatest(len(ws), 2))]
+                 AS bg
+        FROM toks
+    ),
+    bg_top AS (
+        SELECT doc_id, max(c) AS top_bg
+        FROM (
+            SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest(bg) AS g FROM grams)
+            GROUP BY doc_id, g
+        )
+        GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           round(1.0 - CAST(len(list_distinct(g.ws)) AS DOUBLE) / len(g.ws)
+                 + 1e-9, 4) AS rep_word_frac,
+           round(CAST(b.top_bg AS DOUBLE) / len(g.bg) + 1e-9, 4)
+             AS top_bigram_frac
+    FROM grams g JOIN bg_top b USING (doc_id)
+    WHERE len(g.ws) >= 2
+    """,
+)
+def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family): the
+    repeated-word fraction (1 - type/token ratio) and the share of all
+    word bigrams taken by the single most frequent bigram. High values
+    flag boilerplate/spam for corpus filtering. Pure codegen: one
+    explode for words, window-lead for bigrams, two per-doc aggregates;
+    exact rational arithmetic → full cross-engine oracle."""
+    from pyspark.sql import Window
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("__p", "w"),
+    ).where(F.length("w") > 0)
+    w_ord = Window.partitionBy("doc_id").orderBy("__p")
+    wp = Window.partitionBy("doc_id")
+    with_next = toks.select(
+        "doc_id",
+        "w",
+        F.lead("w", 1).over(w_ord).alias("w2"),
+        F.count("*").over(wp).alias("n_words"),
+    )
+    words = with_next.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    bigrams = (
+        with_next.where(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w2").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bigrams"))
+    )
+    return (
+        words.join(bigrams, "doc_id")
+        .where(F.col("n_words") >= 2)
+        .select(
+            "doc_id",
+            fround(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words")
+            ).alias("rep_word_frac"),
+            fround(F.col("top_bg").cast("double") / F.col("n_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
