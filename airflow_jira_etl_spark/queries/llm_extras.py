@@ -484,3 +484,70 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               [t FOR t IN string_split_regex(lower(text), '\\s+') IF length(t) > 0]
+                 AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       || ' ' || ws[i+3] || ' ' || ws[i+4]
+                       FOR i IN range(1, greatest(len(ws) - 3, 2))]) AS g
+        FROM toks
+    ),
+    eval_grams AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_matched_grams
+    FROM grams
+    WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM eval_grams)
+    GROUP BY doc_id
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 5-gram with the held-out eval subset (doc_id % 97 — the
+    deterministic stand-in for a benchmark table). The real pipeline
+    concern this models: eval leakage detection before training; the
+    gram is LONG (5 words) so only genuine shared passages match, not
+    chance collisions in a small vocabulary. Scale shape: the eval
+    gram set is tiny relative to the corpus and BROADCASTS — the
+    train-side scan never shuffles its grams; matches collapse per doc
+    with map-side partial aggregation. Gram equality is on the strings
+    themselves, so the oracle needs no hash family."""
+    from pyspark.sql import Window
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("__p", "w"),
+    ).where(F.length("w") > 0)
+    w_ord = Window.partitionBy("doc_id").orderBy("__p")
+    wp = Window.partitionBy("doc_id")
+    grams = toks.select(
+        "doc_id",
+        "__p",
+        F.concat_ws(
+            " ", "w", *[F.lead("w", i).over(w_ord) for i in range(1, 5)]
+        ).alias("g"),
+        F.count("*").over(wp).alias("__n"),
+        # full 5-grams only: a doc with <5 words contributes nothing
+        # (the oracle's out-of-range list index NULLs the gram, which
+        # its IN-filter then drops — same effective set)
+    ).where(F.col("__p") <= F.col("__n") - 5)
+    eval_grams = (
+        grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_matched_grams"))
+    )

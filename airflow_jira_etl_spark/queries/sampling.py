@@ -120,3 +120,42 @@ def llm_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# Per-language sampling rates (percent): downsample the dominant
+# language, upsample the rare ones — the corpus-rebalancing shape.
+_STRATA_RATES = {"en": 10, "de": 50, "fr": 50, "es": 50, "zh": 30}
+
+
+@query(
+    "llm_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST((doc_id * {_HASH_A}) % 100 AS BIGINT) AS pct_bucket
+    FROM documents
+    WHERE (doc_id * {_HASH_A}) % 100 <
+          CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+                    WHEN 'es' THEN 50 WHEN 'zh' THEN 30 ELSE 0 END
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED reproducible sampling: each language keeps its own
+    rate (downsample the dominant stratum, upsample the rare ones — the
+    language-rebalancing pass every multilingual corpus needs). Same
+    multiplicative-hash bucket as llm_corpus_sample, so membership is a
+    pure function of doc_id: append-stable, retry-stable, and a
+    document's in/out decision never depends on partitioning. The rate
+    table joins in as a broadcast (it is |languages| rows)."""
+    from pyspark.sql import Row
+
+    documents = catalog.load(spark, sf_dir, "documents")
+    rates = documents.sparkSession.createDataFrame(
+        [Row(lang=k, rate=v) for k, v in sorted(_STRATA_RATES.items())]
+    )
+    bucket = (F.col("doc_id") * _HASH_A) % 100
+    return (
+        documents.withColumn("pct_bucket", bucket.cast("long"))
+        .join(F.broadcast(rates), "lang")
+        .where(F.col("pct_bucket") < F.col("rate"))
+        .select("doc_id", "lang", "pct_bucket")
+    )
