@@ -145,3 +145,26 @@ def test_ivf_materialized_index_prunes_cluster_dirs(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters:")[1][:200]
     assert "cluster_id" in seg and " IN " in seg
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval gram set must broadcast — a sort-merge join here would
+    shuffle every training gram."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    df = registry.QUERIES["llm_decontaminate"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_tfidf_uses_partial_aggregation(spark, sf_dir):
+    """Both tf and df aggregates must be partial->final (map-side
+    combine), and the corpus-size scalar must broadcast."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    df = registry.QUERIES["llm_tfidf_top_terms"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
