@@ -132,7 +132,10 @@ def _connected_components(pairs: DataFrame, max_iters: int) -> DataFrame:
         )
         # hygiene: truncate the growing lineage every 3rd round
         # (localCheckpoint materializes to executor storage), cache the
-        # others, and always drop the superseded generation.
+        # others. unpersist() releases CACHED generations immediately;
+        # for checkpointed ones it is a no-op and the blocks are
+        # reclaimed by Spark's ContextCleaner once this loop drops the
+        # reference (labels = new_labels below) — bounded either way.
         if (it + 1) % 3 == 0:
             new_labels = jumped.localCheckpoint()
         else:

@@ -145,6 +145,8 @@ def candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
     rows = shingle_hash_rows(df, id_col, text_col).cache()
     rows.count()
     buckets = band_buckets(minhash_table(rows, id_col), id_col).cache()
+    buckets.count()  # eager: both self-join sides read it; a cold cache
+    # would be filled twice concurrently (minhash agg runs per side)
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(

@@ -203,11 +203,18 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py (probe's true top-1 must be found)."""
     import os
 
+    from airflow_jira_etl_spark.catalog import table_path
     from airflow_jira_etl_spark.operators.ivf import ivf_topk
     from airflow_jira_etl_spark.queries.scans import SCRATCH
 
     emb = catalog.load(spark, sf_dir, "embeddings")
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # the tag fingerprints the SOURCE DATA (mtime+size), not just the
+    # sf name — regenerated fixtures at the same path must invalidate
+    # the materialized index, never serve stale assignments
+    src = table_path(sf_dir, "embeddings")
+    st = os.stat(src)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"{sf_name}:{int(st.st_mtime)}:{st.st_size}"
     return ivf_topk(
         spark,
         emb,
@@ -215,7 +222,7 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_clusters=8,
         top_k=10,
         n_probe=2,
-        index_path=os.path.join(SCRATCH, "ivf_index", tag + "_k8"),
+        index_path=os.path.join(SCRATCH, "ivf_index", sf_name + "_k8"),
         index_tag=tag,
     )
 
@@ -452,12 +459,10 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split(F.lower("text"), r"\s+")).alias("__p", "w"),
     ).where(F.length("w") > 0)
     w_ord = Window.partitionBy("doc_id").orderBy("__p")
-    wp = Window.partitionBy("doc_id")
     with_next = toks.select(
         "doc_id",
         "w",
         F.lead("w", 1).over(w_ord).alias("w2"),
-        F.count("*").over(wp).alias("n_words"),
     )
     words = with_next.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
@@ -530,18 +535,25 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split(F.lower("text"), r"\s+")).alias("__p", "w"),
     ).where(F.length("w") > 0)
     w_ord = Window.partitionBy("doc_id").orderBy("__p")
-    wp = Window.partitionBy("doc_id")
-    grams = toks.select(
-        "doc_id",
-        "__p",
-        F.concat_ws(
-            " ", "w", *[F.lead("w", i).over(w_ord) for i in range(1, 5)]
-        ).alias("g"),
-        F.count("*").over(wp).alias("__n"),
-        # full 5-grams only: a doc with <5 words contributes nothing
-        # (the oracle's out-of-range list index NULLs the gram, which
-        # its IN-filter then drops — same effective set)
-    ).where(F.col("__p") <= F.col("__n") - 5)
+    # full 5-grams only: the 4th lead being non-null IS the "window fits"
+    # test over the FILTERED token sequence (a position-vs-count compare
+    # would mix unfiltered positions with filtered counts and drop valid
+    # trailing grams when split() yields empty tokens). A doc with <5
+    # words contributes nothing — matching the oracle, whose
+    # out-of-range list index NULLs the gram and whose IN-filter then
+    # drops it.
+    leads = [F.lead("w", i).over(w_ord) for i in range(1, 5)]
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", "w", *leads).alias("g"),
+            leads[-1].alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())
+        .select("doc_id", "g")
+        .cache()  # feeds BOTH the broadcast eval subtree and the train scan
+    )
+    grams.count()
     eval_grams = (
         grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
     )
