@@ -181,3 +181,111 @@ def report_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         part_rev.withColumn("rnk", F.rank().over(w).cast("int"))
         .where(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "report_market_share",
+    oracle="""
+    WITH all_rev AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS rev,
+               p_type
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                 / sum(rev) + 1e-9, 4) AS promo_share,
+           round(sum(rev) + 1e-9, 4) AS total_revenue
+    FROM all_rev
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def report_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one part type's share of total revenue per year
+    — the conditional-aggregate-ratio pattern (numerator as a CASE
+    inside the same grouped sum, NOT a second scan or self-join). Part
+    is the small side and broadcasts; the date filter reaches the
+    orders scan."""
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders")
+    part = catalog.load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("rev"),
+            "p_type",
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            fround(
+                F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0.0))
+                / F.sum("rev")
+            ).alias("promo_share"),
+            fround(F.sum("rev")).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "report_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS lost_revenue,
+           CAST(count(*) AS BIGINT) AS n_returned_lines
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def report_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-item revenue in one
+    year — two fact joins with pushed filters, a broadcast dim chain
+    (nation via customer), grouped revenue, top-20 lowered to
+    TakeOrderedAndProject."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    nation = catalog.load(spark, sf_dir, "nation")
+    orders = catalog.load(spark, sf_dir, "orders")
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("lost_revenue"),
+            F.count("*").alias("n_returned_lines"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
