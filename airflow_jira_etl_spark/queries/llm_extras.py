@@ -563,3 +563,64 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_matched_grams"))
     )
+
+
+@query(
+    "llm_corpus_stats",
+    oracle="""
+    WITH lens AS (
+        SELECT lang, doc_id, length(text) AS len,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY length(text), doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(sum(len) AS BIGINT) AS total_chars,
+           CAST(min(len) AS BIGINT) AS min_len,
+           CAST(max(len) AS BIGINT) AS max_len,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN len END) AS BIGINT)
+             AS median_len
+    FROM lens
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus card: doc count, char volume, min/max and
+    EXACT median length. The median is computed distributedly via the
+    rank-selection identity (row_number ordered by (len, doc_id), pick
+    rn = (n+1) div 2 — the lower median) rather than approx_percentile:
+    exact integer semantics both engines reproduce, and one window pass
+    instead of a sketch. At 100 TB the same plan holds — one shuffle by
+    lang, one window sort per partition."""
+    from pyspark.sql import Window
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    lens = docs.select("lang", "doc_id", F.length("text").alias("len"))
+    w = Window.partitionBy("lang").orderBy("len", "doc_id")
+    wp = Window.partitionBy("lang")
+    ranked = lens.select(
+        "lang",
+        "len",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.sum("len").cast("long").alias("total_chars"),
+            F.min("len").cast("long").alias("min_len"),
+            F.max("len").cast("long").alias("max_len"),
+            F.max(
+                # integer div — `/` is double division and (n+1)/2 for
+                # even n would match no integer rank
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("len"))
+            )
+            .cast("long")
+            .alias("median_len"),
+        )
+        .orderBy("lang")
+    )
