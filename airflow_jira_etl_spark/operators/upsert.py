@@ -40,6 +40,7 @@ def upsert(
     key: str | list[str],
     ordinal_col: str | None = None,
     cluster_cols: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Last-writer-wins merge of ``updates`` into ``base`` on ``key``.
 
@@ -59,6 +60,12 @@ def upsert(
     one row — but it makes the merge's single shuffle also CLUSTER the
     output by those columns, so a downstream ``partitionBy`` write
     needs no second shuffle.
+
+    ``evolve_schema``: when True, columns present on only one side are
+    added to the other as NULLs (ADD COLUMN evolution — the merge
+    succeeds when a batch carries new fields and old rows read back
+    NULL for them). When False (default), a schema mismatch raises,
+    the safe behavior for fixed-DDL sinks.
     """
     keys = [key] if isinstance(key, str) else list(key)
     base_tagged = base.withColumn(_PRIORITY, F.lit(0)).withColumn(
@@ -74,7 +81,7 @@ def upsert(
         F.col(_PRIORITY).desc(), F.col(_ORD).desc()
     )
     return (
-        base_tagged.unionByName(upd_tagged)
+        base_tagged.unionByName(upd_tagged, allowMissingColumns=evolve_schema)
         .withColumn(_RN, F.row_number().over(w))
         .where(F.col(_RN) == 1)
         .drop(_PRIORITY, _ORD, _RN)

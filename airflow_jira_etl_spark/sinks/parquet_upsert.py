@@ -86,6 +86,7 @@ class ParquetUpsertTable:
         key: str | list[str],
         n_buckets: int = DEFAULT_N_BUCKETS,
         bucketer: Bucketer = hash_bucketer,
+        evolve_schema: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -93,6 +94,10 @@ class ParquetUpsertTable:
         self.keys = [key] if isinstance(key, str) else list(key)
         self.n_buckets = n_buckets
         self.bucketer = bucketer
+        # ADD COLUMN evolution: merges accept batches carrying new
+        # columns (old rows read back NULL); reads schema-merge across
+        # generations so old bucket files and new ones coexist
+        self.evolve_schema = evolve_schema
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------ commit log
@@ -124,12 +129,27 @@ class ParquetUpsertTable:
 
     # ------------------------------------------------------------ read
 
-    def read(self) -> DataFrame | None:
-        manifest = self._read_manifest()
+    def read(self, generation: int | None = None) -> DataFrame | None:
+        """Current table state, or — TIME TRAVEL — the state as of a
+        prior committed ``generation`` (its manifest must still be
+        retained; ``vacuum`` keeps every data directory a retained
+        manifest references, so retained pointers stay readable)."""
+        gen_dir = None
+        if generation is not None:
+            gen_dir = os.path.join(self.root, f"gen_{generation:06d}")
+            if not os.path.exists(os.path.join(gen_dir, _MANIFEST)):
+                raise ValueError(
+                    f"generation {generation} has no retained manifest "
+                    f"(vacuumed or never committed)"
+                )
+        manifest = self._read_manifest(gen_dir)
         if manifest is None:
             return None
         paths = self._bucket_paths(manifest)
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if self.evolve_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     # ----------------------------------------------------------- merge
 
@@ -139,6 +159,34 @@ class ParquetUpsertTable:
         operators/upsert.py)."""
         manifest = self._read_manifest()
         n_buckets = manifest["n_buckets"] if manifest else self.n_buckets
+        # schema contract lives in the manifest (bucket dirs may not
+        # overlap, so comparing against read-back files is not enough):
+        # same-name/different-type always raises; a column set change
+        # raises unless evolve_schema, which unions the sets (ADD
+        # COLUMN — removed-in-batch columns stay, new ones backfill
+        # NULL on old rows via mergeSchema reads)
+        upd_fields = [
+            [f.name, f.dataType.simpleString()] for f in updates.schema.fields
+        ]
+        table_schema = manifest.get("schema") if manifest else None
+        if table_schema is not None:
+            old_t, new_t = dict(table_schema), dict(upd_fields)
+            for nm in set(old_t) & set(new_t):
+                if old_t[nm] != new_t[nm]:
+                    raise ValueError(
+                        f"type change for column {nm!r}: "
+                        f"{old_t[nm]} -> {new_t[nm]} (unsupported)"
+                    )
+            if set(new_t) != set(old_t) and not self.evolve_schema:
+                raise ValueError(
+                    f"schema mismatch (evolve_schema=False): table has "
+                    f"{sorted(old_t)}, batch has {sorted(new_t)}"
+                )
+            merged_schema = list(table_schema) + [
+                [nm, ty] for nm, ty in upd_fields if nm not in old_t
+            ]
+        else:
+            merged_schema = upd_fields
         upd = updates.withColumn(
             _BUCKET, self.bucketer(updates, self.keys, n_buckets)
         )
@@ -150,7 +198,10 @@ class ParquetUpsertTable:
         else:
             base_paths = []
         if base_paths:
-            base = self.spark.read.parquet(*base_paths)
+            base_reader = self.spark.read
+            if self.evolve_schema:
+                base_reader = base_reader.option("mergeSchema", "true")
+            base = base_reader.parquet(*base_paths)
             base = base.withColumn(_BUCKET, self.bucketer(base, self.keys, n_buckets))
         else:
             # first write (or all-new buckets): dedup within the batch
@@ -158,7 +209,12 @@ class ParquetUpsertTable:
         # clustering the merge window by bucket makes its one shuffle
         # also the write clustering -> no extra repartition shuffle
         merged = upsert(
-            base, upd, self.keys, ordinal_col=ordinal_col, cluster_cols=[_BUCKET]
+            base,
+            upd,
+            self.keys,
+            ordinal_col=ordinal_col,
+            cluster_cols=[_BUCKET],
+            evolve_schema=self.evolve_schema,
         )
 
         cur = self.current_generation()
@@ -171,7 +227,14 @@ class ParquetUpsertTable:
         for b in dirty:
             new_buckets[str(b)] = f"{gen_name}/{_BUCKET}={b}"
         with open(os.path.join(out, _MANIFEST), "w") as f:
-            json.dump({"n_buckets": n_buckets, "buckets": new_buckets}, f)
+            json.dump(
+                {
+                    "n_buckets": n_buckets,
+                    "buckets": new_buckets,
+                    "schema": merged_schema,
+                },
+                f,
+            )
         # atomic pointer flip: write-then-rename on the same filesystem
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:

@@ -124,3 +124,35 @@ def test_vacuum_retention_keeps_referenced_data(spark, tmp_path, rows_df):
     # and the current pointer reads the newest state
     got = {r.k: r.v for r in t.read().collect()}
     assert got[1] == -3.0 and len(got) == 5000
+
+
+def test_time_travel_reads_prior_generation(spark, tmp_path):
+    t = ParquetUpsertTable(spark, str(tmp_path / "tt"), key="k", n_buckets=4)
+    t.apply(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.apply(spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string"))
+    now = {r.k: r.v for r in t.read().collect()}
+    assert now == {1: "a", 2: "b2", 3: "c"}
+    gen0 = {r.k: r.v for r in t.read(generation=0).collect()}
+    assert gen0 == {1: "a", 2: "b"}
+    with pytest.raises(ValueError, match="no retained manifest"):
+        t.read(generation=7)
+
+
+def test_schema_evolution_adds_column_with_nulls(spark, tmp_path):
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "ev"), key="k", n_buckets=4, evolve_schema=True
+    )
+    t.apply(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    # later batch carries a NEW column; merge must succeed and old rows
+    # read back NULL for it
+    evolved = spark.createDataFrame(
+        [(2, "b2", "extra2"), (3, "c", "extra3")], "k long, v string, note string"
+    )
+    t.apply(evolved)
+    got = {r.k: (r.v, r.note) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b2", "extra2"), 3: ("c", "extra3")}
+    # without evolution the same merge raises (fixed-DDL safety)
+    t2 = ParquetUpsertTable(spark, str(tmp_path / "fx"), key="k", n_buckets=4)
+    t2.apply(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(Exception):
+        t2.apply(evolved)
