@@ -168,3 +168,21 @@ def test_tfidf_uses_partial_aggregation(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_subqueries_decorrelate_to_semi_anti_joins(spark, sf_dir):
+    """EXISTS / NOT EXISTS must lower to LeftSemi / LeftAnti joins —
+    never a per-row subquery or a cartesian."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    ex = (
+        registry.QUERIES["filter_exists_subquery"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in ex and "CartesianProduct" not in ex
+    nex = (
+        registry.QUERIES["filter_not_exists_subquery"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in nex and "CartesianProduct" not in nex
