@@ -214,7 +214,7 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = table_path(sf_dir, "embeddings")
     st = os.stat(src)
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    tag = f"{sf_name}:{int(st.st_mtime)}:{st.st_size}"
+    tag = f"{sf_name}:{st.st_mtime_ns}:{st.st_size}"
     return ivf_topk(
         spark,
         emb,
@@ -387,7 +387,10 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
     ).where(F.length("token") > 0)
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("n_t"))
+    # tf feeds BOTH the scored join and the document-frequency rollup —
+    # cache the one tokenize+aggregate pass eagerly
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("n_t")).cache()
+    tf.count()
     dfreq = tf.groupBy("token").agg(F.count("*").alias("n_docs_with"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -459,11 +462,14 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split(F.lower("text"), r"\s+")).alias("__p", "w"),
     ).where(F.length("w") > 0)
     w_ord = Window.partitionBy("doc_id").orderBy("__p")
+    # the explode + per-doc window sort feeds BOTH aggregates below —
+    # cache it eagerly instead of running the sort twice
     with_next = toks.select(
         "doc_id",
         "w",
         F.lead("w", 1).over(w_ord).alias("w2"),
-    )
+    ).cache()
+    with_next.count()
     words = with_next.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
         F.countDistinct("w").alias("n_distinct"),

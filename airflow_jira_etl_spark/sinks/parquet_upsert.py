@@ -134,8 +134,18 @@ class ParquetUpsertTable:
         prior committed ``generation`` (its manifest must still be
         retained; ``vacuum`` keeps every data directory a retained
         manifest references, so retained pointers stay readable)."""
+        cur = self.current_generation()
         gen_dir = None
         if generation is not None:
+            # committed = at or before the pointer: a manifest file can
+            # exist for a generation whose pointer flip never happened
+            # (crash mid-apply) — that state must not be served
+            cur_n = int(os.path.basename(cur).split("_")[1]) if cur else -1
+            if generation > cur_n:
+                raise ValueError(
+                    f"generation {generation} is not committed "
+                    f"(current is {cur_n})"
+                )
             gen_dir = os.path.join(self.root, f"gen_{generation:06d}")
             if not os.path.exists(os.path.join(gen_dir, _MANIFEST)):
                 raise ValueError(
@@ -145,10 +155,20 @@ class ParquetUpsertTable:
         manifest = self._read_manifest(gen_dir)
         if manifest is None:
             return None
-        paths = self._bucket_paths(manifest)
+        return self._read_paths(manifest, self._bucket_paths(manifest))
+
+    def _read_paths(self, manifest: dict, paths: list[str]) -> DataFrame:
+        """Read bucket files under the MANIFEST's schema — the persisted
+        contract, not any in-memory flag: files written before a column
+        was added simply surface NULLs for it, and every reader of an
+        evolved table sees the full column set regardless of how its
+        own ParquetUpsertTable instance was constructed."""
+        schema = manifest.get("schema")
         reader = self.spark.read
-        if self.evolve_schema:
-            reader = reader.option("mergeSchema", "true")
+        if schema:
+            reader = reader.schema(
+                ", ".join(f"`{nm}` {ty}" for nm, ty in schema)
+            )
         return reader.parquet(*paths)
 
     # ----------------------------------------------------------- merge
@@ -198,10 +218,7 @@ class ParquetUpsertTable:
         else:
             base_paths = []
         if base_paths:
-            base_reader = self.spark.read
-            if self.evolve_schema:
-                base_reader = base_reader.option("mergeSchema", "true")
-            base = base_reader.parquet(*base_paths)
+            base = self._read_paths(manifest, base_paths)
             base = base.withColumn(_BUCKET, self.bucketer(base, self.keys, n_buckets))
         else:
             # first write (or all-new buckets): dedup within the batch

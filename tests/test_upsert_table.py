@@ -134,8 +134,19 @@ def test_time_travel_reads_prior_generation(spark, tmp_path):
     assert now == {1: "a", 2: "b2", 3: "c"}
     gen0 = {r.k: r.v for r in t.read(generation=0).collect()}
     assert gen0 == {1: "a", 2: "b"}
-    with pytest.raises(ValueError, match="no retained manifest"):
+    with pytest.raises(ValueError, match="not committed"):
         t.read(generation=7)
+    # a manifest on disk whose pointer flip never happened (crash
+    # mid-apply) must not be readable as committed state
+    import json as _json
+    import os as _os
+
+    fake = _os.path.join(str(tmp_path / "tt"), "gen_000009")
+    _os.makedirs(fake)
+    with open(_os.path.join(fake, "_MANIFEST.json"), "w") as f:
+        _json.dump({"n_buckets": 4, "buckets": {}}, f)
+    with pytest.raises(ValueError, match="not committed"):
+        t.read(generation=9)
 
 
 def test_schema_evolution_adds_column_with_nulls(spark, tmp_path):
@@ -151,6 +162,12 @@ def test_schema_evolution_adds_column_with_nulls(spark, tmp_path):
     t.apply(evolved)
     got = {r.k: (r.v, r.note) for r in t.read().collect()}
     assert got == {1: ("a", None), 2: ("b2", "extra2"), 3: ("c", "extra3")}
+    # a DIFFERENT reader instance with the default flag must see the
+    # same evolved schema — the contract lives in the manifest, not in
+    # whichever constructor arguments this process happened to use
+    t_other = ParquetUpsertTable(spark, str(tmp_path / "ev"), key="k", n_buckets=4)
+    got2 = {r.k: (r.v, r.note) for r in t_other.read().collect()}
+    assert got2 == got
     # without evolution the same merge raises (fixed-DDL safety)
     t2 = ParquetUpsertTable(spark, str(tmp_path / "fx"), key="k", n_buckets=4)
     t2.apply(spark.createDataFrame([(1, "a")], "k long, v string"))
