@@ -357,3 +357,37 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return table.read()
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value) + 1e-9, 4) AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup pattern
+    every event pipeline needs: the unbounded event stream joins a
+    STATIC customer table (no state kept for the static side; Spark
+    re-plans it per micro-batch and broadcasts it under the join
+    threshold), then aggregates per segment. The batch oracle is the
+    same join+agg — stream-static inner joins are exactly
+    batch-equivalent, unlike stream-stream joins."""
+    customer = catalog.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = (
+        read_events_stream(spark, sf_dir)
+        .join(customer, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            fround(F.sum("value")).alias("total_value"),
+        )
+    )
+    return run_available_now(enriched, _ck("static_enrich"), "stream_enrich_out")
