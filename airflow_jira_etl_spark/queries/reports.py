@@ -364,3 +364,67 @@ def filter_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@query(
+    "agg_exact_quantiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           round(max(CASE WHEN rn = (n + 3) // 4 THEN l_extendedprice END)
+                 + 1e-9, 4) AS p25,
+           round(max(CASE WHEN rn = (n + 1) // 2 THEN l_extendedprice END)
+                 + 1e-9, 4) AS p50,
+           round(max(CASE WHEN rn = (3 * n + 1) // 4 THEN l_extendedprice END)
+                 + 1e-9, 4) AS p75
+    FROM ranked
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped quartiles by rank selection — the deterministic
+    alternative to approx_percentile when cross-engine (or cross-run)
+    equality matters: one window sort per group keyed by (value, unique
+    tiebreak), pick ranks ceil(n/4), ceil(n/2)... as conditional
+    aggregates. One shuffle + one sort; at 100 TB the same plan holds
+    per group, and a skewed group is handled by AQE or pre-salting the
+    sort — still cheaper than two passes of an exact-percentile
+    algorithm."""
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wp = Window.partitionBy("l_returnflag")
+    ranked = lineitem.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+
+    def _pick(rank_expr: str):
+        return fround(
+            F.max(
+                F.when(F.col("rn") == F.expr(rank_expr), F.col("l_extendedprice"))
+            )
+        )
+
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n_rows"),
+            _pick("(n + 3) div 4").alias("p25"),
+            _pick("(n + 1) div 2").alias("p50"),
+            _pick("(3 * n + 1) div 4").alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
