@@ -394,8 +394,9 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT grouped quartiles by rank selection — the deterministic
     alternative to approx_percentile when cross-engine (or cross-run)
     equality matters: one window sort per group keyed by (value, unique
-    tiebreak), pick ranks ceil(n/4), ceil(n/2)... as conditional
-    aggregates. One shuffle + one sort; at 100 TB the same plan holds
+    tiebreak), pick ranks floor(p·(n-1))+1 (the LOWER-quantile
+    convention, identical in both engines' integer division) as
+    conditional aggregates. One shuffle + one sort; at 100 TB the same plan holds
     per group, and a skewed group is handled by AQE or pre-salting the
     sort — still cheaper than two passes of an exact-percentile
     algorithm."""

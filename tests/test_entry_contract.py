@@ -4,11 +4,14 @@ from __future__ import annotations
 
 import importlib
 import inspect
+import os
 import sys
 
 
 def test_entry_module_contract():
-    sys.path.insert(0, "/root/repo")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     e = importlib.import_module("__spark_entry__")
     qs, oracles = e.queries(), e.oracle_sql()
     # every oracle belongs to a registered query
