@@ -102,7 +102,8 @@ def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
              AS ts_reparsed,
            CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix_sec,
-           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_from_unix,
+           CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP)
+             AS ts_from_unix,
            CAST(ts AS DATE) AS ts_date
     FROM events
     """,

@@ -37,7 +37,16 @@ def _canon_value(v):
             return "NaN"
         return round(v, ROUND_DP)
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        if v.tzinfo is not None:
+            # The driver compares schemas strictly: a DuckDB TIMESTAMPTZ
+            # (e.g. bare to_timestamp()) never matches Spark's naive
+            # TIMESTAMP even when values agree.  Failing loudly here keeps
+            # the local harness exactly as strict as the driver.
+            raise TypeError(
+                "tz-aware datetime in oracle/Spark result; "
+                "CAST the oracle column AS TIMESTAMP"
+            )
+        return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

@@ -32,3 +32,15 @@ def test_oracle_match(name, spark, sf_dir, con):
 def test_rows_only_runs(name, spark, sf_dir):
     df = registry.QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_tz_aware_oracle_fails_locally(con):
+    """A TIMESTAMPTZ oracle column (e.g. bare DuckDB ``to_timestamp()``)
+    must fail the local harness the same way it fails the driver's
+    schema/hash check — never be silently normalized away."""
+    from tests.oracle_check import canon_rows
+
+    rows = con.execute("SELECT to_timestamp(0) AS t").fetchall()
+    assert rows[0][0].tzinfo is not None  # precondition: DuckDB gives tz-aware
+    with pytest.raises(TypeError, match="tz-aware"):
+        canon_rows(["t"], rows)
