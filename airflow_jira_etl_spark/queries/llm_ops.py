@@ -225,39 +225,48 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     Takes any DataFrame with (doc_id long, text string); the query
     below applies it to the documents table, the planted-distant-id
     recall test applies it to synthetic fixtures."""
-    # Signature pass in WHOLE-STAGE CODEGEN (the interpreted
-    # higher-order-function form measured ~3× slower): one row per
-    # character via posexplode, window-lead the next 3 char codes, gram
-    # hash + all 6 permutation minima + the distinct gram set in a
-    # single per-doc aggregate. Tail positions zero-pad via coalesce,
-    # matching the oracle's out-of-range slice (ascii('') = 0).
-    from pyspark.sql import Window
-
-    chars = documents.select(
-        "doc_id",
-        F.length("text").alias("__len"),
-        F.posexplode(F.split(F.col("text"), "")).alias("__pos", "__ch"),
+    # Signature pass is a pure in-array map — the same
+    # transform(sequence(...)) gram hashing llm_fingerprint_rolling
+    # uses: no explode, no per-doc window sort, no shuffle at all until
+    # the narrow band join. At 100 TB the alternative (one row per
+    # CHARACTER through a window sort) shuffles ~n_chars rows; this
+    # form shuffles nothing and each minhash is an array_min over the
+    # gram array. Tail positions zero-pad via out-of-range substring
+    # (ascii('') = 0), matching the oracle's out-of-range slice.
+    hs = F.expr(
+        "transform(sequence(1, greatest(length(text) - 3, 1)), i -> "
+        " (ascii(substring(text, i, 1)) * 29791"
+        "  + ascii(substring(text, i + 1, 1)) * 961"
+        "  + ascii(substring(text, i + 2, 1)) * 31"
+        "  + ascii(substring(text, i + 3, 1))) % 1048573)"
     )
-    w = Window.partitionBy("doc_id").orderBy("__pos")
-    c = [F.ascii("__ch").cast("bigint")] + [
-        F.coalesce(F.ascii(F.lead("__ch", i).over(w)), F.lit(0)).cast("bigint")
-        for i in range(1, 4)
-    ]
-    gram = (c[0] * 29791 + c[1] * 961 + c[2] * 31 + c[3]) % _NG_P
-    grams = chars.select(
-        "doc_id", "__pos", "__len", gram.alias("h")
-    ).where(F.col("__pos") <= F.greatest(F.col("__len") - 4, F.lit(0)))
+    # The gram hashing is CPU-heavy per input byte (~len lambda evals
+    # per doc), so parallelism must not be tied to the source file
+    # layout (one small parquet file = one task doing ALL the hashing).
+    # An explicit repartition of the raw (doc_id, text) rows — a narrow
+    # 1-byte-per-char shuffle — spreads the map across every core; AQE
+    # byte-based coalescing is bypassed on purpose (it would fold this
+    # tiny-bytes/heavy-CPU stage back into one partition).
+    n_par = documents.sparkSession.sparkContext.defaultParallelism
     # sig is read three times (band self-join sides + verify re-attach):
-    # cache the one expensive pass, and fill the cache EAGERLY — both
+    # cache the signature pass, and fill the cache EAGERLY — both
     # sides of the self-join otherwise race to materialize it and the
     # signature computation runs twice concurrently
-    sig = grams.groupBy("doc_id").agg(
-        F.collect_set("h").alias("hset"),
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_NG_P)).alias(f"mh{s}")
-            for s, (a, b) in enumerate(_NG_SEEDS)
-        ],
-    ).cache()
+    sig = (
+        documents.repartition(n_par, "doc_id")
+        .select("doc_id", hs.alias("hs"))
+        .select(
+            "doc_id",
+            F.array_distinct("hs").alias("hset"),
+            *[
+                F.expr(
+                    f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {_NG_P}))"
+                ).alias(f"mh{s}")
+                for s, (a, b) in enumerate(_NG_SEEDS)
+            ],
+        )
+        .cache()
+    )
     sig.count()
     hcols = [f"h{r}" for r in range(_NG_ROWS)]
     bands = sig.select(
@@ -303,13 +312,12 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
 @query("llm_dedup_ngram_jaccard", oracle=_NG_JACCARD_ORACLE)
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-banded character-4-gram Jaccard dedup over the documents
-    table — see ngram_jaccard_pairs for the blocking design. Join
-    stages run at a handful of shuffle partitions: past the signature
-    scan everything is narrow candidate traffic."""
-    from airflow_jira_etl_spark.session import scoped_shuffle_partitions
-
-    with scoped_shuffle_partitions(spark, 8):
-        return ngram_jaccard_pairs(catalog.load(spark, sf_dir, "documents"))
+    table — see ngram_jaccard_pairs for the blocking design. Past the
+    signature scan everything is narrow candidate traffic; AQE
+    coalesces the small band-join shuffles at runtime (a scoped
+    shuffle-partition override here would not survive the lazy return
+    anyway — the plan executes after the context exits)."""
+    return ngram_jaccard_pairs(catalog.load(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------- similarity search
