@@ -451,49 +451,52 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signals (the Gopher-rules family): the
     repeated-word fraction (1 - type/token ratio) and the share of all
     word bigrams taken by the single most frequent bigram. High values
-    flag boilerplate/spam for corpus filtering. Pure codegen: one
-    explode for words, window-lead for bigrams, two per-doc aggregates;
-    exact rational arithmetic → full cross-engine oracle."""
-    from pyspark.sql import Window
+    flag boilerplate/spam for corpus filtering.
 
+    The word stats are pure in-array math (size / array_distinct on the
+    token array — no explode, no shuffle), and bigrams are built
+    in-array with transform(sequence(...)) before the one explode the
+    per-doc mode genuinely needs (a global (doc_id, gram) count is a
+    groupBy, not a window sort — round 2's explode + window-lead pass
+    is gone). n_bigrams is size(ws)-1 by construction, so the bigram
+    side only carries max(count). Exact rational arithmetic → full
+    cross-engine oracle."""
     docs = catalog.load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("__p", "w"),
-    ).where(F.length("w") > 0)
-    w_ord = Window.partitionBy("doc_id").orderBy("__p")
-    # the explode + per-doc window sort feeds BOTH aggregates below —
-    # cache it eagerly instead of running the sort twice
-    with_next = toks.select(
-        "doc_id",
-        "w",
-        F.lead("w", 1).over(w_ord).alias("w2"),
-    ).cache()
-    with_next.count()
-    words = with_next.groupBy("doc_id").agg(
-        F.count("*").alias("n_words"),
-        F.countDistinct("w").alias("n_distinct"),
+    # the tokenize map is CPU-heavy per input byte: decouple parallelism
+    # from source file layout (same rationale as ngram_jaccard_pairs)
+    n_par = spark.sparkContext.defaultParallelism
+    ws = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0
     )
-    bigrams = (
-        with_next.where(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w", "w2").alias("g"))
+    # base feeds BOTH the bigram explode and the final stats projection —
+    # cache it eagerly instead of tokenizing twice
+    base = (
+        docs.repartition(n_par, "doc_id")
+        .select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= 2)
+        .cache()
+    )
+    base.count()
+    bg = F.expr(
+        "transform(sequence(1, size(ws) - 1), i -> "
+        "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"
+    )
+    top = (
+        base.select("doc_id", F.explode(bg).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bigrams"))
+        .agg(F.max("c").alias("top_bg"))
     )
-    return (
-        words.join(bigrams, "doc_id")
-        .where(F.col("n_words") >= 2)
-        .select(
-            "doc_id",
-            fround(
-                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words")
-            ).alias("rep_word_frac"),
-            fround(F.col("top_bg").cast("double") / F.col("n_bigrams")).alias(
-                "top_bigram_frac"
-            ),
-        )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        fround(
+            F.lit(1.0)
+            - F.size(F.array_distinct("ws")).cast("double") / F.size("ws")
+        ).alias("rep_word_frac"),
+        fround(
+            F.col("top_bg").cast("double") / (F.size("ws") - F.lit(1))
+        ).alias("top_bigram_frac"),
     )
 
 
@@ -533,30 +536,30 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-side scan never shuffles its grams; matches collapse per doc
     with map-side partial aggregation. Gram equality is on the strings
     themselves, so the oracle needs no hash family."""
-    from pyspark.sql import Window
-
     docs = catalog.load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("__p", "w"),
-    ).where(F.length("w") > 0)
-    w_ord = Window.partitionBy("doc_id").orderBy("__p")
-    # full 5-grams only: the 4th lead being non-null IS the "window fits"
-    # test over the FILTERED token sequence (a position-vs-count compare
-    # would mix unfiltered positions with filtered counts and drop valid
-    # trailing grams when split() yields empty tokens). A doc with <5
-    # words contributes nothing — matching the oracle, whose
-    # out-of-range list index NULLs the gram and whose IN-filter then
-    # drops it.
-    leads = [F.lead("w", i).over(w_ord) for i in range(1, 5)]
+    # the tokenize + gram map is CPU-heavy per input byte: decouple
+    # parallelism from file layout (same rationale as ngram_jaccard_pairs)
+    n_par = spark.sparkContext.defaultParallelism
+    ws = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0
+    )
+    # 5-grams built in-array over the FILTERED token array — round 2's
+    # explode + 4× window-lead shuffle is gone. The size(ws) >= 5 guard
+    # both keeps sequence() ascending and drops <5-word docs, matching
+    # the oracle (its out-of-range list index NULLs the gram and the
+    # IN-filter drops it). Grams are deduped per doc IN-ARRAY before
+    # the explode: both consumers (global eval distinct, per-doc match
+    # count) only need per-doc-distinct grams, so the exploded row
+    # count shrinks before anything shuffles.
+    gram_arr = F.expr(
+        "transform(sequence(1, size(ws) - 4), i -> "
+        "concat_ws(' ', slice(ws, i, 5)))"
+    )
     grams = (
-        toks.select(
-            "doc_id",
-            F.concat_ws(" ", "w", *leads).alias("g"),
-            leads[-1].alias("__last"),
-        )
-        .where(F.col("__last").isNotNull())
-        .select("doc_id", "g")
+        docs.repartition(n_par, "doc_id")
+        .select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= 5)
+        .select("doc_id", F.explode(F.array_distinct(gram_arr)).alias("g"))
         .cache()  # feeds BOTH the broadcast eval subtree and the train scan
     )
     grams.count()
@@ -566,8 +569,10 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grams.where(F.col("doc_id") % 97 != 0)
         .join(F.broadcast(eval_grams), "g")
+        # grams are per-doc distinct already, so a plain count IS the
+        # distinct matched-gram count — no second dedup aggregate
         .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_matched_grams"))
+        .agg(F.count("g").alias("n_matched_grams"))
     )
 
 
