@@ -61,18 +61,35 @@ def hash_bucketer(df: DataFrame, keys: list[str], n_buckets: int) -> Column:
     )
 
 
+hash_bucketer.fingerprint = "hash"
+
+
 def range_bucketer(width: int) -> Bucketer:
-    """Range bucket on a single numeric key: ``key div width``. The
-    right function for append-mostly / locally-clustered keys (page
+    """Range bucket on a single numeric key: ``floor(key / width)``.
+    The right function for append-mostly / locally-clustered keys (page
     cursors, auto-increment ids): a contiguous batch dirties only the
     few buckets its key range spans, where a hash would spray it across
     all of them. Bucket count grows with the key domain — harmless,
-    buckets are directories."""
+    buckets are directories (size ``width`` so key/width fits an int)."""
 
     def bucketer(df: DataFrame, keys: list[str], n_buckets: int) -> Column:
-        return (F.col(keys[0]) / width).cast("int")
+        # true floor division in pure integer arithmetic: subtracting
+        # pmod (always non-negative) leaves an exact multiple of width,
+        # so the integer `div` truncation is exact — negative keys floor
+        # toward -inf (not toward zero) and huge keys never round
+        # through a double intermediate
+        k = f"CAST(`{keys[0]}` AS BIGINT)"
+        return F.expr(f"CAST(({k} - pmod({k}, {width})) div {width} AS INT)")
 
+    bucketer.fingerprint = f"range:{width}"
     return bucketer
+
+
+def _bucketer_fingerprint(bucketer: Bucketer) -> str:
+    """Identity string persisted in the manifest so a table can never be
+    reopened with a different bucketer (which would silently route keys
+    away from their existing rows, breaking the upsert invariant)."""
+    return getattr(bucketer, "fingerprint", getattr(bucketer, "__name__", repr(bucketer)))
 
 
 class ParquetUpsertTable:
