@@ -356,6 +356,11 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    # bounded storage: drop generations beyond the retention window so
+    # repeated runs don't accumulate one generation per micro-batch;
+    # retained manifests keep every data dir they reference, so the
+    # read below (and any reader holding a retained pointer) still works
+    table.vacuum(retain_last=2)
     return table.read()
 
 

@@ -196,6 +196,20 @@ class ParquetUpsertTable:
         operators/upsert.py)."""
         manifest = self._read_manifest()
         n_buckets = manifest["n_buckets"] if manifest else self.n_buckets
+        # the bucketer identity is manifest-authoritative, like n_buckets:
+        # merging with a different bucketer would route keys away from
+        # their existing rows and silently break the upsert invariant
+        # (reference db_ops.py:29-43, SURVEY.md §3.4)
+        fingerprint = _bucketer_fingerprint(self.bucketer)
+        if manifest is not None:
+            table_fp = manifest.get("bucketer")
+            if table_fp is not None and table_fp != fingerprint:
+                raise ValueError(
+                    f"bucketer mismatch: table was written with "
+                    f"{table_fp!r}, merge attempted with {fingerprint!r} — "
+                    f"reopening with a different bucketer would route keys "
+                    f"away from their existing rows"
+                )
         # schema contract lives in the manifest (bucket dirs may not
         # overlap, so comparing against read-back files is not enough):
         # same-name/different-type always raises; a column set change
@@ -266,6 +280,7 @@ class ParquetUpsertTable:
                     "n_buckets": n_buckets,
                     "buckets": new_buckets,
                     "schema": merged_schema,
+                    "bucketer": fingerprint,
                 },
                 f,
             )
@@ -292,10 +307,20 @@ class ParquetUpsertTable:
         so a reader that resolved any retained pointer is unaffected.
         Returns the deleted generation names."""
         gens = self.generations()
+        # committed = at or before the pointer, the same filter read()
+        # applies: a crash mid-apply can leave a manifest whose pointer
+        # flip never happened — anchoring retention on that orphan would
+        # delete the committed current generation and leave _CURRENT
+        # dangling. The orphan itself is unreferenced and gets GC'd.
+        cur = self.current_generation()
+        if cur is None:
+            return []
+        cur_n = int(os.path.basename(cur).split("_")[1])
         with_manifest = [
             g
             for g in gens
-            if os.path.exists(os.path.join(self.root, g, _MANIFEST))
+            if int(g.split("_")[1]) <= cur_n
+            and os.path.exists(os.path.join(self.root, g, _MANIFEST))
         ]
         keep_manifests = with_manifest[-retain_last:]
         referenced = set(keep_manifests)

@@ -46,3 +46,35 @@ def test_foreachbatch_upsert_replay_idempotent(spark, sf_dir):
     once = sorted(map(tuple, q(spark, sf_dir).collect()))
     twice = sorted(map(tuple, q(spark, sf_dir).collect()))
     assert once == twice
+
+
+def test_foreachbatch_vacuum_spares_retained_reader(spark, sf_dir):
+    """The stream pipeline vacuums to retain_last=2 after completion; a
+    reader that resolved the PRIOR retained pointer must survive the GC
+    (the sink's mid-GC reader guarantee), and generations must not
+    accumulate run over run."""
+    import os
+
+    from airflow_jira_etl_spark.queries.streaming_queries import SCRATCH
+    from airflow_jira_etl_spark.sinks.parquet_upsert import ParquetUpsertTable
+
+    q = registry.QUERIES["stream_foreachbatch_upsert"]
+    n_rows = q(spark, sf_dir).count()
+
+    t = ParquetUpsertTable(
+        spark, os.path.join(SCRATCH, "upsert_table"), key="event_id"
+    )
+    gens = t.generations()
+    # 4 micro-batches commit gens 0..3; vacuum(retain_last=2) keeps the
+    # last two manifests plus whatever data dirs they still reference
+    manifests = [
+        g
+        for g in gens
+        if os.path.exists(os.path.join(t.root, g, "_MANIFEST.json"))
+    ]
+    assert len(manifests) == 2
+    # the prior retained pointer (second-newest manifest) still reads
+    prior = t._read_manifest(os.path.join(t.root, manifests[0]))
+    prior_df = spark.read.parquet(*t._bucket_paths(prior))
+    assert prior_df.count() > 0
+    assert t.read().count() == n_rows

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark.sinks.parquet_upsert import (
     ParquetUpsertTable,
+    hash_bucketer,
     range_bucketer,
 )
 
@@ -147,6 +148,57 @@ def test_time_travel_reads_prior_generation(spark, tmp_path):
         _json.dump({"n_buckets": 4, "buckets": {}}, f)
     with pytest.raises(ValueError, match="not committed"):
         t.read(generation=9)
+
+
+def test_reopen_with_different_bucketer_refuses_merge(spark, tmp_path):
+    """The bucketer identity is part of the table's physical contract:
+    merging with a different one would route keys away from their
+    existing rows and silently break the upsert invariant — the table
+    must refuse, not corrupt."""
+    root = str(tmp_path / "t")
+    t = ParquetUpsertTable(spark, root, key="k", bucketer=range_bucketer(100))
+    t.apply(spark.createDataFrame([(1, "a"), (250, "b")], "k long, v string"))
+
+    upd = spark.createDataFrame([(1, "a2")], "k long, v string")
+    # different bucketer family
+    t_hash = ParquetUpsertTable(spark, root, key="k", bucketer=hash_bucketer)
+    with pytest.raises(ValueError, match="bucketer mismatch"):
+        t_hash.apply(upd)
+    # same family, drifted width — exactly what deriving range width
+    # from batch size would produce
+    t_w = ParquetUpsertTable(spark, root, key="k", bucketer=range_bucketer(64))
+    with pytest.raises(ValueError, match="bucketer mismatch"):
+        t_w.apply(upd)
+    # matching bucketer still merges fine
+    t2 = ParquetUpsertTable(spark, root, key="k", bucketer=range_bucketer(100))
+    t2.apply(upd)
+    got = {r.k: r.v for r in t2.read().collect()}
+    assert got == {1: "a2", 250: "b"}
+
+
+def test_vacuum_ignores_uncommitted_orphan_manifest(spark, tmp_path):
+    """A crash between manifest write and pointer flip leaves an orphan
+    generation. vacuum must anchor retention on COMMITTED manifests only
+    — with retain_last=1 it keeps the committed current generation (and
+    GCs the orphan), never the other way around."""
+    import json as _json
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
+    t.apply(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.apply(spark.createDataFrame([(2, "b2")], "k long, v string"))
+    cur = os.path.basename(t.current_generation())  # gen_000001
+
+    # simulate crash mid-apply: manifest written, pointer never flipped
+    orphan = os.path.join(t.root, "gen_000002")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "_MANIFEST.json"), "w") as f:
+        _json.dump({"n_buckets": 4, "buckets": {}, "schema": []}, f)
+
+    deleted = t.vacuum(retain_last=1)
+    assert "gen_000002" in deleted  # orphan GC'd
+    assert os.path.isdir(os.path.join(t.root, cur))  # committed kept
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: "a", 2: "b2"}  # _CURRENT still resolves
 
 
 def test_schema_evolution_adds_column_with_nulls(spark, tmp_path):
