@@ -135,8 +135,9 @@ def table_path(sf_dir: str, name: str) -> str:
 _EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        # TIMESTAMP(NANOS) in the file; read as long via
-        # spark.sql.legacy.parquet.nanosAsLong (see session.py).
+        # When the fixture stores ts as TIMESTAMP(NANOS), Spark's reader
+        # surfaces it as long via spark.sql.legacy.parquet.nanosAsLong
+        # (see session.py); events_ts_is_nanos() decides per file.
         T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
@@ -144,6 +145,25 @@ _EVENTS_RAW = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+# (realpath, mtime_ns, size) -> bool; footer-only schema inference is
+# cheap but load() is on every query's path, so memoize per file state.
+_TS_NANOS_CACHE: dict[tuple, bool] = {}
+
+
+def events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
+    """True when this events file stores ``ts`` as TIMESTAMP(NANOS)
+    (surfaced as LongType under nanosAsLong=true), False for
+    micro-precision files that read as a proper timestamp. The fixture
+    generator has shipped both units across rounds; sniffing the footer
+    instead of assuming one unit makes the engine layout-proof. Keyed
+    by (path, mtime, size) so a regenerated fixture re-sniffs."""
+    st = os.stat(path)
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    if key not in _TS_NANOS_CACHE:
+        dt = spark.read.parquet(path).schema["ts"].dataType
+        _TS_NANOS_CACHE[key] = isinstance(dt, T.LongType)
+    return _TS_NANOS_CACHE[key]
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -154,7 +174,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from airflow_jira_etl_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
-    if name == "events":
+    if name == "events" and events_ts_is_nanos(spark, table_path(sf_dir, name)):
         raw = spark.read.schema(_EVENTS_RAW).parquet(table_path(sf_dir, name))
         # integer nanos → micros (floor), matching how micro-precision
         # engines read the same file; `div` stays in long arithmetic

@@ -261,11 +261,12 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages_dir = os.path.join(SCRATCH, "event_pages_state")
     write_event_pages(spark, sf_dir, pages_dir, n_pages=4)
+    # pages are written from catalog.load output (layout v2): ts is a
+    # real timestamp column regardless of the source fixture's unit
     stream = (
-        spark.readStream.schema(catalog._EVENTS_RAW)
+        spark.readStream.schema(catalog.SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(pages_dir, "page_*"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     profile = running_user_profile(stream)
     ck = _ck("stateful")
@@ -329,10 +330,9 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     raw = (
-        spark.readStream.schema(catalog._EVENTS_RAW)
+        spark.readStream.schema(catalog.SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(pages_dir, "page_*"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .select(
             "event_id",
             "user_id",

@@ -80,9 +80,10 @@ def get_spark(app_name: str = "airflow_jira_etl_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet stores ts as TIMESTAMP(NANOS) which the Spark
-        # parquet reader rejects; read as long nanos and convert in
-        # catalog.load (truncate to micros — same as other engines).
+        # some fixture generations store events.ts as TIMESTAMP(NANOS),
+        # which the Spark parquet reader otherwise rejects; with this
+        # conf the column surfaces as long and catalog.load converts
+        # (catalog.events_ts_is_nanos sniffs the unit per file).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # allow custom Python DataSources (sources/rest_datasource) to
         # receive pushed filters

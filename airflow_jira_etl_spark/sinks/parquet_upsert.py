@@ -333,6 +333,17 @@ class ParquetUpsertTable:
             if g not in referenced:
                 shutil.rmtree(os.path.join(self.root, g), ignore_errors=True)
                 deleted.append(g)
+        # generations kept only because a retained manifest references
+        # their data dirs are no longer valid ENTRY POINTS: strip their
+        # manifest so the retention window (time-travel surface) is
+        # exactly keep_manifests, while the bucket files stay readable
+        # through the retained manifests that reference them.
+        for g in with_manifest:
+            if g not in keep_manifests and g not in deleted:
+                try:
+                    os.remove(os.path.join(self.root, g, _MANIFEST))
+                except FileNotFoundError:
+                    pass
         return deleted
 
     def destroy(self) -> None:

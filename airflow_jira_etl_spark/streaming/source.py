@@ -21,7 +21,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from airflow_jira_etl_spark.catalog import _EVENTS_RAW, table_path
+from airflow_jira_etl_spark.catalog import (
+    _EVENTS_RAW,
+    SCHEMAS,
+    events_ts_is_nanos,
+    table_path,
+)
 
 
 _SCRATCH = os.path.join(
@@ -48,13 +53,18 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the events table (nanos ts handled as in
-    catalog.load)."""
+    """Streaming read of the events table. A streaming source needs its
+    schema up front, so the file's ts unit is sniffed with the batch
+    footer reader (catalog.events_ts_is_nanos) and the matching
+    schema/conversion applied — same per-file dispatch as catalog.load."""
     from airflow_jira_etl_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
-    raw = spark.readStream.schema(_EVENTS_RAW).parquet(_staged_events_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    staged = _staged_events_dir(sf_dir)
+    if events_ts_is_nanos(spark, table_path(sf_dir, "events")):
+        raw = spark.readStream.schema(_EVENTS_RAW).parquet(staged)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(SCHEMAS["events"]).parquet(staged)
 
 
 def write_event_pages(
@@ -77,7 +87,20 @@ def write_event_pages(
     events = catalog.load(spark, sf_dir, "events")
     total = events.agg(F.max("event_id")).collect()[0][0] + 1
     page_size = -(-total // n_pages)  # ceil
-    meta = {"src": table_path(sf_dir, "events"), "n_pages": n_pages, "total": total}
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    # mtime+size identify the source CONTENT (a regenerated fixture with
+    # the same max event_id must invalidate the cache); "layout" is the
+    # page-format version — bump it when the written page schema changes
+    # (v2: ts persisted as a real timestamp, not raw long).
+    meta = {
+        "src": src,
+        "src_mtime_ns": st.st_mtime_ns,
+        "src_size": st.st_size,
+        "n_pages": n_pages,
+        "total": total,
+        "layout": 2,
+    }
     meta_path = os.path.join(out_dir, "_PAGES_META.json")
     try:
         with open(meta_path) as f:
