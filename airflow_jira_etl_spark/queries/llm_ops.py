@@ -18,7 +18,6 @@ from pyspark.sql import types as T
 from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.functions.similarity import cosine
-from airflow_jira_etl_spark.operators.minhash import candidate_pairs
 from airflow_jira_etl_spark.registry import query
 
 
@@ -51,14 +50,162 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_dedup_minhash")  # rows-only: hash-family-specific output
+# Portable MinHash family for the word-shingle dedup query: same affine
+# permutation scheme as the n-gram family below, but over WORD-3-shingle
+# hashes (operators/minhash.py's shingle domain) with the operator's
+# 16-hash / 4-band / 4-row geometry. The shingle-string hash is the same
+# length/first/last-codepoint polynomial the simhash oracle uses, so
+# DuckDB reproduces every value bit-for-bit. Production swaps in
+# xxhash64 (operators/minhash.py, used by llm_dedup_clusters and the
+# planted-recall tests) — identical shape, stronger hashes.
+_MH_P = 1048573
+_MH_SEEDS = [
+    (37, 126), (101, 4373), (499, 9973), (1009, 11317),
+    (2003, 30011), (4999, 70001), (7919, 104729), (12553, 131071),
+    (17389, 262139), (27449, 524287), (39161, 2), (52361, 777),
+    (65437, 88888), (78787, 12345), (93179, 55555), (104681, 99991),
+]
+_MH_BANDS = 4
+_MH_ROWS = 4
+_MH_TAU = 0.5
+
+
+def _mh_oracle() -> str:
+    """DuckDB mirror of llm_dedup_minhash, generated from the same seed
+    table so the two engines can never drift."""
+    mh_cols = ",\n               ".join(
+        f"list_min([ (h * {a} + {b}) % {_MH_P} FOR h IN hs ]) AS mh{s}"
+        for s, (a, b) in enumerate(_MH_SEEDS)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {i} AS band_id, {hs} FROM sig".format(
+            i=i,
+            hs=", ".join(
+                f"mh{_MH_ROWS * i + r} AS h{r}" for r in range(_MH_ROWS)
+            ),
+        )
+        for i in range(_MH_BANDS)
+    )
+    h_eq = " AND ".join(f"a.h{r} = b.h{r}" for r in range(_MH_ROWS))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               [ (length(s) * 2654435761
+                  + ascii(s) * 40503
+                  + ascii(reverse(s)) * 65599) % {_MH_P}
+                 FOR s IN [ array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1) ] ] AS hs
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id, list_distinct(hs) AS hset,
+               {mh_cols}
+        FROM grams
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND {h_eq}
+                     AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT c.id1, c.id2,
+               CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.hset, sb.hset))) AS j
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id1
+        JOIN sig sb ON sb.doc_id = c.id2
+    )
+    SELECT id1, id2, round(j + 1e-9, 4) AS jaccard
+    FROM scored WHERE j >= {_MH_TAU}
+    """
+
+
+@query("llm_dedup_minhash", oracle=_mh_oracle())
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via MinHash-LSH (operators/minhash.py):
-    linear signature pass → band-bucket shuffle → in-bucket pairs with
-    exact Jaccard verify. The scale path for fuzzy dedup — the planted
-    near-dup recall test lives in tests/test_operators.py."""
+    """Near-dup pairs via word-3-shingle MinHash-LSH: linear in-array
+    signature pass → narrow band-bucket self-join (band_id + 4 minhash
+    longs per row) → exact Jaccard verify on surviving pairs only —
+    operators/minhash.py's geometry (16 hashes, 4 bands × 4 rows) with
+    a portable affine family so the DuckDB oracle checks every value.
+    The xxhash64 production twin keeps its planted near-dup recall test
+    in tests/test_operators.py."""
     documents = catalog.load(spark, sf_dir, "documents")
-    return candidate_pairs(documents, "doc_id", "text")
+    n_par = documents.sparkSession.sparkContext.defaultParallelism
+    # word 3-shingles then the portable polynomial per shingle — all
+    # in-array (no explode, no shuffle until the band join), same shape
+    # as ngram_jaccard_pairs below
+    sh = F.expr(
+        "transform(sequence(1, greatest(size(__t) - 2, 1)), i -> "
+        " concat_ws(' ', slice(__t, i, 3)))"
+    )
+    hs = F.expr(
+        f"transform(__sh, s -> (length(s) * 2654435761L"
+        f" + ascii(s) * 40503L + ascii(reverse(s)) * 65599L) % {_MH_P})"
+    )
+    sig = (
+        documents.repartition(n_par, "doc_id")
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("__t"))
+        .select("doc_id", sh.alias("__sh"))
+        .select("doc_id", hs.alias("hs"))
+        .select(
+            "doc_id",
+            F.array_distinct("hs").alias("hset"),
+            *[
+                F.expr(
+                    f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {_MH_P}))"
+                ).alias(f"mh{s}")
+                for s, (a, b) in enumerate(_MH_SEEDS)
+            ],
+        )
+        .cache()
+    )
+    sig.count()  # eager: both band-join sides + the verify read it
+    hcols = [f"h{r}" for r in range(_MH_ROWS)]
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        *[
+                            F.col(f"mh{_MH_ROWS * i + r}").alias(f"h{r}")
+                            for r in range(_MH_ROWS)
+                        ],
+                    )
+                    for i in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", *[f"band.{h}" for h in hcols])
+    a, b = bands.alias("a"), bands.alias("b")
+    band_eq = F.col("a.band_id") == F.col("b.band_id")
+    for h in hcols:
+        band_eq = band_eq & (F.col(f"a.{h}") == F.col(f"b.{h}"))
+    cand = (
+        a.join(b, band_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    hsets = sig.select("doc_id", "hset")
+    pairs = cand.join(
+        hsets.select(F.col("doc_id").alias("id1"), F.col("hset").alias("h1")), "id1"
+    ).join(
+        hsets.select(F.col("doc_id").alias("id2"), F.col("hset").alias("h2")), "id2"
+    )
+    inter = F.size(F.array_intersect("h1", "h2")).cast("double")
+    union = F.size(F.array_union("h1", "h2")).cast("double")
+    j = inter / union
+    return pairs.where(j >= _MH_TAU).select(
+        "id1", "id2", fround(j).alias("jaccard")
+    )
 
 
 @query(

@@ -39,70 +39,85 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # A budget-capped external sweep records the first ~50 queries in
 # registration order.  To keep every query's differential evidence fresh,
 # the sweep order is explicit and least-recently-checked-first, decoupled
-# from module import order: first the queries with no sweep row in any
-# round (r1/r2 artifacts), then the round-2 red row, then the 48 queries
-# whose only green row is round 1.  The last ~6 of those spill past the
-# 50-slot window and lead the next round's list.
+# from module import order.  Round-5 derivation (mechanical: latest
+# CORRECTNESS_r*.json row per query, then code-change recency):
+#   tier A — round-4 hash failures (events ts-unit corruption, fixed
+#            this round) plus every query whose code changed this round
+#            (streaming page/source reads, upsert vacuum+fingerprint);
+#   tier B — round-1-only evidence (spilled past every window since);
+#   tier C — round-2-only evidence, oldest artifacts first.  The ~19
+#            tier-C stragglers that spill past the 50-slot window lead
+#            round 6.
 SWEEP_PRIORITY: list[str] = [
-    # never swept (registered past slot 50 in rounds 1-2)
-    "mm_decode_features",
-    "mm_sample_frames",
-    "llm_dedup_semantic_clusters",
-    "llm_tfidf_top_terms",
-    "llm_quality_repetition",
-    "llm_decontaminate",
-    "llm_corpus_stats",
-    # round-2 schema/hash failure, oracle fixed this round
+    # tier A: r04 red rows — events ts unit fix must re-prove these
     "fn_timestamp_parse",
-    # round-1-only evidence, in round-1 artifact order
-    "scan_parquet",
-    "scan_filter_prune",
     "source_paged_union",
-    "sink_upsert",
-    "source_rest_datasource",
-    "sink_partitioned_write",
-    "sink_create_table",
-    "project_flatten_json",
-    "project_rename_map",
-    "project_array_join",
-    "filter_conjunctive",
-    "filter_null_semantics",
-    "filter_in_like_regex",
-    "case_when_cast",
-    "join_inner_equi",
-    "join_broadcast_dim",
-    "join_left_outer",
-    "join_right_full",
-    "join_semi",
-    "join_anti",
-    "join_theta_range",
-    "join_multiway_star",
     "join_asof_latest",
-    "join_self_dedup_pairs",
-    "agg_group_sum",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_stats",
-    "agg_collect_sorted",
-    "agg_pivot",
-    "win_rank_dense_rownum",
-    "win_topk_per_group",
     "win_running_sum",
-    "win_sliding_rows_frame",
-    "win_range_frame",
     "win_lag_lead",
-    "win_ntile_percent",
-    "win_first_last",
+    # tier A: streaming queries — page layout v2 + unit-sniffed stream
+    # source landed this round; all r2-only evidence besides
+    "stream_tumbling_count",
+    "stream_sliding_avg",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_dedup_keys",
+    "stream_stateful_profile",
+    "stream_foreachbatch_upsert",
+    "stream_static_enrich",
+    # tier A: upsert sink — bucketer fingerprint (r4) + vacuum manifest
+    # stripping (r5) touched the merge path
+    "sink_upsert",
+    # tier B: round-1-only evidence
     "sort_multi_key",
     "sort_limit_topk",
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
     "set_except",
+    # tier C: round-2-only evidence — scalar suites first (they share
+    # the timestamp/formatting surface the fixture change stressed)
+    "fn_string_suite",
+    "fn_date_suite",
+    "fn_math_suite",
+    "fn_array_suite",
+    "fn_map_json_suite",
+    "fn_conditional_suite",
+    "fn_time_of_day",
+    "flagship_revenue_by_nation",
+    "report_shipping_priority",
+    "report_local_supplier_volume",
+    "report_forecast_revenue_change",
+    "report_top_parts_per_brand",
+    "report_market_share",
+    "report_returned_items",
+    "filter_exists_subquery",
+    "filter_not_exists_subquery",
+    "filter_scalar_subquery",
+    "agg_exact_quantiles",
+    "agg_unpivot",
+    "llm_corpus_sample",
+    "llm_train_val_test_split",
+    "llm_stratified_sample",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",
+    "llm_dedup_simhash",
+    "llm_dedup_ngram_jaccard",
+    "llm_sim_topk",
+    "llm_sim_pairs_threshold",
+    "llm_text_tokens",
+    "llm_text_stats",
+    "llm_text_quality",
+    "udf_python_scalar",
+    "udf_pandas_vectorized",
+    "udaf_grouped_agg",
+    "udtf_explode_kv",
+    "llm_lang_id",
+    "llm_token_count_bpe",
+    "llm_fingerprint_rolling",
+    "llm_sim_lsh_topk",
+    "llm_sim_ivf_topk",
+    "llm_dedup_clusters",
 ]
 
 
