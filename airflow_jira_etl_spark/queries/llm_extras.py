@@ -245,7 +245,32 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, documents, "doc_id")
 
 
-@query("mm_decode_features")  # rows-only: mapInPandas kernel output
+@query(
+    "mm_decode_features",
+    # The fake decode kernel computes pure byte statistics over the
+    # UTF-8 payload; the fixture text is ASCII (verified), so byte ==
+    # codepoint and DuckDB reproduces every value exactly. A production
+    # codec kernel would drop back to rows-only.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(coalesce(
+                 list_sum([unicode(c) FOR c IN string_split_regex(text, '')]),
+                 0) AS BIGINT) AS byte_sum,
+               CASE WHEN length(text) > 0 THEN ascii(text) ELSE -1 END AS fb
+        FROM documents
+    )
+    SELECT doc_id,
+           'image/fake' AS media_type,
+           n_bytes,
+           byte_sum,
+           CAST(fb AS INTEGER) AS first_byte,
+           CAST(n_bytes % 640 AS INTEGER) AS fake_width,
+           CAST(byte_sum % 480 AS INTEGER) AS fake_height
+    FROM b
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: documents → binary payload column +
     typed metadata → Arrow-batched mapInPandas feature extraction
@@ -255,12 +280,35 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_media(documents))
 
 
-@query("mm_sample_frames")  # rows-only: mapInPandas kernel output
+@query(
+    "mm_sample_frames",
+    # Frame slicing is byte arithmetic over the ASCII payload: step =
+    # max(n//4, 1), frame i covers [i*step, i*step+step). The oracle
+    # mirrors it with substring-then-encode (1 char = 1 byte here).
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, text,
+               length(text) AS n,
+               greatest(length(text) // 4, 1) AS step
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           encode(substring(text, i * step + 1, step)) AS frame_bytes
+    FROM m, (SELECT unnest(range(4)) AS i) g
+    WHERE i * step < n
+    """,
+)
 def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over opaque media payloads: one row in → N frame
-    rows out through mapInPandas (the video keyframe-extraction shape)."""
+    rows out through mapInPandas (the video keyframe-extraction shape).
+    The demo subset is keyed (doc_id < 200), not limit(200): an
+    unordered LIMIT is partition-order-dependent and can't be
+    differentially checked."""
     documents = catalog.load(spark, sf_dir, "documents")
-    return sample_frames(attach_media(documents.limit(200)), n_frames=4)
+    return sample_frames(
+        attach_media(documents.where(F.col("doc_id") < 200)), n_frames=4
+    )
 
 
 def _sem_clusters_oracle() -> str:
