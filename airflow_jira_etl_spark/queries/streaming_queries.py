@@ -396,3 +396,84 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(enriched, _ck("static_enrich"), "stream_enrich_out")
+
+
+@query(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id AS user_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition —
+    the attribution join (view → purchase within 2 h by the same user)
+    every event pipeline needs, and the one Structured Streaming
+    operator class the suite didn't yet cover. Both sides carry
+    watermarks and the join predicate bounds purchase_ts relative to
+    view_ts, so Spark can size the join state and evict rows once the
+    watermark passes view_ts + 2 h — unbounded-safe, not an
+    accumulate-everything join. For a bounded availableNow run an
+    inner stream-stream join emits exactly the batch join result, so
+    the DuckDB oracle is the plain interval self-join."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            v_user = p_user
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + INTERVAL 2 HOURS
+            """
+        ),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+    )
+    ck = _ck("ss_interval_join")
+    import shutil
+
+    shutil.rmtree(ck, ignore_errors=True)
+    with scoped_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_ssj_out")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql("SELECT * FROM stream_ssj_out")

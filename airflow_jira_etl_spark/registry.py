@@ -65,6 +65,7 @@ SWEEP_PRIORITY: list[str] = [
     "stream_stateful_profile",
     "stream_foreachbatch_upsert",
     "stream_static_enrich",
+    "stream_stream_interval_join",  # NEW this round — first evidence
     # tier A: upsert sink — bucketer fingerprint (r4) + vacuum manifest
     # stripping (r5) touched the merge path
     "sink_upsert",
