@@ -356,11 +356,13 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    # bounded storage: drop generations beyond the retention window so
-    # repeated runs don't accumulate one generation per micro-batch;
-    # retained manifests keep every data dir they reference, so the
-    # read below (and any reader holding a retained pointer) still works
-    table.vacuum(retain_last=2)
+    # maintenance pass, the full table lifecycle: compaction re-points
+    # every bucket at one generation (the per-page merges left the live
+    # manifest scattered across one generation per micro-batch), then
+    # vacuum reclaims everything the compacted manifest no longer
+    # references — bounded storage across repeated runs
+    table.compact()
+    table.vacuum(retain_last=1)
     return table.read()
 
 

@@ -290,6 +290,74 @@ class ParquetUpsertTable:
             f.write(gen_name)
         os.replace(tmp, self._pointer_path())
 
+    # -------------------------------------------------------- compaction
+
+    def compact(
+        self,
+        n_buckets: int | None = None,
+        bucketer: Bucketer | None = None,
+    ) -> str | None:
+        """Rewrite the CURRENT state as one complete generation (the
+        Delta OPTIMIZE analog). After many merges the live manifest
+        references bucket directories scattered across old generations;
+        compaction re-points every bucket at a single new generation,
+        so a following ``vacuum`` can reclaim every prior directory and
+        a reader lists one directory tree, not N.
+
+        Because it rewrites every row anyway, compaction is also the
+        ONE legitimate place to change the bucket layout — pass
+        ``n_buckets`` (e.g. the table outgrew its file-per-bucket size
+        target) and/or a new ``bucketer``. ``apply()``'s fingerprint
+        guard forbids exactly this anywhere else, since a layout change
+        without a full rewrite routes keys away from their rows.
+
+        Returns the new generation name, or None for an empty table.
+        """
+        manifest = self._read_manifest()
+        if manifest is None:
+            return None
+        new_n = n_buckets if n_buckets is not None else manifest["n_buckets"]
+        new_bucketer = bucketer if bucketer is not None else self.bucketer
+        df = self._read_paths(manifest, self._bucket_paths(manifest))
+        df = df.withColumn(_BUCKET, new_bucketer(df, self.keys, new_n))
+        # cluster by bucket so partitionBy emits ONE file per bucket dir
+        # (the compaction contract) instead of a file per (task, bucket)
+        df = df.repartition(max(new_n, 1), F.col(_BUCKET))
+
+        cur = self.current_generation()
+        cur_n = int(os.path.basename(cur).split("_")[1]) if cur else -1
+        gen_name = f"gen_{cur_n + 1:06d}"
+        out = os.path.join(self.root, gen_name)
+        shutil.rmtree(out, ignore_errors=True)
+        df.write.partitionBy(_BUCKET).mode("overwrite").parquet(out)
+        written = {
+            int(d.split("=")[1])
+            for d in os.listdir(out)
+            if d.startswith(f"{_BUCKET}=")
+        }
+        with open(os.path.join(out, _MANIFEST), "w") as f:
+            json.dump(
+                {
+                    "n_buckets": new_n,
+                    "buckets": {
+                        str(b): f"{gen_name}/{_BUCKET}={b}"
+                        for b in sorted(written)
+                    },
+                    "schema": manifest["schema"],
+                    "bucketer": _bucketer_fingerprint(new_bucketer),
+                },
+                f,
+            )
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(gen_name)
+        os.replace(tmp, self._pointer_path())
+        # adopt the new layout so this instance's next apply() merges
+        # under the fingerprint it just committed
+        self.n_buckets = new_n
+        self.bucketer = new_bucketer
+        return gen_name
+
     # -------------------------------------------------------------- GC
 
     def generations(self) -> list[str]:

@@ -201,6 +201,71 @@ def test_vacuum_ignores_uncommitted_orphan_manifest(spark, tmp_path):
     assert got == {1: "a", 2: "b2"}  # _CURRENT still resolves
 
 
+def test_compact_rewrites_to_single_generation(spark, tmp_path, rows_df):
+    """compact() re-points every bucket at one new generation, one file
+    per bucket dir; state is unchanged and a following vacuum reclaims
+    every prior directory."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=16)
+    t.apply(rows_df)
+    for i in range(3):
+        t.apply(
+            spark.createDataFrame([(i * 7, float(-i))], "k long, v double")
+        )
+    before = sorted((r.k, r.v) for r in t.read().collect())
+    # live manifest references bucket dirs across several generations
+    m = t._read_manifest()
+    assert len({p.split("/", 1)[0] for p in m["buckets"].values()}) > 1
+
+    gen = t.compact()
+    m2 = t._read_manifest()
+    assert {p.split("/", 1)[0] for p in m2["buckets"].values()} == {gen}
+    assert sorted((r.k, r.v) for r in t.read().collect()) == before
+    # one data file per bucket dir — the compaction contract
+    gen_dir = os.path.join(t.root, gen)
+    for d in _bucket_dirs(gen_dir):
+        parts = [
+            f
+            for f in os.listdir(os.path.join(gen_dir, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, (d, parts)
+    # nothing before the compact is referenced anymore
+    deleted = t.vacuum(retain_last=1)
+    assert set(t.generations()) == {gen}
+    assert len(deleted) >= 1
+    assert sorted((r.k, r.v) for r in t.read().collect()) == before
+
+
+def test_compact_is_the_legitimate_bucketer_change_path(spark, tmp_path):
+    """apply() refuses a bucketer change; compact() rewrites every row,
+    so changing layout there is safe — and afterwards merges under the
+    NEW fingerprint work while the old one is refused."""
+    root = str(tmp_path / "t")
+    t = ParquetUpsertTable(spark, root, key="k", bucketer=range_bucketer(100))
+    t.apply(
+        spark.range(1000).select(
+            F.col("id").alias("k"), F.lit(0.0).alias("v")
+        )
+    )
+    t.compact(n_buckets=8, bucketer=hash_bucketer)
+    assert t._read_manifest()["bucketer"] == "hash"
+    # the same instance keeps merging (it adopted the new layout)
+    t.apply(spark.createDataFrame([(5, 5.0)], "k long, v double"))
+    # a reopen with the OLD bucketer is now the mismatch
+    t_old = ParquetUpsertTable(
+        spark, root, key="k", bucketer=range_bucketer(100)
+    )
+    with pytest.raises(ValueError, match="bucketer mismatch"):
+        t_old.apply(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    # a reopen with the new bucketer merges fine
+    t_new = ParquetUpsertTable(
+        spark, root, key="k", n_buckets=8, bucketer=hash_bucketer
+    )
+    t_new.apply(spark.createDataFrame([(6, 6.0)], "k long, v double"))
+    got = {r.k: r.v for r in t_new.read().collect()}
+    assert len(got) == 1000 and got[5] == 5.0 and got[6] == 6.0
+
+
 def test_schema_evolution_adds_column_with_nulls(spark, tmp_path):
     t = ParquetUpsertTable(
         spark, str(tmp_path / "ev"), key="k", n_buckets=4, evolve_schema=True
