@@ -86,3 +86,49 @@ def upsert(
         .where(F.col(_RN) == 1)
         .drop(_PRIORITY, _ORD, _RN)
     )
+
+
+_COMBINE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def merge_aggregate(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    combine: dict[str, str],
+    cluster_cols: list[str] | None = None,
+) -> DataFrame:
+    """Combining MERGE — ``WHEN MATCHED THEN UPDATE SET c = f(old, new)``
+    with an associative-commutative ``f`` per column (``sum``/``min``/
+    ``max``): the incremental-materialized-view refresh operator. Where
+    :func:`upsert` answers "what is this key's LATEST row", this answers
+    "what is this key's RUNNING aggregate" — new partial aggregates fold
+    into the stored ones, so refreshing an MV over an append stream costs
+    one groupBy over (stored state ∪ batch partials), never a rescan of
+    the underlying fact table.
+
+    Every non-key column must appear in ``combine`` — a column without a
+    combiner has no well-defined merged value. Unlike :func:`upsert`,
+    replaying a batch is NOT idempotent (sums double-count); callers need
+    an exactly-once batch boundary (e.g. foreachBatch checkpointing or a
+    recorded page cursor) — same contract as any incremental MV.
+    ``cluster_cols`` as in :func:`upsert`: key-derived columns prepended
+    to the grouping so the merge's one shuffle also clusters the output
+    for a partitioned write.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    group = [*(cluster_cols or []), *keys]
+    missing = set(base.columns) - set(group) - set(combine)
+    if missing:
+        raise ValueError(
+            f"columns {sorted(missing)} have no combiner: every non-key "
+            f"column needs an entry in combine (sum/min/max)"
+        )
+    bad = {c: f for c, f in combine.items() if f not in _COMBINE_FNS}
+    if bad:
+        raise ValueError(
+            f"unsupported combiners {bad}: pick from {sorted(_COMBINE_FNS)}"
+        )
+    union = base.unionByName(updates)
+    aggs = [_COMBINE_FNS[f](c).alias(c) for c, f in combine.items()]
+    return union.groupBy(*group).agg(*aggs)

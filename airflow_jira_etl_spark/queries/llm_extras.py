@@ -683,3 +683,76 @@ def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# PII patterns shared verbatim by the Spark query and the DuckDB oracle
+# (Java regex and RE2 agree on this restricted syntax: literal classes,
+# bounded repetition, no lookaround).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{2,3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def _pii_oracle() -> str:
+    return f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' or +90 555-123-4567' ELSE '' END
+                    AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(raw, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS INT)
+               AS n_phones
+    FROM aug
+    """
+
+
+@query("llm_pii_scrub", oracle=_pii_oracle())
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus — the compliance pass every
+    training-data pipeline runs before anything else: emails and
+    phone-shaped tokens are replaced with typed placeholders and
+    counted per document. Pure codegen (regexp_replace /
+    regexp_extract_all, no UDF), so it rides the same whole-stage
+    pipeline as any projection — at 100 TB this is a map-only pass
+    with zero shuffle. The fixture text carries no real PII, so each
+    document is augmented with a deterministic synthetic contact line
+    (email always, phone for every third doc) — both engines build the
+    identical input, keeping the oracle differential."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" or +90 555-123-4567")
+            ).otherwise(F.lit("")),
+        ).alias("raw"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("raw", _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ).alias("clean_text"),
+        # F.lit patterns, not F.expr SQL strings: a Spark SQL literal
+        # would re-interpret the regex backslashes as string escapes
+        F.size(
+            F.regexp_extract_all(F.col("raw"), F.lit(_PII_EMAIL), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col("raw"), F.lit(_PII_PHONE), F.lit(0))
+        ).alias("n_phones"),
+    )

@@ -226,3 +226,66 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.first("value").over(w)).alias("first_v"),
         fround(F.last("value").over(w)).alias("last_v"),
     )
+
+
+@query(
+    "win_sessionize_gaps",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           count(*) AS n_events,
+           round(sum(value) + 1e-9, 4) AS total_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def win_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after a
+    30-minute silence; the running count of break markers is the session
+    id. The batch twin of stream_session_window, fully SQL-expressible —
+    two windows over ONE (user_id, ts) sort: Catalyst reuses the sort and
+    shuffle for the lag pass, the cumulative-sum pass AND the final
+    groupBy (all partition on user_id), so the whole query costs a single
+    exchange at any scale. Ties broken by event_id — determinism under
+    equal timestamps is a correctness property across engines."""
+    events = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        fround(F.sum("value")).alias("total_value"),
+    )

@@ -66,6 +66,9 @@ SWEEP_PRIORITY: list[str] = [
     "stream_foreachbatch_upsert",
     "stream_static_enrich",
     "stream_stream_interval_join",  # NEW this round — first evidence
+    "mv_incremental_refresh",  # NEW this round — first evidence
+    "win_sessionize_gaps",  # NEW this round — first evidence
+    "llm_pii_scrub",  # NEW this round — first evidence
     # tier A: upsert sink — bucketer fingerprint (r4) + vacuum manifest
     # stripping (r5) touched the merge path
     "sink_upsert",
@@ -140,6 +143,7 @@ def load_all_queries() -> None:
         aggregations,
         windows,
         sorts_sets,
+        matview,
     )
 
     missing = [n for n in SWEEP_PRIORITY if n not in QUERIES]

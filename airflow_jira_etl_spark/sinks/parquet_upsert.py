@@ -40,7 +40,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from airflow_jira_etl_spark.operators.upsert import upsert
+from airflow_jira_etl_spark.operators.upsert import merge_aggregate, upsert
 
 _POINTER = "_CURRENT"
 _MANIFEST = "_MANIFEST.json"
@@ -190,10 +190,19 @@ class ParquetUpsertTable:
 
     # ----------------------------------------------------------- merge
 
-    def apply(self, updates: DataFrame, ordinal_col: str | None = None) -> None:
-        """MERGE a batch of updates (last-writer-wins on the key;
-        ``ordinal_col`` breaks intra-batch duplicate-key ties — see
-        operators/upsert.py)."""
+    def apply(
+        self,
+        updates: DataFrame,
+        ordinal_col: str | None = None,
+        combine: dict[str, str] | None = None,
+    ) -> None:
+        """MERGE a batch of updates. Default semantics: last-writer-wins
+        on the key (``ordinal_col`` breaks intra-batch duplicate-key
+        ties — see operators/upsert.py). With ``combine`` (a column →
+        sum/min/max map), the merge FOLDS the batch into the stored rows
+        instead — the incremental-materialized-view refresh (see
+        operators/upsert.merge_aggregate; replays are not idempotent in
+        this mode, the caller owns the exactly-once batch boundary)."""
         manifest = self._read_manifest()
         n_buckets = manifest["n_buckets"] if manifest else self.n_buckets
         # the bucketer identity is manifest-authoritative, like n_buckets:
@@ -254,16 +263,21 @@ class ParquetUpsertTable:
         else:
             # first write (or all-new buckets): dedup within the batch
             base = upd.limit(0)
-        # clustering the merge window by bucket makes its one shuffle
-        # also the write clustering -> no extra repartition shuffle
-        merged = upsert(
-            base,
-            upd,
-            self.keys,
-            ordinal_col=ordinal_col,
-            cluster_cols=[_BUCKET],
-            evolve_schema=self.evolve_schema,
-        )
+        # clustering the merge by bucket makes its one shuffle also the
+        # write clustering -> no extra repartition shuffle
+        if combine is not None:
+            merged = merge_aggregate(
+                base, upd, self.keys, combine, cluster_cols=[_BUCKET]
+            )
+        else:
+            merged = upsert(
+                base,
+                upd,
+                self.keys,
+                ordinal_col=ordinal_col,
+                cluster_cols=[_BUCKET],
+                evolve_schema=self.evolve_schema,
+            )
 
         cur = self.current_generation()
         cur_n = int(os.path.basename(cur).split("_")[1]) if cur else -1

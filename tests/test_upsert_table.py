@@ -266,6 +266,38 @@ def test_compact_is_the_legitimate_bucketer_change_path(spark, tmp_path):
     assert len(got) == 1000 and got[5] == 5.0 and got[6] == 6.0
 
 
+def test_combine_merge_folds_partials(spark, tmp_path):
+    """apply(combine=...) folds batch partial aggregates into stored
+    state (the incremental-MV refresh): the result equals the one-shot
+    aggregate over all rows, and only the batch's buckets are touched."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "mv"), key="g", n_buckets=8)
+    combine = {"n": "sum", "total": "sum", "hi": "max"}
+    b1 = spark.createDataFrame(
+        [("a", 2, 10.0, 5.0), ("b", 1, 3.0, 3.0)],
+        "g string, n long, total double, hi double",
+    )
+    b2 = spark.createDataFrame(
+        [("a", 3, 5.0, 9.0), ("c", 1, 1.0, 1.0)],
+        "g string, n long, total double, hi double",
+    )
+    t.apply(b1, combine=combine)
+    t.apply(b2, combine=combine)
+    got = {r.g: (r.n, r.total, r.hi) for r in t.read().collect()}
+    assert got == {
+        "a": (5, 15.0, 9.0),
+        "b": (1, 3.0, 3.0),
+        "c": (1, 1.0, 1.0),
+    }
+
+    # a column without a combiner is ambiguous -> refuse
+    from airflow_jira_etl_spark.operators.upsert import merge_aggregate
+
+    with pytest.raises(ValueError, match="no combiner"):
+        merge_aggregate(t.read(), b1, "g", {"n": "sum"})
+    with pytest.raises(ValueError, match="unsupported combiner"):
+        merge_aggregate(t.read(), b1, "g", {"n": "avg", "total": "sum", "hi": "max"})
+
+
 def test_schema_evolution_adds_column_with_nulls(spark, tmp_path):
     t = ParquetUpsertTable(
         spark, str(tmp_path / "ev"), key="k", n_buckets=4, evolve_schema=True
