@@ -429,3 +429,128 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "report_funnel_steps",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS view_ts
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS click_ts
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS purchase_ts
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(v.view_ts AS TIMESTAMP) AS view_ts,
+           CAST(c.click_ts AS TIMESTAMP) AS click_ts,
+           CAST(p.purchase_ts AS TIMESTAMP) AS purchase_ts,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS funnel_depth
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def report_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence conversion funnel (view → click after it →
+    purchase after that): per user, the timestamp reached at each step
+    and the depth attained. Each step is a per-user MIN over the events
+    scan joined to the previous step's (tiny, per-user) frontier — the
+    frontier broadcasts, so the fact table is never shuffled: at 100 TB
+    the plan is three pushed-filter scans + broadcast joins + partial
+    aggs, no events-sized exchange."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("funnel_depth"),
+        )
+    )
+
+
+@query(
+    "report_retention_cohorts",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                AS INT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def report_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their
+    first event; each cell counts distinct users of that cohort active
+    N weeks later. The cohort frontier (one row per user) broadcasts
+    back onto the events scan; week arithmetic is exact integer day
+    math on Monday-truncated dates, so both engines agree to the day.
+    The distinct-count shuffles once on (cohort, offset) — at 100 TB
+    the pre-aggregation (partial distinct) keeps the exchange small."""
+    ev = catalog.load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(f), "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

@@ -69,6 +69,8 @@ SWEEP_PRIORITY: list[str] = [
     "mv_incremental_refresh",  # NEW this round — first evidence
     "win_sessionize_gaps",  # NEW this round — first evidence
     "llm_pii_scrub",  # NEW this round — first evidence
+    "report_funnel_steps",  # NEW this round — first evidence
+    "report_retention_cohorts",  # NEW this round — first evidence
     # tier A: upsert sink — bucketer fingerprint (r4) + vacuum manifest
     # stripping (r5) touched the merge path
     "sink_upsert",

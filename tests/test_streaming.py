@@ -48,11 +48,11 @@ def test_foreachbatch_upsert_replay_idempotent(spark, sf_dir):
     assert once == twice
 
 
-def test_foreachbatch_vacuum_spares_retained_reader(spark, sf_dir):
-    """The stream pipeline vacuums to retain_last=2 after completion; a
-    reader that resolved the PRIOR retained pointer must survive the GC
-    (the sink's mid-GC reader guarantee), and generations must not
-    accumulate run over run."""
+def test_foreachbatch_compact_leaves_single_generation(spark, sf_dir):
+    """The stream pipeline ends with compact + vacuum(retain_last=1):
+    after the run exactly ONE generation remains on disk — the
+    compacted one, holding the full state — so storage is bounded run
+    over run and every bucket resolves into the same directory."""
     import os
 
     from airflow_jira_etl_spark.queries.streaming_queries import SCRATCH
@@ -65,16 +65,11 @@ def test_foreachbatch_vacuum_spares_retained_reader(spark, sf_dir):
         spark, os.path.join(SCRATCH, "upsert_table"), key="event_id"
     )
     gens = t.generations()
-    # 4 micro-batches commit gens 0..3; vacuum(retain_last=2) keeps the
-    # last two manifests plus whatever data dirs they still reference
-    manifests = [
-        g
-        for g in gens
-        if os.path.exists(os.path.join(t.root, g, "_MANIFEST.json"))
-    ]
-    assert len(manifests) == 2
-    # the prior retained pointer (second-newest manifest) still reads
-    prior = t._read_manifest(os.path.join(t.root, manifests[0]))
-    prior_df = spark.read.parquet(*t._bucket_paths(prior))
-    assert prior_df.count() > 0
+    # 4 micro-batches commit gens 0..3, compact commits gen 4, vacuum
+    # reclaims 0..3 entirely (the compacted manifest references only
+    # its own directory)
+    assert len(gens) == 1
+    assert os.path.exists(os.path.join(t.root, gens[0], "_MANIFEST.json"))
+    m = t._read_manifest(os.path.join(t.root, gens[0]))
+    assert {p.split("/", 1)[0] for p in m["buckets"].values()} == {gens[0]}
     assert t.read().count() == n_rows
