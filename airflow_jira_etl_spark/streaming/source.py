@@ -144,7 +144,7 @@ def write_event_pages(
     return page_size
 
 
-STREAM_STATE_PARTITIONS = "8"
+STREAM_STATE_PARTITIONS = "4"
 
 
 
