@@ -132,23 +132,19 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        # When the fixture stores ts as TIMESTAMP(NANOS), Spark's reader
-        # surfaces it as long via spark.sql.legacy.parquet.nanosAsLong
-        # (see session.py); events_ts_is_nanos() decides per file.
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# (realpath, mtime_ns, size) -> StructType; footer-only schema
+# inference is cheap but load() is on every query's path, so memoize
+# per file state. A regenerated fixture (new mtime/size) re-sniffs.
+_FILE_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
 
-# (realpath, mtime_ns, size) -> bool; footer-only schema inference is
-# cheap but load() is on every query's path, so memoize per file state.
-_TS_NANOS_CACHE: dict[tuple, bool] = {}
+
+def file_schema(spark: SparkSession, path: str) -> T.StructType:
+    """The file's OWN schema as Spark reads it (footer only)."""
+    st = os.stat(path)
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    if key not in _FILE_SCHEMA_CACHE:
+        _FILE_SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _FILE_SCHEMA_CACHE[key]
 
 
 def events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
@@ -156,14 +152,8 @@ def events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
     (surfaced as LongType under nanosAsLong=true), False for
     micro-precision files that read as a proper timestamp. The fixture
     generator has shipped both units across rounds; sniffing the footer
-    instead of assuming one unit makes the engine layout-proof. Keyed
-    by (path, mtime, size) so a regenerated fixture re-sniffs."""
-    st = os.stat(path)
-    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
-    if key not in _TS_NANOS_CACHE:
-        dt = spark.read.parquet(path).schema["ts"].dataType
-        _TS_NANOS_CACHE[key] = isinstance(dt, T.LongType)
-    return _TS_NANOS_CACHE[key]
+    instead of assuming one unit makes the engine layout-proof."""
+    return isinstance(file_schema(spark, path)["ts"].dataType, T.LongType)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -174,15 +164,49 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from airflow_jira_etl_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
-    if name == "events" and events_ts_is_nanos(spark, table_path(sf_dir, name)):
-        raw = spark.read.schema(_EVENTS_RAW).parquet(table_path(sf_dir, name))
-        # integer nanos → micros (floor), matching how micro-precision
-        # engines read the same file; `div` stays in long arithmetic
-        # (a double intermediate would lose precision at ~1.7e18 ns).
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    path = table_path(sf_dir, name)
+    declared = SCHEMAS[name]
+    actual = file_schema(spark, path)
+    actual_types = {f.name: f.dataType for f in actual.fields}
+    missing = [f.name for f in declared.fields if f.name not in actual_types]
+    if missing:  # a column we can't invent — fail loudly, not with NULLs
+        raise ValueError(
+            f"fixture {path} lacks declared columns {missing}; "
+            f"file has {sorted(actual_types)}"
         )
-    return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
+    if all(
+        actual_types[f.name] == f.dataType for f in declared.fields
+    ) and len(actual.fields) == len(declared.fields):
+        # fast path: physical layout matches the declared contract
+        return spark.read.schema(declared).parquet(path)
+    # PHYSICAL TYPE DRIFT (the r04 events-nanos incident, generalized):
+    # the fixture generator may re-emit a column with a different but
+    # value-compatible physical type (int32↔int64, float↔double, a new
+    # timestamp unit) across rounds. Pinning the declared schema on the
+    # reader would error or NULL-fill; instead read the file under its
+    # OWN schema and cast to the declared logical types — queries keep
+    # seeing the contract, whatever layout the round shipped.
+    return conform(spark.read.schema(actual).parquet(path), declared)
+
+
+def conform(raw: DataFrame, declared: T.StructType) -> DataFrame:
+    """Project a frame read under its file's own schema onto the
+    declared contract: column selection by name + logical casts. Shared
+    by the batch loader and the streaming source."""
+    actual_types = {f.name: f.dataType for f in raw.schema.fields}
+
+    def conv(f: T.StructField):
+        # TIMESTAMP(NANOS) surfaces as long under nanosAsLong: a plain
+        # cast would read it as SECONDS — convert explicitly instead
+        if isinstance(f.dataType, T.TimestampType) and isinstance(
+            actual_types[f.name], T.LongType
+        ):
+            return F.timestamp_micros(
+                F.expr(f"`{f.name}` div 1000")
+            ).alias(f.name)
+        return F.col(f.name).cast(f.dataType)
+
+    return raw.select(*[conv(f) for f in declared.fields])
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

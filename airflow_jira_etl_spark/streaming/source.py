@@ -22,9 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark.catalog import (
-    _EVENTS_RAW,
     SCHEMAS,
-    events_ts_is_nanos,
+    conform,
+    file_schema,
     table_path,
 )
 
@@ -54,17 +54,18 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events table. A streaming source needs its
-    schema up front, so the file's ts unit is sniffed with the batch
-    footer reader (catalog.events_ts_is_nanos) and the matching
-    schema/conversion applied — same per-file dispatch as catalog.load."""
+    schema up front, so the file's physical schema is sniffed with the
+    batch footer reader (catalog.file_schema) and conformed to the
+    declared contract — same per-file drift handling as catalog.load
+    (the fixture has shipped e.g. both TIMESTAMP(NANOS) and MICROS
+    across generations)."""
     from airflow_jira_etl_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
     staged = _staged_events_dir(sf_dir)
-    if events_ts_is_nanos(spark, table_path(sf_dir, "events")):
-        raw = spark.readStream.schema(_EVENTS_RAW).parquet(staged)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.readStream.schema(SCHEMAS["events"]).parquet(staged)
+    actual = file_schema(spark, table_path(sf_dir, "events"))
+    raw = spark.readStream.schema(actual).parquet(staged)
+    return conform(raw, SCHEMAS["events"])
 
 
 def write_event_pages(

@@ -120,3 +120,60 @@ def test_pages_store_real_timestamps(spark, sf_dir, tmp_path):
         .collect()
     )
     assert [r.ts for r in paged] == [r.ts for r in direct]
+
+
+def test_load_casts_drifted_physical_types(spark, tmp_path):
+    """The r04 incident, generalized: a regenerated fixture may re-emit
+    any column with a different but value-compatible physical type.
+    load() must read the file under its own schema and cast to the
+    declared contract — including the long-surfaced TIMESTAMP(NANOS)
+    case, which a plain cast would misread as seconds."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
+    table = pa.table(
+        {
+            # declared long -> shipped int32
+            "o_orderkey": pa.array([1, 2], pa.int32()),
+            "o_custkey": pa.array([10, 20], pa.int64()),
+            "o_orderstatus": pa.array(["O", "F"]),
+            # declared double -> shipped float32
+            "o_totalprice": pa.array([1.5, 2.5], pa.float32()),
+            # declared timestamp -> shipped TIMESTAMP(NANOS)
+            "o_orderdate": pa.array(
+                [base_us * 1000, (base_us + 1_000_000) * 1000],
+                pa.timestamp("ns"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"]),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_arrays(
+            [table[c] for c in table.column_names],
+            names=table.column_names,
+        ),
+        os.path.join(sf, "orders.parquet"),
+        store_schema=False,
+    )
+    df = catalog.load(spark, sf, "orders")
+    assert df.schema == catalog.SCHEMAS["orders"]
+    rows = df.orderBy("o_orderkey").collect()
+    assert [r.o_orderkey for r in rows] == [1, 2]
+    assert [r.o_totalprice for r in rows] == [1.5, 2.5]
+    assert rows[0].o_orderdate == datetime.datetime(2024, 1, 1, 0, 0, 0)
+    assert rows[1].o_orderdate == datetime.datetime(2024, 1, 1, 0, 0, 1)
+
+
+def test_load_missing_declared_column_fails_loudly(spark, tmp_path):
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([0], pa.int32())}),
+        os.path.join(sf, "region.parquet"),
+    )
+    with pytest.raises(ValueError, match="lacks declared columns"):
+        catalog.load(spark, sf, "region")
