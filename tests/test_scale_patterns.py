@@ -186,3 +186,32 @@ def test_subqueries_decorrelate_to_semi_anti_joins(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "LeftAnti" in nex and "CartesianProduct" not in nex
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Gaps-and-islands sessionization must cost exactly one shuffle:
+    the lag pass, the cumulative-sum pass and the final groupBy all
+    share the user_id partitioning."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    df = registry.QUERIES["win_sessionize_gaps"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+
+def test_funnel_never_shuffles_fact_table(spark, sf_dir):
+    """Funnel steps join tiny per-user frontiers back onto the events
+    scan as broadcasts; the fact table itself must never be
+    hash-exchanged (every Exchange in the plan is a BroadcastExchange
+    or carries only frontier/aggregate rows, so no exchange may sit
+    directly above the events file scan)."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    df = registry.QUERIES["report_funnel_steps"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
