@@ -14,7 +14,7 @@ the exception (needs the raw keys per group); the approximate variant
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
@@ -263,3 +263,43 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pivot yields NULL for empty cells; count semantics say 0
     return pivoted.fillna(0, subset=EVENT_TYPES)
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_event_type, n
+    FROM (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM counts
+    )
+    WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a DETERMINISTIC tie-break
+    (count desc, then lexicographic) — built-in mode() functions
+    resolve ties arbitrarily and can't be differentially checked
+    across engines. Two stages: a partial-agg count shuffle, then a
+    per-user top-1 (WindowGroupLimit lowers the rn=1 filter, so only
+    each group's best row survives the second exchange)."""
+    events = catalog.load(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("event_type").alias("mode_event_type"), "n"
+        )
+    )

@@ -289,3 +289,51 @@ def win_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         fround(F.sum("value")).alias("total_value"),
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH marked AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) = 1
+               THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(sum(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+    FROM marked
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) — an operator neither Spark nor DuckDB
+    supports natively as a window function (DISTINCT aggregates are
+    invalid in OVER clauses in both). The portable lowering: mark each
+    (user, event_type)'s FIRST occurrence with one window, then a
+    running sum of the markers with a second — two bounded-state window
+    passes instead of a per-row distinct set. The two partitionings
+    share the user_id prefix, so the second pass reuses locality from
+    the first's shuffle."""
+    events = catalog.load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = events.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("first_seen").over(w_run).cast("long").alias("n_distinct_types"),
+    )

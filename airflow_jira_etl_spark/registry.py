@@ -71,6 +71,8 @@ SWEEP_PRIORITY: list[str] = [
     "llm_pii_scrub",  # NEW this round — first evidence
     "report_funnel_steps",  # NEW this round — first evidence
     "report_retention_cohorts",  # NEW this round — first evidence
+    "win_running_distinct",  # NEW this round — first evidence
+    "agg_mode_per_group",  # NEW this round — first evidence
     # tier A: upsert sink — bucketer fingerprint (r4) + vacuum manifest
     # stripping (r5) touched the merge path
     "sink_upsert",
