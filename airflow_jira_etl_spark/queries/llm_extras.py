@@ -227,21 +227,53 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_dedup_clusters")  # rows-only: depends on hash-family pair output
+def _clusters_oracle() -> str:
+    from airflow_jira_etl_spark.queries.llm_ops import _MH_TAU, _mh_pairs_cte
+
+    # recursive min-label propagation over the SAME scored pairs the
+    # portable minhash oracle emits — the components operator's
+    # semantics pinned end-to-end by a second engine
+    return (
+        _mh_pairs_cte().replace("WITH toks", "WITH RECURSIVE toks")
+        + f""",
+    p AS (SELECT id1, id2 FROM scored WHERE j >= {_MH_TAU}),
+    edges AS (
+        SELECT id1 AS src, id2 AS dst FROM p
+        UNION
+        SELECT id2, id1 FROM p
+    ),
+    lbl(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, l.comp
+        FROM edges e
+        JOIN lbl l ON l.id = e.dst
+        WHERE l.comp < e.src
+    )
+    SELECT id, min(comp) AS component,
+           CAST(id = min(comp) AS BOOLEAN) AS is_canonical
+    FROM lbl
+    GROUP BY id
+    """
+    )
+
+
+@query("llm_dedup_clusters", oracle=_clusters_oracle())
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup decision: MinHash-LSH pairs (jaccard ≥ 0.7) →
-    connected components (operators/components.py, iterative label
-    propagation) → every document labeled (component, is_canonical).
-    The deliverable of a corpus-dedup pass: keep rows where
-    is_canonical. Topology correctness is pinned by the planted-graph
-    test in tests/test_operators.py."""
+    """End-to-end dedup decision: MinHash-LSH pairs → connected
+    components (operators/components.py, iterative label propagation)
+    → every document labeled (component, is_canonical). The
+    deliverable of a corpus-dedup pass: keep rows where is_canonical.
+    Pair generation uses the portable affine family
+    (llm_ops.minhash_pairs_portable), so DuckDB independently recomputes
+    pairs AND transitive closure (recursive CTE) — the whole pipeline
+    is hash-checked; the xxhash64 production family keeps its
+    planted-graph topology test in tests/test_operators.py."""
     from airflow_jira_etl_spark.operators.components import dedup_clusters
-    from airflow_jira_etl_spark.operators.minhash import candidate_pairs
+    from airflow_jira_etl_spark.queries.llm_ops import minhash_pairs_portable
 
     documents = catalog.load(spark, sf_dir, "documents")
-    pairs = candidate_pairs(documents, "doc_id", "text").where(
-        F.col("jaccard") >= 0.7
-    )
+    pairs = minhash_pairs_portable(documents)
     return dedup_clusters(pairs, documents, "doc_id")
 
 

@@ -70,9 +70,11 @@ _MH_ROWS = 4
 _MH_TAU = 0.5
 
 
-def _mh_oracle() -> str:
-    """DuckDB mirror of llm_dedup_minhash, generated from the same seed
-    table so the two engines can never drift."""
+def _mh_pairs_cte() -> str:
+    """The shared DuckDB CTE chain (shingle → signature → band join →
+    Jaccard verify) ending in `scored(id1, id2, j)`; llm_dedup_minhash
+    and llm_dedup_clusters' oracles both build on it, generated from
+    the same seed table so the engines can never drift."""
     mh_cols = ",\n               ".join(
         f"list_min([ (h * {a} + {b}) % {_MH_P} FOR h IN hs ]) AS mh{s}"
         for s, (a, b) in enumerate(_MH_SEEDS)
@@ -122,9 +124,17 @@ def _mh_oracle() -> str:
         JOIN sig sa ON sa.doc_id = c.id1
         JOIN sig sb ON sb.doc_id = c.id2
     )
+    """
+
+
+def _mh_oracle() -> str:
+    return (
+        _mh_pairs_cte()
+        + f"""
     SELECT id1, id2, round(j + 1e-9, 4) AS jaccard
     FROM scored WHERE j >= {_MH_TAU}
     """
+    )
 
 
 @query("llm_dedup_minhash", oracle=_mh_oracle())
@@ -137,6 +147,15 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The xxhash64 production twin keeps its planted near-dup recall test
     in tests/test_operators.py."""
     documents = catalog.load(spark, sf_dir, "documents")
+    return minhash_pairs_portable(documents).select(
+        "id1", "id2", fround(F.col("j")).alias("jaccard")
+    )
+
+
+def minhash_pairs_portable(documents: DataFrame) -> DataFrame:
+    """Portable-family MinHash-LSH near-dup pairs (id1, id2, j ≥ tau):
+    the differential-checkable pair generator shared by
+    llm_dedup_minhash and llm_dedup_clusters' oracle paths."""
     n_par = documents.sparkSession.sparkContext.defaultParallelism
     # word 3-shingles then the portable polynomial per shingle — all
     # in-array (no explode, no shuffle until the band join), same shape
@@ -203,9 +222,7 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("h1", "h2")).cast("double")
     union = F.size(F.array_union("h1", "h2")).cast("double")
     j = inter / union
-    return pairs.where(j >= _MH_TAU).select(
-        "id1", "id2", fround(j).alias("jaccard")
-    )
+    return pairs.where(j >= _MH_TAU).select("id1", "id2", j.alias("j"))
 
 
 @query(

@@ -73,6 +73,9 @@ SWEEP_PRIORITY: list[str] = [
     "report_retention_cohorts",  # NEW this round — first evidence
     "win_running_distinct",  # NEW this round — first evidence
     "agg_mode_per_group",  # NEW this round — first evidence
+    # tier A: pair-gen refactor + first SQL oracle landed this round
+    "llm_dedup_clusters",
+    "llm_dedup_minhash",
     # tier A: upsert sink — bucketer fingerprint (r4) + vacuum manifest
     # stripping (r5) touched the merge path
     "sink_upsert",
@@ -108,7 +111,6 @@ SWEEP_PRIORITY: list[str] = [
     "llm_train_val_test_split",
     "llm_stratified_sample",
     "llm_dedup_exact",
-    "llm_dedup_minhash",
     "llm_dedup_simhash",
     "llm_dedup_ngram_jaccard",
     "llm_sim_topk",
@@ -125,7 +127,6 @@ SWEEP_PRIORITY: list[str] = [
     "llm_fingerprint_rolling",
     "llm_sim_lsh_topk",
     "llm_sim_ivf_topk",
-    "llm_dedup_clusters",
 ]
 
 
