@@ -259,7 +259,9 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from airflow_jira_etl_spark.streaming.stateful import running_user_profile
 
-    pages_dir = os.path.join(SCRATCH, "event_pages_state")
+    # same page layout as the foreachBatch/MV queries — one shared
+    # materialization per sweep, not one per query
+    pages_dir = os.path.join(SCRATCH, "event_pages")
     write_event_pages(spark, sf_dir, pages_dir, n_pages=4)
     # pages are written from catalog.load output (layout v2): ts is a
     # real timestamp column regardless of the source fixture's unit
