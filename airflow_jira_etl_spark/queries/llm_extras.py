@@ -788,3 +788,84 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("raw"), F.lit(_PII_PHONE), F.lit(0))
         ).alias("n_phones"),
     )
+
+
+@query(
+    "llm_quality_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
+    ),
+    tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY doc_id),
+    ent AS (
+        SELECT cnt.doc_id,
+               CAST(max(tot.t) AS BIGINT) AS n_chars_total,
+               CAST(count(*) AS INT) AS n_distinct_chars,
+               -sum((CAST(n AS DOUBLE) / tot.t)
+                    * ln(CAST(n AS DOUBLE) / tot.t)) AS h
+        FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+        GROUP BY cnt.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(e.n_chars_total, 0) AS n_chars_total,
+           coalesce(e.n_distinct_chars, 0) AS n_distinct_chars,
+           round(coalesce(e.h, 0) + 1e-9, 4) AS char_entropy
+    FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+    """,
+)
+def llm_quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (low entropy = repetitive or
+    degenerate text, a standard pre-training corpus filter). Pure
+    in-array whole-stage codegen — per document: distinct chars →
+    per-char probability → −Σ p·ln p — zero shuffle, zero explode; the
+    same map-only pass at 100 TB. The oracle recomputes it the
+    relational way (unnest → group → window), pinning the in-array
+    lowering against an independent formulation, not just an
+    independent engine."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    # per-char counts WITHOUT a quadratic distinct×scan pass: sort the
+    # char array once, mark run boundaries, run lengths are the counts
+    # — O(n log n) per document, each array built exactly once
+    return (
+        documents.select(
+            "doc_id", F.expr("array_sort(split(lower(text), ''))").alias("ss")
+        )
+        .select("doc_id", "ss", F.size("ss").alias("n"))
+        .select(
+            "doc_id",
+            "n",
+            F.expr(
+                "filter(sequence(1, greatest(n, 1)), i -> "
+                " i = 1 OR element_at(ss, i) <> element_at(ss, i - 1))"
+            ).alias("bs"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "bs",
+            F.expr(
+                "transform(sequence(1, size(bs)), k -> "
+                " (CASE WHEN k < size(bs) THEN element_at(bs, k + 1)"
+                "       ELSE n + 1 END) - element_at(bs, k))"
+            ).alias("cnts"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars_total"),
+            F.expr("CASE WHEN n = 0 THEN 0 ELSE size(bs) END")
+            .cast("int")
+            .alias("n_distinct_chars"),
+            fround(
+                F.expr(
+                    "CASE WHEN n = 0 THEN 0D ELSE"
+                    " -aggregate(cnts, 0D, (acc, c) ->"
+                    "   acc + (c / cast(n AS double))"
+                    "         * ln(c / cast(n AS double))) END"
+                )
+            ).alias("char_entropy"),
+        )
+    )

@@ -73,6 +73,7 @@ SWEEP_PRIORITY: list[str] = [
     "report_retention_cohorts",  # NEW this round — first evidence
     "win_running_distinct",  # NEW this round — first evidence
     "agg_mode_per_group",  # NEW this round — first evidence
+    "llm_quality_entropy",  # NEW this round — first evidence
     # tier A: pair-gen refactor + first SQL oracle landed this round
     "llm_dedup_clusters",
     "llm_dedup_minhash",
