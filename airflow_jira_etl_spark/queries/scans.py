@@ -220,3 +220,40 @@ def sink_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df.write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "sink_time_travel",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice + 1e-9, 4) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation time travel made driver-visible: commit a base
+    generation, MERGE an updating batch over it (gen 1), then read AS
+    OF generation 0 — the result must be the ORIGINAL rows, bit for
+    bit, even though the live table now holds the updates. The oracle
+    is the gen-0 input relation; any leakage of gen-1 rewrites into a
+    retained historical manifest breaks the hash."""
+    from airflow_jira_etl_spark.sinks.parquet_upsert import ParquetUpsertTable
+
+    orders = catalog.load(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") + F.lit(1e-9), 4).alias("o_totalprice"),
+    )
+    root = os.path.join(SCRATCH, "time_travel_table")
+    table = ParquetUpsertTable(spark, root, key="o_orderkey", n_buckets=8)
+    table.destroy()
+    table = ParquetUpsertTable(spark, root, key="o_orderkey", n_buckets=8)
+    table.apply(base)  # gen 0
+    updates = base.where(F.col("o_orderkey") % 20 == 0).withColumn(
+        "o_orderstatus", F.lit("T")
+    )
+    table.apply(updates)  # gen 1 rewrites half the keys' buckets
+    return table.read(generation=0)
