@@ -46,10 +46,14 @@ def main() -> None:
     from airflow_jira_etl_spark.streaming.source import write_event_pages
 
     write_event_pages(spark, SF_DIR, os.path.join(SCRATCH, "event_pages"), n_pages=4)
-    write_event_pages(
-        spark, SF_DIR, os.path.join(SCRATCH, "event_pages_state"), n_pages=4
-    )
     registry.QUERIES["llm_sim_ivf_topk"](spark, SF_DIR).count()
+    # warm the Python worker pool: the first Python-backed query (the
+    # REST DataSource or a pandas UDF) otherwise absorbs the pool
+    # spin-up — session infrastructure, same class as JVM warmup, and
+    # reported in warmup_sec rather than hidden
+    spark.range(0, 1024, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     warm_s = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
