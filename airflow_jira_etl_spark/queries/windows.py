@@ -337,3 +337,52 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum("first_seen").over(w_run).cast("long").alias("n_distinct_types"),
     )
+
+
+@query(
+    "win_consecutive_runs",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS run_id
+        FROM events
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS run_start,
+           CAST(count(*) AS BIGINT) AS run_len
+    FROM seq
+    WHERE event_type = 'error'
+    GROUP BY user_id, run_id
+    HAVING count(*) >= 3
+    """,
+)
+def win_consecutive_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-pattern detection (the MATCH_RECOGNIZE shape): bursts of
+    3+ CONSECUTIVE 'error' events per user, found with the
+    gaps-and-islands run-id trick — the difference of two row_numbers
+    (one per user, one per user+type) is constant exactly within a
+    run of equal types. Two window passes sharing the user_id exchange
+    prefix, then a run-keyed aggregate: the whole alerting pattern in
+    one shuffle family, no self-join, no UDF — identical plan at any
+    scale."""
+    events = catalog.load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = events.withColumn(
+        "run_id", F.row_number().over(w_all) - F.row_number().over(w_type)
+    )
+    return (
+        seq.where(F.col("event_type") == "error")
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.count("*").alias("run_len"),
+        )
+        .where(F.col("run_len") >= 3)
+        .select("user_id", "run_start", "run_len")
+    )

@@ -75,6 +75,7 @@ SWEEP_PRIORITY: list[str] = [
     "agg_mode_per_group",  # NEW this round — first evidence
     "llm_quality_entropy",  # NEW this round — first evidence
     "sink_time_travel",  # NEW this round — first evidence
+    "win_consecutive_runs",  # NEW this round — first evidence
     # tier A: pair-gen refactor + first SQL oracle landed this round
     "llm_dedup_clusters",
     "llm_dedup_minhash",
