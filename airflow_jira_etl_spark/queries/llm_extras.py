@@ -287,9 +287,13 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_bytes,
-               CAST(coalesce(
+               -- empty-text guard must be explicit: string_split_regex
+               -- of '' is [''] (not []), whose unicode() is -1 — the
+               -- coalesce alone would yield -1 where the kernel sums
+               -- an empty payload to 0
+               CAST(CASE WHEN length(text) = 0 THEN 0 ELSE coalesce(
                  list_sum([unicode(c) FOR c IN string_split_regex(text, '')]),
-                 0) AS BIGINT) AS byte_sum,
+                 0) END AS BIGINT) AS byte_sum,
                CASE WHEN length(text) > 0 THEN ascii(text) ELSE -1 END AS fb
         FROM documents
     )

@@ -53,8 +53,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = os.path.join(SCRATCH, "mv_user_profile")
     write_event_pages(spark, sf_dir, pages_dir, n_pages=4)
     table = ParquetUpsertTable(spark, table_dir, key="user_id", n_buckets=8)
-    table.destroy()
-    table = ParquetUpsertTable(spark, table_dir, key="user_id", n_buckets=8)
+    table.destroy()  # fresh run: destroy leaves an empty, usable root
     pages = sorted(
         os.path.join(pages_dir, d)
         for d in os.listdir(pages_dir)

@@ -249,8 +249,7 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(SCRATCH, "time_travel_table")
     table = ParquetUpsertTable(spark, root, key="o_orderkey", n_buckets=8)
-    table.destroy()
-    table = ParquetUpsertTable(spark, root, key="o_orderkey", n_buckets=8)
+    table.destroy()  # fresh run: destroy leaves an empty, usable root
     table.apply(base)  # gen 0
     updates = base.where(F.col("o_orderkey") % 20 == 0).withColumn(
         "o_orderstatus", F.lit("T")

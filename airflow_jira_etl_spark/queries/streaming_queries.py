@@ -326,10 +326,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = ParquetUpsertTable(
         spark, table_dir, key="event_id", bucketer=bucketer
     )
-    table.destroy()
-    table = ParquetUpsertTable(
-        spark, table_dir, key="event_id", bucketer=bucketer
-    )
+    table.destroy()  # fresh run: destroy leaves an empty, usable root
 
     raw = (
         spark.readStream.schema(catalog.SCHEMAS["events"])
@@ -408,8 +405,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT v.event_id AS view_id,
            p.event_id AS purchase_id,
            v.user_id AS user_id,
-           v.ts AS view_ts,
-           p.ts AS purchase_ts
+           CAST(v.ts AS TIMESTAMP) AS view_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
     FROM events v
     JOIN events p
       ON v.user_id = p.user_id

@@ -79,6 +79,10 @@ SWEEP_PRIORITY: list[str] = [
     # tier A: pair-gen refactor + first SQL oracle landed this round
     "llm_dedup_clusters",
     "llm_dedup_minhash",
+    # tier A: first SQL oracles this round (previous rows were
+    # rows-only) + mm_sample_frames' keyed-subset change
+    "mm_decode_features",
+    "mm_sample_frames",
     # tier A: upsert sink — bucketer fingerprint (r4) + vacuum manifest
     # stripping (r5) touched the merge path
     "sink_upsert",

@@ -279,26 +279,38 @@ class ParquetUpsertTable:
                 evolve_schema=self.evolve_schema,
             )
 
+        gen_name, out = self._next_generation()
+        merged.write.partitionBy(_BUCKET).mode("overwrite").parquet(out)
+        new_buckets = dict(manifest["buckets"]) if manifest else {}
+        for b in dirty:
+            new_buckets[str(b)] = f"{gen_name}/{_BUCKET}={b}"
+        self._commit(
+            gen_name,
+            {
+                "n_buckets": n_buckets,
+                "buckets": new_buckets,
+                "schema": merged_schema,
+                "bucketer": fingerprint,
+            },
+        )
+
+    # ------------------------------------------------- generation commit
+
+    def _next_generation(self) -> tuple[str, str]:
+        """Name + (cleaned) path of the next generation directory."""
         cur = self.current_generation()
         cur_n = int(os.path.basename(cur).split("_")[1]) if cur else -1
         gen_name = f"gen_{cur_n + 1:06d}"
         out = os.path.join(self.root, gen_name)
         shutil.rmtree(out, ignore_errors=True)
-        merged.write.partitionBy(_BUCKET).mode("overwrite").parquet(out)
-        new_buckets = dict(manifest["buckets"]) if manifest else {}
-        for b in dirty:
-            new_buckets[str(b)] = f"{gen_name}/{_BUCKET}={b}"
-        with open(os.path.join(out, _MANIFEST), "w") as f:
-            json.dump(
-                {
-                    "n_buckets": n_buckets,
-                    "buckets": new_buckets,
-                    "schema": merged_schema,
-                    "bucketer": fingerprint,
-                },
-                f,
-            )
-        # atomic pointer flip: write-then-rename on the same filesystem
+        return gen_name, out
+
+    def _commit(self, gen_name: str, manifest: dict) -> None:
+        """Write the manifest, then atomically flip ``_CURRENT`` via
+        write-then-rename on the same filesystem. The ONE commit
+        protocol — apply() and compact() must never fork it."""
+        with open(os.path.join(self.root, gen_name, _MANIFEST), "w") as f:
+            json.dump(manifest, f)
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
             f.write(gen_name)
@@ -338,34 +350,25 @@ class ParquetUpsertTable:
         # (the compaction contract) instead of a file per (task, bucket)
         df = df.repartition(max(new_n, 1), F.col(_BUCKET))
 
-        cur = self.current_generation()
-        cur_n = int(os.path.basename(cur).split("_")[1]) if cur else -1
-        gen_name = f"gen_{cur_n + 1:06d}"
-        out = os.path.join(self.root, gen_name)
-        shutil.rmtree(out, ignore_errors=True)
+        gen_name, out = self._next_generation()
         df.write.partitionBy(_BUCKET).mode("overwrite").parquet(out)
         written = {
             int(d.split("=")[1])
             for d in os.listdir(out)
             if d.startswith(f"{_BUCKET}=")
         }
-        with open(os.path.join(out, _MANIFEST), "w") as f:
-            json.dump(
-                {
-                    "n_buckets": new_n,
-                    "buckets": {
-                        str(b): f"{gen_name}/{_BUCKET}={b}"
-                        for b in sorted(written)
-                    },
-                    "schema": manifest["schema"],
-                    "bucketer": _bucketer_fingerprint(new_bucketer),
+        self._commit(
+            gen_name,
+            {
+                "n_buckets": new_n,
+                "buckets": {
+                    str(b): f"{gen_name}/{_BUCKET}={b}"
+                    for b in sorted(written)
                 },
-                f,
-            )
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(gen_name)
-        os.replace(tmp, self._pointer_path())
+                "schema": manifest["schema"],
+                "bucketer": _bucketer_fingerprint(new_bucketer),
+            },
+        )
         # adopt the new layout so this instance's next apply() merges
         # under the fingerprint it just committed
         self.n_buckets = new_n
@@ -388,6 +391,11 @@ class ParquetUpsertTable:
         and (b) every data directory any retained manifest references —
         so a reader that resolved any retained pointer is unaffected.
         Returns the deleted generation names."""
+        if retain_last < 1:  # [-0:] would retain EVERYTHING — refuse
+            raise ValueError(
+                f"retain_last must be >= 1, got {retain_last} "
+                f"(the committed current generation is always retained)"
+            )
         gens = self.generations()
         # committed = at or before the pointer, the same filter read()
         # applies: a crash mid-apply can leave a manifest whose pointer
@@ -429,4 +437,8 @@ class ParquetUpsertTable:
         return deleted
 
     def destroy(self) -> None:
+        """Drop all table state, leaving an empty root: the instance
+        (and any new one over the same path) starts from a fresh,
+        usable table — no re-construction dance needed."""
         shutil.rmtree(self.root, ignore_errors=True)
+        os.makedirs(self.root, exist_ok=True)
