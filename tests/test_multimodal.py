@@ -42,3 +42,41 @@ def test_sample_frames_short_payload(spark):
     frames = sample_frames(media, n_frames=4).collect()
     assert 1 <= len(frames) <= 2  # step=1: frames at offsets 0,1
     assert bytes(frames[0].frame_bytes) == b"a"
+
+
+def test_decode_features_empty_text_matches_oracle(spark, tmp_path):
+    """Empty-payload differential: DuckDB's string_split_regex('','')
+    is [''] (unicode -1), so the oracle needs an explicit empty guard
+    to match the kernel's byte_sum=0 — pin the parity on a synthetic
+    fixture containing an empty document."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airflow_jira_etl_spark import registry
+    from tests.oracle_check import compare
+
+    registry.load_all_queries()
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["", "ab"]),
+                "lang": pa.array(["en", "en"]),
+                "source": pa.array(["s", "s"]),
+                "n_chars": pa.array([0, 2], pa.int64()),
+            }
+        ),
+        os.path.join(sf, "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    df = registry.QUERIES["mm_decode_features"](spark, sf)
+    rep = compare(df, con, registry.ORACLES["mm_decode_features"])
+    assert not rep["errors"], rep

@@ -322,3 +322,10 @@ def test_schema_evolution_adds_column_with_nulls(spark, tmp_path):
     t2.apply(spark.createDataFrame([(1, "a")], "k long, v string"))
     with pytest.raises(Exception):
         t2.apply(evolved)
+
+
+def test_vacuum_rejects_zero_retention(spark, tmp_path):
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
+    t.apply(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="retain_last"):
+        t.vacuum(retain_last=0)
