@@ -300,3 +300,107 @@ def join_self_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label"),
         )
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18, 4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-Exchange big-big join, driver-visible: both fact tables
+    are written ``bucketBy(8, key)`` once (content-keyed on the source
+    files, so reruns reuse the layout), then joined WITHOUT any runtime
+    shuffle — the exchange happened at write time and every subsequent
+    join rides it. Broadcast is disabled inside the query scope to
+    exercise the big-table path the buckets exist for (at 100 TB
+    neither side broadcasts); the no-Exchange plan shape is asserted in
+    tests/test_scale_patterns.py."""
+    import json
+    import os
+
+    from airflow_jira_etl_spark.catalog import table_path
+    from airflow_jira_etl_spark.queries.scans import SCRATCH
+
+    wh = os.path.join(SCRATCH, "bucketed_wh")
+    # identifier-safe tag (sf dirs contain dots: sf0.01)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    meta_path = os.path.join(wh, f"_META_{tag}.json")
+    meta = {}
+    for t in ("lineitem", "orders"):
+        st = os.stat(table_path(sf_dir, t))
+        meta[t] = [st.st_mtime_ns, st.st_size]
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buck_q LOCATION '{wh}'")
+    li_name, o_name = f"buck_q.lineitem_{tag}", f"buck_q.orders_{tag}"
+    cached = False
+    try:
+        with open(meta_path) as f:
+            cached = json.load(f) == meta and spark.catalog.tableExists(
+                li_name
+            ) and spark.catalog.tableExists(o_name)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    if not cached:
+        import shutil
+
+        # the session catalog is in-memory: a prior session's managed
+        # table dirs survive on disk unregistered — clear both name and
+        # location before rebuilding
+        for name in (li_name, o_name):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(
+                os.path.join(wh, name.split(".")[1]), ignore_errors=True
+            )
+        lineitem = catalog.load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        orders = catalog.load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(li_name)
+        )
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(o_name)
+        )
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    li, o = spark.table(li_name), spark.table(o_name)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                # 600k rows fold into 5 groups: double accumulation
+                # diverges from DuckDB in the 4th decimal at ~6e9
+                # magnitude, past the fround absorber — sum EXACTLY in
+                # decimal(18,4) on both sides, then cast
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        # the conf only matters at PLAN time; force planning inside the
+        # scope so the restore below can't race lazy execution
+        joined.count()
+        return joined
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

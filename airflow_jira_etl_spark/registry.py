@@ -76,6 +76,7 @@ SWEEP_PRIORITY: list[str] = [
     "llm_quality_entropy",  # NEW this round — first evidence
     "sink_time_travel",  # NEW this round — first evidence
     "win_consecutive_runs",  # NEW this round — first evidence
+    "join_bucketed_colocated",  # NEW this round — first evidence
     # tier A: pair-gen refactor + first SQL oracle landed this round
     "llm_dedup_clusters",
     "llm_dedup_minhash",
