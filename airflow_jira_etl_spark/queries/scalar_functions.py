@@ -244,3 +244,33 @@ def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("o_totalprice"), F.lit(250000.0)).alias("price_floor_mid"),
         F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("price_cap_mid"),
     )
+
+
+@query(
+    "fn_hash_suite",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           md5(text || ':' || CAST(doc_id AS VARCHAR)) AS salted_md5,
+           substring(sha256(text), 1, 16) AS sha_prefix
+    FROM documents
+    """,
+)
+def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content hashing — the content-addressing primitive
+    under exact dedup, cache keys, and dataset versioning: md5 and
+    sha256 hex digests (bit-identical across engines by definition), a
+    salted variant, and the truncated prefix used as a shard/bucket
+    key. All JVM codegen, no shuffle; at 100 TB this is the cheapest
+    possible per-row pass and the basis of llm_dedup_exact's key."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.md5(
+            F.concat(F.col("text"), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("salted_md5"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("sha_prefix"),
+    )

@@ -41,13 +41,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the sweep order is explicit and least-recently-checked-first, decoupled
 # from module import order.  Round-5 derivation (mechanical: latest
 # CORRECTNESS_r*.json row per query, then code-change recency):
-#   tier A — round-4 hash failures (events ts-unit corruption, fixed
-#            this round) plus every query whose code changed this round
-#            (streaming page/source reads, upsert vacuum+fingerprint);
+#   tier A — round-4 red rows, all round-5 NEW queries (first
+#            evidence), and every query whose code changed in round 5
+#            (streaming source conform, upsert compact/combine, the
+#            portable pair-gen);
 #   tier B — round-1-only evidence (spilled past every window since);
-#   tier C — round-2-only evidence, oldest artifacts first.  The ~19
-#            tier-C stragglers that spill past the 50-slot window lead
-#            round 6.
+#   tier C — round-2-only evidence.  Tiers A+B fill ~37 of the ~50
+#            slots; the tier-C stragglers past the window lead round 6.
+# `python -m airflow_jira_etl_spark.tools.sweep_advisor` derives the
+# evidence-based base order mechanically from CORRECTNESS_r*.json;
+# tests/test_sweep_priority.py pins the never-checked/red-row window
+# invariants.
 SWEEP_PRIORITY: list[str] = [
     # tier A: r04 red rows — events ts unit fix must re-prove these
     "fn_timestamp_parse",
@@ -77,6 +81,7 @@ SWEEP_PRIORITY: list[str] = [
     "sink_time_travel",  # NEW this round — first evidence
     "win_consecutive_runs",  # NEW this round — first evidence
     "join_bucketed_colocated",  # NEW this round — first evidence
+    "fn_hash_suite",  # NEW this round — first evidence
     # tier A: pair-gen refactor + first SQL oracle landed this round
     "llm_dedup_clusters",
     "llm_dedup_minhash",
