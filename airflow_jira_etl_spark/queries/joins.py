@@ -341,11 +341,34 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = False
     try:
         with open(meta_path) as f:
-            cached = json.load(f) == meta and spark.catalog.tableExists(
-                li_name
-            ) and spark.catalog.tableExists(o_name)
+            cached = json.load(f) == meta
     except (FileNotFoundError, json.JSONDecodeError):
         pass
+    if cached and not (
+        spark.catalog.tableExists(li_name)
+        and spark.catalog.tableExists(o_name)
+    ):
+        # files from a prior session are current but the in-memory
+        # catalog forgot them — re-register as EXTERNAL bucketed tables
+        # over the existing bucket files instead of rewriting them
+        spark.sql(
+            f"""
+            CREATE TABLE {li_name}
+            (l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE)
+            USING PARQUET
+            CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) INTO 8 BUCKETS
+            LOCATION '{os.path.join(wh, li_name.split(".")[1])}'
+            """
+        )
+        spark.sql(
+            f"""
+            CREATE TABLE {o_name}
+            (o_orderkey BIGINT, o_orderpriority STRING)
+            USING PARQUET
+            CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 8 BUCKETS
+            LOCATION '{os.path.join(wh, o_name.split(".")[1])}'
+            """
+        )
     if not cached:
         import shutil
 
