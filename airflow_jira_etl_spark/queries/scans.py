@@ -256,3 +256,54 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.apply(updates)  # gen 1 rewrites half the keys' buckets
     return table.read(generation=0)
+
+
+@query(
+    "scan_jsonl",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           round(value + 1e-9, 4) AS value
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    """,
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with an explicit schema — the reference's actual
+    wire format (every page body is JSON, ``jira_fetcher.py:37``):
+    events round-trip through a JSONL file and come back typed, no
+    inference pass (schema-on-read inference at 100 TB means sampling
+    every file twice; the declared StructType is free and strict).
+    Filter still prunes: the read applies the declared schema then the
+    predicate — and the oracle is the round-trip identity, so any
+    timestamp/float lossiness in the writer or parser breaks the hash."""
+    from pyspark.sql import types as T
+
+    out_dir = os.path.join(SCRATCH, "events_jsonl")
+    events = catalog.load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") + F.lit(1e-9), 4).alias("value"),
+    )
+    # default JSON timestampFormat carries millis only — declare a
+    # micro-precision format on BOTH sides or the round-trip lies
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    events.write.mode("overwrite").option("timestampFormat", ts_fmt).json(
+        out_dir
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", ts_fmt)
+        .json(out_dir)
+        .where(F.col("event_type").isin("view", "purchase"))
+    )

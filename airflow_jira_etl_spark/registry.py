@@ -82,6 +82,7 @@ SWEEP_PRIORITY: list[str] = [
     "win_consecutive_runs",  # NEW this round — first evidence
     "join_bucketed_colocated",  # NEW this round — first evidence
     "fn_hash_suite",  # NEW this round — first evidence
+    "scan_jsonl",  # NEW this round — first evidence
     # tier A: pair-gen refactor + first SQL oracle landed this round
     "llm_dedup_clusters",
     "llm_dedup_minhash",
