@@ -202,13 +202,19 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_create_table")  # rows-only: DDL + physical write + read-back
+@query(
+    "sink_create_table",
+    oracle="""
+    SELECT c_custkey, upper(c_name) AS c_name_upper, c_mktsegment
+    FROM customer WHERE c_acctbal > 0
+    """,
+)
 def sink_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDL + write + read-back (reference A11: CREATE TABLE IF NOT
     EXISTS as first DAG task, ``db_ops.py:22-27``,
     ``fetch_jira_tempo_worklogs.py:102-106``). Writes a real parquet
-    table to a scratch dir and reads it back — the round-trip is the
-    assertion."""
+    table to a scratch dir and reads it back; the oracle is the source
+    relation itself, so the round-trip must be lossless."""
     out_dir = os.path.join(SCRATCH, "sink_create_table")
     shutil.rmtree(out_dir, ignore_errors=True)
     catalog.register_views(spark, sf_dir)
