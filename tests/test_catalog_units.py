@@ -177,3 +177,28 @@ def test_load_missing_declared_column_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="lacks declared columns"):
         catalog.load(spark, sf, "region")
+
+
+def test_load_casts_drifted_array_element_type(spark, tmp_path):
+    """Embeddings shipping list<double> instead of the declared
+    list<float> must conform (array-element casts are the drift mode
+    for vector columns)."""
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array(
+                    [[0.5, 1.5], [2.5, 3.5]], pa.list_(pa.float64())
+                ),
+                "label": pa.array([0, 1], pa.int64()),  # int32 declared
+            }
+        ),
+        os.path.join(sf, "embeddings.parquet"),
+    )
+    df = catalog.load(spark, sf, "embeddings")
+    assert df.schema == catalog.SCHEMAS["embeddings"]
+    rows = df.orderBy("vec_id").collect()
+    assert rows[0].embedding == [0.5, 1.5]
+    assert rows[1].label == 1
