@@ -313,3 +313,55 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(out_dir)
         .where(F.col("event_type").isin("view", "purchase"))
     )
+
+
+@query(
+    "scan_csv",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           round(value + 1e-9, 4) AS value
+    FROM events
+    WHERE user_id % 5 = 0
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with an explicit schema and header — the
+    lowest-common-denominator interchange format, read WITHOUT
+    inference (inferSchema at 100 TB is a full extra pass over every
+    byte). Micro-precision timestamp format declared on both sides
+    (the default truncates, same trap as JSON); doubles round-trip
+    losslessly through shortest-repr text. The oracle is the
+    round-trip identity."""
+    from pyspark.sql import types as T
+
+    out_dir = os.path.join(SCRATCH, "events_csv")
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    events = catalog.load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") + F.lit(1e-9), 4).alias("value"),
+    )
+    (
+        events.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", ts_fmt)
+        .csv(out_dir)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampFormat", ts_fmt)
+        .csv(out_dir)
+        .where(F.col("user_id") % 5 == 0)
+    )

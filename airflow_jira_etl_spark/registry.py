@@ -83,6 +83,7 @@ SWEEP_PRIORITY: list[str] = [
     "join_bucketed_colocated",  # NEW this round — first evidence
     "fn_hash_suite",  # NEW this round — first evidence
     "scan_jsonl",  # NEW this round — first evidence
+    "scan_csv",  # NEW this round — first evidence
     "sink_create_table",  # first SQL oracle this round (was rows-only)
     # tier A: pair-gen refactor + first SQL oracle landed this round
     "llm_dedup_clusters",
