@@ -54,3 +54,52 @@ def test_time_of_day_roundtrip(spark, seconds):
     ).collect()[0]
     assert row.s2 == seconds
     assert len(row.t) == 8 and row.t.count(":") == 2
+
+
+batch_lists = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-50, 50)),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=batch_lists)
+def test_merge_aggregate_fold_equals_one_shot(spark, batches):
+    """Folding per-batch partial aggregates through merge_aggregate in
+    ANY batch split must equal the one-shot aggregate over all rows —
+    the incremental-MV correctness property, for random splits."""
+    from airflow_jira_etl_spark.operators.upsert import merge_aggregate
+
+    schema = "k int, n long, total long, hi long"
+    state = spark.createDataFrame([], schema)
+    all_rows = [r for b in batches for r in b]
+    for b in batches:
+        partial = (
+            spark.createDataFrame(b, "k int, v long")
+            .groupBy("k")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("v").alias("total"),
+                F.max("v").alias("hi"),
+            )
+        )
+        state = merge_aggregate(
+            state, partial, "k", {"n": "sum", "total": "sum", "hi": "max"}
+        )
+    got = {r.k: (r.n, r.total, r.hi) for r in state.collect()}
+    expected_df = (
+        spark.createDataFrame(all_rows, "k int, v long")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("total"),
+            F.max("v").alias("hi"),
+        )
+    )
+    expected = {r.k: (r.n, r.total, r.hi) for r in expected_df.collect()}
+    assert got == expected
