@@ -203,6 +203,7 @@ class ParquetUpsertTable:
         instead — the incremental-materialized-view refresh (see
         operators/upsert.merge_aggregate; replays are not idempotent in
         this mode, the caller owns the exactly-once batch boundary)."""
+        base_gen = self.current_generation()
         manifest = self._read_manifest()
         n_buckets = manifest["n_buckets"] if manifest else self.n_buckets
         # the bucketer identity is manifest-authoritative, like n_buckets:
@@ -292,6 +293,7 @@ class ParquetUpsertTable:
                 "schema": merged_schema,
                 "bucketer": fingerprint,
             },
+            expected_base=base_gen,
         )
 
     # ------------------------------------------------- generation commit
@@ -305,10 +307,28 @@ class ParquetUpsertTable:
         shutil.rmtree(out, ignore_errors=True)
         return gen_name, out
 
-    def _commit(self, gen_name: str, manifest: dict) -> None:
+    def _commit(
+        self, gen_name: str, manifest: dict, expected_base: str | None
+    ) -> None:
         """Write the manifest, then atomically flip ``_CURRENT`` via
         write-then-rename on the same filesystem. The ONE commit
-        protocol — apply() and compact() must never fork it."""
+        protocol — apply() and compact() must never fork it.
+
+        Optimistic concurrency: ``expected_base`` is the generation
+        this merge was computed FROM. If another writer committed in
+        between, blindly flipping the pointer would silently drop
+        their changes (a lost update) — detect and refuse instead.
+        This is detection, not serialization: the check-then-rename
+        window is microseconds instead of the whole merge; true
+        multi-writer needs a compare-and-swap commit service, the same
+        constraint every object-store table format has."""
+        current = self.current_generation()
+        if current != expected_base:
+            raise RuntimeError(
+                f"concurrent modification: merge computed from "
+                f"{expected_base!r} but the table is now at {current!r} "
+                f"— rerun the merge on the current state"
+            )
         with open(os.path.join(self.root, gen_name, _MANIFEST), "w") as f:
             json.dump(manifest, f)
         tmp = self._pointer_path() + ".tmp"
@@ -339,6 +359,7 @@ class ParquetUpsertTable:
 
         Returns the new generation name, or None for an empty table.
         """
+        base_gen = self.current_generation()
         manifest = self._read_manifest()
         if manifest is None:
             return None
@@ -368,6 +389,7 @@ class ParquetUpsertTable:
                 "schema": manifest["schema"],
                 "bucketer": _bucketer_fingerprint(new_bucketer),
             },
+            expected_base=base_gen,
         )
         # adopt the new layout so this instance's next apply() merges
         # under the fingerprint it just committed
