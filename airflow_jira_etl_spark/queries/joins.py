@@ -318,10 +318,11 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     are written ``bucketBy(8, key)`` once (content-keyed on the source
     files, so reruns reuse the layout), then joined WITHOUT any runtime
     shuffle — the exchange happened at write time and every subsequent
-    join rides it. Broadcast is disabled inside the query scope to
-    exercise the big-table path the buckets exist for (at 100 TB
-    neither side broadcasts); the no-Exchange plan shape is asserted in
-    tests/test_scale_patterns.py."""
+    join rides it. At this SF the planner may still broadcast the
+    small side (results identical); the no-Exchange SortMergeJoin
+    shape under disabled broadcast — the 100 TB path the buckets
+    exist for — is plan-asserted in tests/test_scale_patterns.py,
+    where a conf scope can genuinely surround execution."""
     import json
     import os
 
@@ -353,7 +354,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         # over the existing bucket files instead of rewriting them
         spark.sql(
             f"""
-            CREATE TABLE {li_name}
+            CREATE TABLE IF NOT EXISTS {li_name}
             (l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE)
             USING PARQUET
             CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) INTO 8 BUCKETS
@@ -362,7 +363,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         spark.sql(
             f"""
-            CREATE TABLE {o_name}
+            CREATE TABLE IF NOT EXISTS {o_name}
             (o_orderkey BIGINT, o_orderpriority STRING)
             USING PARQUET
             CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 8 BUCKETS
@@ -401,29 +402,26 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(meta_path, "w") as f:
             json.dump(meta, f)
     li, o = spark.table(li_name), spark.table(o_name)
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        joined = (
-            li.join(o, li.l_orderkey == o.o_orderkey)
-            .groupBy("o_orderpriority")
-            .agg(
-                F.count("*").alias("n_items"),
-                # 600k rows fold into 5 groups: double accumulation
-                # diverges from DuckDB in the 4th decimal at ~6e9
-                # magnitude, past the fround absorber — sum EXACTLY in
-                # decimal(18,4) on both sides, then cast
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                    .cast("decimal(18,4)")
-                )
-                .cast("double")
-                .alias("revenue"),
+    # no broadcast-threshold toggling here: plans are lazy, so a conf
+    # restored before the caller executes would not govern the run
+    # anyway (and at 100 TB neither side broadcasts regardless). The
+    # no-Exchange SMJ plan shape under disabled broadcast is asserted
+    # where the conf scope can actually surround execution:
+    # tests/test_scale_patterns.py.
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            # 600k rows fold into 5 groups: double accumulation
+            # diverges from DuckDB in the 4th decimal at ~6e9
+            # magnitude, past the fround absorber — sum EXACTLY in
+            # decimal(18,4) on both sides, then cast
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
             )
+            .cast("double")
+            .alias("revenue"),
         )
-        # the conf only matters at PLAN time; force planning inside the
-        # scope so the restore below can't race lazy execution
-        joined.count()
-        return joined
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    )

@@ -298,14 +298,10 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.write.mode("overwrite").option("timestampFormat", ts_fmt).json(
         out_dir
     )
+    # the round-trip contract IS the catalog schema (minus props):
+    # deriving it keeps these scans honest under declared-type changes
     schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-        ]
+        [f for f in catalog.SCHEMAS["events"].fields if f.name != "props"]
     )
     return (
         spark.read.schema(schema)
@@ -349,14 +345,10 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampFormat", ts_fmt)
         .csv(out_dir)
     )
+    # the round-trip contract IS the catalog schema (minus props):
+    # deriving it keeps these scans honest under declared-type changes
     schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-        ]
+        [f for f in catalog.SCHEMAS["events"].fields if f.name != "props"]
     )
     return (
         spark.read.schema(schema)

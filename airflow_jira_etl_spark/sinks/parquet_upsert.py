@@ -280,13 +280,14 @@ class ParquetUpsertTable:
                 evolve_schema=self.evolve_schema,
             )
 
-        gen_name, out = self._next_generation()
-        merged.write.partitionBy(_BUCKET).mode("overwrite").parquet(out)
+        gen_name, staging = self._next_generation()
+        merged.write.partitionBy(_BUCKET).mode("overwrite").parquet(staging)
         new_buckets = dict(manifest["buckets"]) if manifest else {}
         for b in dirty:
             new_buckets[str(b)] = f"{gen_name}/{_BUCKET}={b}"
         self._commit(
             gen_name,
+            staging,
             {
                 "n_buckets": n_buckets,
                 "buckets": new_buckets,
@@ -299,37 +300,70 @@ class ParquetUpsertTable:
     # ------------------------------------------------- generation commit
 
     def _next_generation(self) -> tuple[str, str]:
-        """Name + (cleaned) path of the next generation directory."""
+        """Next generation name + a UNIQUE staging path to write it at.
+        Writers must never touch the final ``gen_N`` directory before
+        the commit check: two writers racing from the same base derive
+        the same N, and a shared staging dir would let the loser
+        clobber the winner's committed files mid-merge. The staging
+        dir is renamed into place inside ``_commit`` only after the
+        lost-update check passes."""
+        import uuid
+
         cur = self.current_generation()
         cur_n = int(os.path.basename(cur).split("_")[1]) if cur else -1
         gen_name = f"gen_{cur_n + 1:06d}"
-        out = os.path.join(self.root, gen_name)
-        shutil.rmtree(out, ignore_errors=True)
-        return gen_name, out
+        staging = os.path.join(
+            self.root, f".staging_{gen_name}_{uuid.uuid4().hex[:8]}"
+        )
+        return gen_name, staging
 
     def _commit(
-        self, gen_name: str, manifest: dict, expected_base: str | None
+        self,
+        gen_name: str,
+        staging: str,
+        manifest: dict,
+        expected_base: str | None,
     ) -> None:
-        """Write the manifest, then atomically flip ``_CURRENT`` via
-        write-then-rename on the same filesystem. The ONE commit
-        protocol — apply() and compact() must never fork it.
+        """Publish a staged generation: lost-update check → rename the
+        staging dir into ``gen_N`` → write the manifest → atomically
+        flip ``_CURRENT`` (write-then-rename on the same filesystem).
+        The ONE commit protocol — apply() and compact() must never
+        fork it.
 
         Optimistic concurrency: ``expected_base`` is the generation
         this merge was computed FROM. If another writer committed in
-        between, blindly flipping the pointer would silently drop
-        their changes (a lost update) — detect and refuse instead.
-        This is detection, not serialization: the check-then-rename
-        window is microseconds instead of the whole merge; true
-        multi-writer needs a compare-and-swap commit service, the same
-        constraint every object-store table format has."""
-        current = self.current_generation()
-        if current != expected_base:
-            raise RuntimeError(
-                f"concurrent modification: merge computed from "
-                f"{expected_base!r} but the table is now at {current!r} "
-                f"— rerun the merge on the current state"
-            )
-        with open(os.path.join(self.root, gen_name, _MANIFEST), "w") as f:
+        between, publishing would silently drop their changes (a lost
+        update) — detect and refuse instead, leaving the winner's
+        files untouched (the loser only ever wrote its own staging
+        dir, which is cleaned up here). The residual check-then-rename
+        window is microseconds; true multi-writer needs a
+        compare-and-swap commit service, the same constraint every
+        object-store table format has."""
+        out = os.path.join(self.root, gen_name)
+        try:
+            current = self.current_generation()
+            if current != expected_base:
+                raise RuntimeError(
+                    f"concurrent modification: merge computed from "
+                    f"{expected_base!r} but the table is now at "
+                    f"{current!r} — rerun the merge on the current state"
+                )
+            if os.path.exists(out):
+                if os.path.exists(os.path.join(out, _MANIFEST)):
+                    # a manifest means another writer published this
+                    # generation between our check and rename
+                    raise RuntimeError(
+                        f"concurrent modification: {gen_name} already "
+                        f"published — rerun the merge on the current state"
+                    )
+                # manifest-less gen dir = crash garbage from a writer
+                # that died between rename and manifest write; safe to
+                # replace (nothing ever referenced it)
+                shutil.rmtree(out)
+            os.rename(staging, out)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        with open(os.path.join(out, _MANIFEST), "w") as f:
             json.dump(manifest, f)
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
@@ -371,15 +405,16 @@ class ParquetUpsertTable:
         # (the compaction contract) instead of a file per (task, bucket)
         df = df.repartition(max(new_n, 1), F.col(_BUCKET))
 
-        gen_name, out = self._next_generation()
-        df.write.partitionBy(_BUCKET).mode("overwrite").parquet(out)
+        gen_name, staging = self._next_generation()
+        df.write.partitionBy(_BUCKET).mode("overwrite").parquet(staging)
         written = {
             int(d.split("=")[1])
-            for d in os.listdir(out)
+            for d in os.listdir(staging)
             if d.startswith(f"{_BUCKET}=")
         }
         self._commit(
             gen_name,
+            staging,
             {
                 "n_buckets": new_n,
                 "buckets": {
@@ -418,6 +453,12 @@ class ParquetUpsertTable:
                 f"retain_last must be >= 1, got {retain_last} "
                 f"(the committed current generation is always retained)"
             )
+        # crashed writers leave .staging_* dirs nothing references —
+        # sweep them (single-writer assumption: the vacuum caller owns
+        # the table, so no live merge is staging concurrently)
+        for d in os.listdir(self.root):
+            if d.startswith(".staging_"):
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
         gens = self.generations()
         # committed = at or before the pointer, the same filter read()
         # applies: a crash mid-apply can leave a manifest whose pointer

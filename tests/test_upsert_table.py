@@ -346,8 +346,13 @@ def test_concurrent_writer_lost_update_detected(spark, tmp_path):
     t2 = ParquetUpsertTable(spark, root, key="k", n_buckets=4)
     t2.apply(spark.createDataFrame([(2, "b")], "k long, v string"))
 
+    staging = os.path.join(root, ".staging_gen_999999_test")
+    os.makedirs(staging)
     with pytest.raises(RuntimeError, match="concurrent modification"):
-        t1._commit("gen_999999", {"buckets": {}}, expected_base=base)
+        t1._commit("gen_999999", staging, {"buckets": {}}, expected_base=base)
+    assert not os.path.exists(staging)  # loser's staging cleaned up
+    # the winner's committed generation is untouched by the refusal
+    assert {r.k: r.v for r in t1.read().collect()} == {1: "a", 2: "b"}
     # and a clean retry on the current state succeeds
     t1.apply(spark.createDataFrame([(3, "c")], "k long, v string"))
     got = {r.k: r.v for r in t1.read().collect()}
