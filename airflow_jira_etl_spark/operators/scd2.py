@@ -1,0 +1,96 @@
+"""Slowly-changing-dimension Type 2 merge.
+
+The reference's sink is a keyed upsert that OVERWRITES attribute values
+in place (``/root/reference/dags/jira/db_ops.py:29-43`` — ``ON CONFLICT
+... DO UPDATE SET``); SCD2 is the history-preserving variant every
+warehouse eventually needs: instead of overwriting, close the old
+version (``valid_to``, ``is_current=false``) and append the new one.
+
+Scale shape: the change batch is joined BROADCAST against the current
+slice of the dimension — the dimension itself is never shuffled, and
+rows whose key is absent from the batch stream through untouched. At
+100 TB the dimension is the big side (billions of customers), the
+daily change batch is the small side (thousands of rows); a shuffle
+join keyed on the dimension would be the classic mistake here. For a
+change batch too large to broadcast, drop the ``F.broadcast`` hint and
+let AQE pick the join side — the plan stays otherwise identical.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VERSION_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_merge(
+    dim: DataFrame,
+    changes: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective: str,
+) -> DataFrame:
+    """Apply ``changes`` (key + new attribute values) to an SCD2
+    dimension as of ``effective`` (a ``YYYY-MM-DD`` date literal).
+
+    ``dim`` must carry ``valid_from``/``valid_to``/``is_current``;
+    ``changes`` carries ``key`` + ``attrs`` only. Semantics:
+
+    - key in changes, any attribute differs (null-safe): the current
+      version is CLOSED (``valid_to = effective``, ``is_current=false``)
+      and a new current version is appended with ``valid_from =
+      effective``;
+    - key in changes with identical attributes: no-op (no spurious
+      version churn — the null-safe ``<=>`` diff is what prevents a
+      re-sent unchanged row from forking history);
+    - key not in changes: current version passes through untouched;
+    - key in changes but not in dim: brand-new member, inserted as
+      current with ``valid_from = effective``;
+    - non-current history rows always pass through unchanged.
+    """
+    eff = F.lit(effective).cast("date")
+    # presence markers survive NULL attribute values (a change row may
+    # legitimately set an attribute to NULL — NULL-ness of an attr
+    # column cannot stand in for "this side matched")
+    cur = dim.where(F.col("is_current")).withColumn("__in_dim", F.lit(True))
+    hist = dim.where(~F.col("is_current"))
+
+    upd = changes.select(
+        F.col(key),
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.lit(True).alias("__in_upd"),
+    )
+    j = cur.join(F.broadcast(upd), on=key, how="full_outer")
+
+    in_dim = F.col("__in_dim").isNotNull()
+    in_upd = F.col("__in_upd").isNotNull()
+    differs: Column = reduce(
+        lambda a, b: a | b,
+        [~F.col(a).eqNullSafe(F.col(f"__u_{a}")) for a in attrs],
+    )
+    changed = in_dim & in_upd & differs
+
+    # surviving current version of matched-but-unchanged / untouched keys
+    passthrough = j.where(in_dim & ~changed).select(
+        key, *attrs, *VERSION_COLS
+    )
+    closed = j.where(changed & in_dim).select(
+        key,
+        *attrs,
+        "valid_from",
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = j.where(in_upd & (~in_dim | differs)).select(
+        key,
+        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return hist.select(key, *attrs, *VERSION_COLS).unionByName(
+        passthrough
+    ).unionByName(closed).unionByName(opened)

@@ -53,6 +53,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tests/test_sweep_priority.py pins the never-checked/red-row window
 # invariants.
 SWEEP_PRIORITY: list[str] = [
+    # tier A: NEW this session — first evidence
+    "cdc_latest_per_key",
+    "sink_scd2_apply",
     # tier A: r04 red rows — events ts unit fix must re-prove these
     "fn_timestamp_parse",
     "source_paged_union",
@@ -165,6 +168,7 @@ def load_all_queries() -> None:
         windows,
         sorts_sets,
         matview,
+        cdc,
     )
 
     missing = [n for n in SWEEP_PRIORITY if n not in QUERIES]

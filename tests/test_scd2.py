@@ -1,0 +1,120 @@
+"""SCD2 merge edge paths the registered query's oracle can't isolate:
+new-key insert, NULL-attribute diffs, history passthrough, and the
+broadcast-join plan shape."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airflow_jira_etl_spark.operators.scd2 import scd2_merge
+
+D = datetime.date
+
+SCHEMA_DIM = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("seg", T.StringType()),
+        T.StructField("valid_from", T.DateType()),
+        T.StructField("valid_to", T.DateType()),
+        T.StructField("is_current", T.BooleanType()),
+    ]
+)
+SCHEMA_CH = T.StructType(
+    [T.StructField("k", T.LongType()), T.StructField("seg", T.StringType())]
+)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA_DIM)
+
+
+def _ch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA_CH)
+
+
+def test_scd2_change_closes_and_opens(spark):
+    dim = _dim(spark, [(1, "A", D(2024, 1, 1), None, True)])
+    ch = _ch(spark, [(1, "B")])
+    out = scd2_merge(dim, ch, "k", ["seg"], "2024-06-01").collect()
+    rows = {(r.seg, r.is_current): r for r in out}
+    assert len(out) == 2
+    closed = rows[("A", False)]
+    assert closed.valid_from == D(2024, 1, 1)
+    assert closed.valid_to == D(2024, 6, 1)
+    opened = rows[("B", True)]
+    assert opened.valid_from == D(2024, 6, 1)
+    assert opened.valid_to is None
+
+
+def test_scd2_noop_resend_and_untouched_pass_through(spark):
+    dim = _dim(
+        spark,
+        [
+            (1, "A", D(2024, 1, 1), None, True),  # resent unchanged
+            (2, "B", D(2024, 1, 1), None, True),  # untouched
+        ],
+    )
+    ch = _ch(spark, [(1, "A")])
+    out = scd2_merge(dim, ch, "k", ["seg"], "2024-06-01").collect()
+    assert len(out) == 2
+    assert all(r.is_current and r.valid_from == D(2024, 1, 1) for r in out)
+
+
+def test_scd2_new_key_inserted_as_current(spark):
+    dim = _dim(spark, [(1, "A", D(2024, 1, 1), None, True)])
+    ch = _ch(spark, [(9, "Z")])
+    out = {r.k: r for r in scd2_merge(dim, ch, "k", ["seg"], "2024-06-01").collect()}
+    assert out[9].seg == "Z"
+    assert out[9].is_current and out[9].valid_from == D(2024, 6, 1)
+    assert out[1].seg == "A" and out[1].is_current
+
+
+def test_scd2_null_attr_diff_is_null_safe(spark):
+    # NULL -> 'X' is a change; NULL -> NULL is a no-op. A non-null-safe
+    # comparison would treat both as "no diff" (NULL predicate).
+    dim = _dim(
+        spark,
+        [
+            (1, None, D(2024, 1, 1), None, True),
+            (2, None, D(2024, 1, 1), None, True),
+        ],
+    )
+    ch = _ch(spark, [(1, "X"), (2, None)])
+    out = scd2_merge(dim, ch, "k", ["seg"], "2024-06-01")
+    k1 = out.where("k = 1").collect()
+    k2 = out.where("k = 2").collect()
+    assert len(k1) == 2  # closed + opened
+    assert len(k2) == 1 and k2[0].is_current  # no-op
+
+
+def test_scd2_history_rows_untouched(spark):
+    dim = _dim(
+        spark,
+        [
+            (1, "OLD", D(2023, 1, 1), D(2024, 1, 1), False),
+            (1, "A", D(2024, 1, 1), None, True),
+        ],
+    )
+    ch = _ch(spark, [(1, "B")])
+    out = scd2_merge(dim, ch, "k", ["seg"], "2024-06-01").collect()
+    assert len(out) == 3
+    old = [r for r in out if r.seg == "OLD"][0]
+    assert old.valid_to == D(2024, 1, 1) and not old.is_current
+
+
+def test_scd2_change_batch_broadcasts(spark):
+    """The dimension side must not shuffle: the change batch joins in
+    as a BroadcastHashJoin (the 100 TB contract in operators/scd2.py)."""
+    dim = _dim(spark, [(i, "A", D(2024, 1, 1), None, True) for i in range(100)])
+    ch = _ch(spark, [(1, "B")])
+    plan = (
+        scd2_merge(dim, ch, "k", ["seg"], "2024-06-01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
