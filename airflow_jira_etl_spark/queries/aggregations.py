@@ -303,3 +303,68 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("event_type").alias("mode_event_type"), "n"
         )
     )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_quantity) AS sum_qty,
+           count(*) AS n_rows,
+           round(sum(l_quantity) / count(*) + 1e-9, 4) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: lineitem grouped by l_returnflag — 3
+    keys over the whole table, the textbook hot-key shape where a
+    plain groupBy lands each key on ONE reducer and the stage runs at
+    the speed of its slowest straggler. The salted two-phase operator
+    (operators/salt.py) spreads every key over 16 partials first; the
+    final exchange carries |keys| x 16 rows. The salt never leaks into
+    the result — sums and counts re-combine exactly, and avg is
+    derived sum/count AFTER the final combine (averaging partial avgs
+    would weight salt buckets equally; deriving it post-combine is
+    what makes the operator algebra-safe) — so the oracle is the plain
+    GROUP BY."""
+    from airflow_jira_etl_spark.operators.salt import salted_agg
+
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        lineitem,
+        ["l_returnflag"],
+        {
+            "sum_qty": (F.sum("l_quantity"), F.sum("sum_qty")),
+            "n_rows": (F.count("*"), F.sum("n_rows")),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        "sum_qty",
+        "n_rows",
+        fround(F.col("sum_qty") / F.col("n_rows")).alias("avg_qty"),
+    )
+
+
+@query("agg_approx_quantiles")
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate grouped quartiles via ``approx_percentile`` (the
+    Greenwald-Khanna mergeable sketch): per order status, p25/p50/p75
+    of o_totalprice at accuracy 10000 (rank error <= n/10000). The
+    100 TB twin of agg_exact_quantiles (reports.py): the sketch is a
+    bounded-size partial aggregate — one map-side pass, |groups|
+    sketches across the exchange — where the exact rank-selection
+    needs the full value multiset per group. No SQL oracle by design
+    (sketch internals are engine-specific); the named tolerance test
+    (tests/test_operators.py::test_approx_quantiles_within_rank_tolerance)
+    bounds every approximate quartile against the exact one."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    q = F.expr(
+        "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)"
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.element_at(q, 1).alias("p25"),
+        F.element_at(q, 2).alias("p50"),
+        F.element_at(q, 3).alias("p75"),
+    )

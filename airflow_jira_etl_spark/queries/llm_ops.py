@@ -119,7 +119,9 @@ def _mh_pairs_cte() -> str:
     scored AS (
         SELECT c.id1, c.id2,
                CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
-                 / len(list_distinct(list_concat(sa.hset, sb.hset))) AS j
+                 / len(list_distinct(list_concat(sa.hset, sb.hset))) AS j,
+               CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+                 / least(len(sa.hset), len(sb.hset)) AS containment
         FROM cand c
         JOIN sig sa ON sa.doc_id = c.id1
         JOIN sig sb ON sb.doc_id = c.id2
@@ -152,10 +154,13 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_pairs_portable(documents: DataFrame) -> DataFrame:
-    """Portable-family MinHash-LSH near-dup pairs (id1, id2, j ≥ tau):
-    the differential-checkable pair generator shared by
-    llm_dedup_minhash and llm_dedup_clusters' oracle paths."""
+def minhash_candidates_portable(documents: DataFrame) -> DataFrame:
+    """Portable-family MinHash-LSH candidate pairs with their shingle
+    sets attached — (id1, id2, h1, h2) — the shared generator behind
+    llm_dedup_minhash (Jaccard verify), llm_containment_pairs
+    (containment verify) and llm_dedup_clusters' pair feed. The cached
+    signature pass is plan-identical across callers, so a combined run
+    (bench, the driver sweep) computes the shingle signatures once."""
     n_par = documents.sparkSession.sparkContext.defaultParallelism
     # word 3-shingles then the portable polynomial per shingle — all
     # in-array (no explode, no shuffle until the band join), same shape
@@ -214,15 +219,54 @@ def minhash_pairs_portable(documents: DataFrame) -> DataFrame:
         .dropDuplicates(["id1", "id2"])
     )
     hsets = sig.select("doc_id", "hset")
-    pairs = cand.join(
+    return cand.join(
         hsets.select(F.col("doc_id").alias("id1"), F.col("hset").alias("h1")), "id1"
     ).join(
         hsets.select(F.col("doc_id").alias("id2"), F.col("hset").alias("h2")), "id2"
     )
+
+
+def minhash_pairs_portable(documents: DataFrame) -> DataFrame:
+    """Portable-family MinHash-LSH near-dup pairs (id1, id2, j ≥ tau):
+    exact Jaccard verify over the shared candidate generator."""
+    pairs = minhash_candidates_portable(documents)
     inter = F.size(F.array_intersect("h1", "h2")).cast("double")
     union = F.size(F.array_union("h1", "h2")).cast("double")
     j = inter / union
     return pairs.where(j >= _MH_TAU).select("id1", "id2", j.alias("j"))
+
+
+_CT_TAU = 0.7  # containment threshold
+
+
+@query(
+    "llm_containment_pairs",
+    oracle=_mh_pairs_cte()
+    + f"""
+    SELECT id1, id2, round(containment + 1e-9, 4) AS containment
+    FROM scored WHERE containment >= {_CT_TAU}
+    """,
+)
+def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-similarity near-dup pairs: |A∩B| / min(|A|, |B|)
+    over the same word-3-shingle sets as llm_dedup_minhash. Containment
+    is the asymmetric complement of Jaccard — a short document pasted
+    into a longer one scores containment ≈ 1 but Jaccard ≈ |A|/|B|, so
+    a Jaccard-only dedup pass keeps the redundant pair. Candidates come
+    from the SAME minhash band join (the cached signature pass is
+    plan-identical, so Spark reuses the cache built by
+    llm_dedup_minhash — zero extra signature cost in a combined run);
+    only the verify expression differs. Honest limitation, documented:
+    Jaccard-LSH recall degrades for extreme-ratio containment pairs
+    (tiny fragment in a huge doc rarely band-collides); a dedicated
+    containment index would band per size-prefix instead."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    pairs = minhash_candidates_portable(documents)
+    inter = F.size(F.array_intersect("h1", "h2")).cast("double")
+    c = inter / F.least(F.size("h1"), F.size("h2")).cast("double")
+    return pairs.where(c >= _CT_TAU).select(
+        "id1", "id2", fround(c).alias("containment")
+    )
 
 
 @query(

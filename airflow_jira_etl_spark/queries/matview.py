@@ -22,7 +22,7 @@ from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.registry import query
 from airflow_jira_etl_spark.sinks.parquet_upsert import ParquetUpsertTable
-from airflow_jira_etl_spark.streaming.source import write_event_pages
+from airflow_jira_etl_spark.streaming.source import pages_dir_for, write_event_pages
 
 SCRATCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
@@ -49,7 +49,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     be indistinguishable from recomputation. Raw sums live in the
     table; rounding happens once at read, so fold order can't compound
     rounding error."""
-    pages_dir = os.path.join(SCRATCH, "event_pages")
+    pages_dir = pages_dir_for(SCRATCH, sf_dir)
     table_dir = os.path.join(SCRATCH, "mv_user_profile")
     write_event_pages(spark, sf_dir, pages_dir, n_pages=4)
     table = ParquetUpsertTable(spark, table_dir, key="user_id", n_buckets=8)

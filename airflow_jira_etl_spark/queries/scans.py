@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.operators.upsert import upsert
 from airflow_jira_etl_spark.registry import query
 
@@ -356,4 +357,40 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampFormat", ts_fmt)
         .csv(out_dir)
         .where(F.col("user_id") % 5 == 0)
+    )
+
+
+@query(
+    "sink_sorted_write",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           round(value + 1e-9, 4) AS value
+    FROM events
+    WHERE user_id BETWEEN 10 AND 19
+    """,
+)
+def sink_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered layout for data skipping: events range-partitioned
+    and sorted by user_id at write time, so every parquet file (and row
+    group) covers a NARROW user_id interval and its footer min/max
+    statistics actually prune. An unsorted write leaves every file's
+    min/max spanning the full key range — statistics exist but never
+    exclude anything. The read-back predicate reaches the scan as a
+    PushedFilter and skips non-overlapping row groups on footer stats
+    alone (file-level stats tightness is asserted in
+    tests/test_scale_patterns.py). At 100 TB this layout choice — not
+    any compute change — is what turns a point-range query from a full
+    scan into touching ~1/N of the files."""
+    out_dir = os.path.join(SCRATCH, "events_sorted")
+    events = catalog.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", fround(F.col("value")).alias("value")
+    )
+    (
+        events.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return spark.read.parquet(out_dir).where(
+        F.col("user_id").between(10, 19)
     )

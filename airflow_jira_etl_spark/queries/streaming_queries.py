@@ -25,6 +25,7 @@ from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.registry import query
 from airflow_jira_etl_spark.sinks.parquet_upsert import ParquetUpsertTable
 from airflow_jira_etl_spark.streaming.source import (
+    pages_dir_for,
     read_events_stream,
     run_available_now,
     scoped_shuffle_partitions,
@@ -261,7 +262,7 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # same page layout as the foreachBatch/MV queries — one shared
     # materialization per sweep, not one per query
-    pages_dir = os.path.join(SCRATCH, "event_pages")
+    pages_dir = pages_dir_for(SCRATCH, sf_dir)
     write_event_pages(spark, sf_dir, pages_dir, n_pages=4)
     # pages are written from catalog.load output (layout v2): ts is a
     # real timestamp column regardless of the source fixture's unit
@@ -316,7 +317,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     observable."""
     from airflow_jira_etl_spark.sinks.parquet_upsert import range_bucketer
 
-    pages_dir = os.path.join(SCRATCH, "event_pages")
+    pages_dir = pages_dir_for(SCRATCH, sf_dir)
     table_dir = os.path.join(SCRATCH, "upsert_table")
     # 4 pages = 4 real micro-batches: enough to exercise cross-batch
     # merge + manifest chaining; per-batch harness latency is the cost

@@ -386,3 +386,69 @@ def win_consecutive_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("run_len") >= 3)
         .select("user_id", "run_start", "run_len")
     )
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               round(avg(value) + 1e-9, 4) AS day_avg
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events
+    ),
+    cal AS (
+        SELECT u.user_id, CAST(g.d AS DATE) AS day
+        FROM (SELECT DISTINCT user_id FROM daily) u
+        CROSS JOIN bounds b
+        CROSS JOIN unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS g(d)
+    )
+    SELECT c.user_id, c.day,
+           last_value(d.day_avg IGNORE NULLS) OVER (
+               PARTITION BY c.user_id ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_locf,
+           d.day_avg IS NULL AS gap_filled
+    FROM cal c LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: densify each user's daily activity onto
+    the full corpus calendar, then carry the last observation forward
+    (LOCF) across the gaps. The calendar is generated DISTRIBUTED —
+    ``sequence(d0, d1)`` exploded per user, never a driver-side loop —
+    and its row count is |users| x |days|, i.e. output-sized. Shuffles:
+    one for the daily pre-aggregate, one to co-locate each user's
+    calendar for the LOCF window; the global date bounds ride in as a
+    broadcast scalar. Days before a user's first observation stay NULL
+    (flagged by ``gap_filled``) — LOCF never invents data."""
+    events = catalog.load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(fround(F.avg("value")).alias("day_avg"))
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    cal = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("day_avg", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("day_avg").isNull().alias("gap_filled"),
+    )

@@ -56,6 +56,11 @@ SWEEP_PRIORITY: list[str] = [
     # tier A: NEW this session — first evidence
     "cdc_latest_per_key",
     "sink_scd2_apply",
+    "ts_gapfill_locf",
+    "agg_salted_skew",
+    "agg_approx_quantiles",
+    "sink_sorted_write",
+    "llm_containment_pairs",
     # tier A: r04 red rows — events ts unit fix must re-prove these
     "fn_timestamp_parse",
     "source_paged_union",

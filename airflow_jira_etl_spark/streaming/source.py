@@ -68,6 +68,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conform(raw, SCHEMAS["events"])
 
 
+def pages_dir_for(scratch: str, sf_dir: str) -> str:
+    """Per-scale-factor page directory. The page cache is keyed by
+    source mtime/size in its meta file, but two SESSIONS at different
+    scale factors sharing one directory would rewrite it back and
+    forth under each other's running streams — the dir name itself
+    must carry the source identity."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(scratch, f"event_pages_{tag}")
+
+
 def write_event_pages(
     spark: SparkSession, sf_dir: str, out_dir: str, n_pages: int = 8
 ) -> int:

@@ -43,9 +43,9 @@ def main() -> None:
     # so steady state is the representative measurement; their build
     # cost is reported here in warmup_sec, not hidden
     from airflow_jira_etl_spark.queries.streaming_queries import SCRATCH
-    from airflow_jira_etl_spark.streaming.source import write_event_pages
+    from airflow_jira_etl_spark.streaming.source import pages_dir_for, write_event_pages
 
-    write_event_pages(spark, SF_DIR, os.path.join(SCRATCH, "event_pages"), n_pages=4)
+    write_event_pages(spark, SF_DIR, pages_dir_for(SCRATCH, SF_DIR), n_pages=4)
     registry.QUERIES["llm_sim_ivf_topk"](spark, SF_DIR).count()
     # warm the Python worker pool: the first Python-backed query (the
     # REST DataSource or a pandas UDF) otherwise absorbs the pool

@@ -221,3 +221,26 @@ def test_connected_components_distributed_path_matches_local(spark, monkeypatch)
     got = {r.id: r.component for r in C.connected_components(pairs).collect()}
     assert got == expected
     assert got[40] == 0 and got[102] == 100 and got[201] == 200
+
+
+def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
+    """Every approximate quartile must land within ±2% rank of the
+    exact one (accuracy=10000 guarantees n/10000 rank error; 2% is a
+    generous envelope that still catches a broken sketch)."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    approx = {
+        r.o_orderstatus: (r.p25, r.p50, r.p75)
+        for r in registry.QUERIES["agg_approx_quantiles"](spark, sf_dir).collect()
+    }
+    orders = catalog.load(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, array(0.23, 0.27))").alias("b25"),
+        F.expr("percentile(o_totalprice, array(0.48, 0.52))").alias("b50"),
+        F.expr("percentile(o_totalprice, array(0.73, 0.77))").alias("b75"),
+    )
+    for r in bounds.collect():
+        got = approx[r.o_orderstatus]
+        for v, (lo, hi) in zip(got, (r.b25, r.b50, r.b75)):
+            assert lo <= v <= hi, (r.o_orderstatus, v, lo, hi)

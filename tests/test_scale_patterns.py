@@ -215,3 +215,38 @@ def test_funnel_never_shuffles_fact_table(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sorted_write_stats_enable_rowgroup_skipping(spark, sf_dir):
+    """The sort-clustered layout's footer statistics must actually
+    prune: row groups whose [min, max] user_id interval overlaps the
+    query range [10, 19] must hold well under half the rows — an
+    unsorted layout leaves every row group overlapping every range and
+    this assertion fails."""
+    import pyarrow.parquet as pq
+
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    registry.QUERIES["sink_sorted_write"](spark, sf_dir).count()
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "events_sorted",
+    )
+    total = overlapping = 0
+    for f in os.listdir(out_dir):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out_dir, f)).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            idx = {
+                g.column(i).path_in_schema: i for i in range(g.num_columns)
+            }
+            st = g.column(idx["user_id"]).statistics
+            total += g.num_rows
+            if st.min <= 19 and st.max >= 10:
+                overlapping += g.num_rows
+    assert total > 0
+    assert overlapping < total / 2, (overlapping, total)
