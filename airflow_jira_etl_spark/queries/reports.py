@@ -554,3 +554,85 @@ def report_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "report_monthly_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               round(sum(o_totalprice) + 1e-9, 4) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(
+             (revenue - lag(revenue) OVER (ORDER BY month))
+               / lag(revenue) OVER (ORDER BY month) + 1e-9, 4
+           ) AS mom_growth
+    FROM monthly
+    """,
+)
+def report_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the KPI-dashboard shape:
+    coarse time-bucket aggregate, then lag() on the aggregate. The
+    window is GLOBAL (no partition key) but runs over |months| rows —
+    strictly output-sized, so the single-task window is a non-issue at
+    any input scale; the heavy lifting is the partial→final monthly
+    aggregate. First month's growth is NULL (no prior), not 0 — absent
+    history is not zero growth."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(fround(F.sum("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        fround((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
+@query(
+    "report_large_volume_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           round(o.o_totalprice + 1e-9, 4) AS o_totalprice,
+           big.sum_qty
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 300
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def report_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers holding orders whose total lineitem
+    quantity clears a threshold. The aggregate-then-join order is the
+    scale decision: lineitem collapses to |orders| rows (partial→final
+    sum) and the HAVING prunes to the rare heavy orders BEFORE any
+    join — the joins then run on the small survivor set, and AQE
+    broadcasts it against orders/customer. Joining first and
+    aggregating after would shuffle the full lineitem x orders
+    product."""
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders")
+    customer = catalog.load(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            fround(F.col("o_totalprice")).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )

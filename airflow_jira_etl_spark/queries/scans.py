@@ -394,3 +394,41 @@ def sink_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).where(
         F.col("user_id").between(10, 19)
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'web' AS o_channel
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation 1 of a table was written
+    without ``o_channel``, generation 2 adds it; ``mergeSchema`` unifies
+    the footers and back-fills the missing column with NULL for old
+    files. This is the additive-column contract a long-lived 100 TB
+    table lives by — old data is never rewritten when a column is
+    added, the reader reconciles. (Type-CHANGED columns are the
+    non-additive case and fail loudly instead — that path is the
+    catalog's conform() contract, tests/test_catalog_units.py.)
+    mergeSchema costs a footer read per file — fine per-query here; a
+    production table keeps the merged schema in a catalog/metastore so
+    the read path goes back to one footer."""
+    out_dir = os.path.join(SCRATCH, "orders_evolving")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.where(F.col("o_orderkey") % 2 == 0).write.mode("append").parquet(
+        out_dir
+    )
+    orders.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_channel", F.lit("web")
+    ).write.mode("append").parquet(out_dir)
+    return spark.read.option("mergeSchema", "true").parquet(out_dir).select(
+        "o_orderkey", "o_totalprice", "o_channel"
+    )

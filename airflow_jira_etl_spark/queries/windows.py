@@ -452,3 +452,62 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_avg", ignorenulls=True).over(w).alias("value_locf"),
         F.col("day_avg").isNull().alias("gap_filled"),
     )
+
+
+@query(
+    "win_concurrency_sweep",
+    oracle="""
+    WITH iv AS (
+        SELECT CAST(ts AS TIMESTAMP) AS s,
+               least(CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE,
+                     date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY)
+                 AS e
+        FROM events
+    ),
+    pts AS (
+        SELECT CAST(date_trunc('day', s) AS DATE) AS day, s AS pt, 1 AS delta
+        FROM iv
+        UNION ALL
+        SELECT CAST(date_trunc('day', s) AS DATE) AS day, e AS pt, -1 AS delta
+        FROM iv
+    ),
+    run AS (
+        SELECT day,
+               sum(delta) OVER (PARTITION BY day ORDER BY pt, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS live
+        FROM pts
+    )
+    SELECT day, max(live) AS max_concurrent
+    FROM run GROUP BY day
+    """,
+)
+def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent sessions per day by SWEEP-LINE: each event opens
+    a 5-minute half-open interval [ts, ts+5min) (clipped at its day's
+    end); the interval set becomes +1/-1 boundary points and a running
+    sum ordered by (time, delta) — ends sort before coincident starts,
+    the half-open convention — whose per-day max is the answer. The
+    naive formulation is an interval self-join (O(n²) pairs at any
+    skewed hour); the sweep is 2n points, ONE exchange keyed by day,
+    and per-day windows that parallelize across the calendar. Ties at
+    the same (pt, delta) produce the same running-sum multiset under
+    any order, so max is deterministic."""
+    events = catalog.load(spark, sf_dir, "events")
+    s = F.col("ts")
+    day_end = F.date_trunc("day", s) + F.expr("INTERVAL 1 DAY")
+    iv = events.select(
+        s.alias("s"),
+        F.least(s + F.expr("INTERVAL 5 MINUTES"), day_end).alias("e"),
+    )
+    day = F.date_trunc("day", F.col("s")).cast("date").alias("day")
+    pts = iv.select(day, F.col("s").alias("pt"), F.lit(1).alias("delta")).unionByName(
+        iv.select(day, F.col("e").alias("pt"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("pt", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("day", F.sum("delta").over(w).alias("live"))
+    return run.groupBy("day").agg(F.max("live").alias("max_concurrent"))

@@ -61,6 +61,10 @@ SWEEP_PRIORITY: list[str] = [
     "agg_approx_quantiles",
     "sink_sorted_write",
     "llm_containment_pairs",
+    "scan_schema_evolution",
+    "report_monthly_growth",
+    "report_large_volume_customers",
+    "win_concurrency_sweep",
     # tier A: r04 red rows — events ts unit fix must re-prove these
     "fn_timestamp_parse",
     "source_paged_union",

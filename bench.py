@@ -54,6 +54,30 @@ def main() -> None:
     spark.range(0, 1024, 1, 32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # warm the Python DataSource machinery (registration + the separate
+    # plan/lookup worker the first format("paged_rest").load() spawns —
+    # ~3 s of session infrastructure that would otherwise be billed to
+    # whichever datasource query runs first)
+    from airflow_jira_etl_spark.sources.rest_datasource import PagedRestDataSource
+
+    try:
+        spark.dataSource.register(PagedRestDataSource)
+    except Exception:
+        pass
+    (
+        spark.read.format("paged_rest")
+        .options(
+            url="https://api/warmup",
+            fetcher=(
+                "airflow_jira_etl_spark.sources.fixture_fetchers"
+                ":synthetic_issues_fetcher"
+            ),
+            schema_ddl="id string",
+            records_key="issues",
+        )
+        .load()
+        .count()
+    )
     warm_s = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
