@@ -34,6 +34,10 @@ FEATURE_SCHEMA = (
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
 
+RESIZE_SCHEMA = (
+    "doc_id long, n_bytes long, stride int, out_bytes long, out_sum long"
+)
+
 
 def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Build a multimodal table from the documents fixture: the text
@@ -104,3 +108,37 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return media_df.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def resize_media(media_df: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """'Resize' each payload down to a byte budget by uniform striding
+    (every k-th byte, k = ceil(n / target)) — the downsampling shape of
+    an image-resize / audio-decimation kernel. PRODUCTION: replace the
+    stride with a real resampler (PIL thumbnail / librosa resample);
+    the output contract (bounded payload per row, stride recorded for
+    provenance) stays the same. Emits byte-exact summary stats so the
+    fake is differentially checkable."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, st, ob, osum = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                k = max(-(-n // target_bytes), 1)
+                resized = payload[::k]
+                ids.append(doc_id)
+                nb.append(n)
+                st.append(k)
+                ob.append(len(resized))
+                osum.append(int(sum(resized)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "stride": pd.Series(st, dtype="int32"),
+                    "out_bytes": pd.Series(ob, dtype="int64"),
+                    "out_sum": pd.Series(osum, dtype="int64"),
+                }
+            )
+
+    return media_df.mapInPandas(kernel, schema=RESIZE_SCHEMA)

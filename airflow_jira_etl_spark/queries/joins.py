@@ -425,3 +425,67 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH marked AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS click_ts,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS click_id
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN click_ts >= ts - INTERVAL 1 HOUR THEN click_id END
+             AS asof_click_id,
+           CASE WHEN click_ts >= ts - INTERVAL 1 HOUR THEN click_ts END
+             AS asof_click_ts
+    FROM marked WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof semantics): each
+    purchase takes the user's latest prior click only if it happened
+    within the last hour — a stale match is worse than no match for
+    attribution. Same single window scan as join_asof_latest (no
+    pairwise range join, one user-keyed exchange); the tolerance is a
+    post-carry filter on the carried timestamp, so it adds zero plan
+    cost. Carrying (ts, id) as one struct keeps the pair atomic — two
+    independent last() calls could never disagree here, but the struct
+    makes that impossible by construction."""
+    events = catalog.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("id")),
+    )
+    carried = F.last(click, ignorenulls=True).over(w)
+    # the freshness check must read the MATERIALIZED click column, not
+    # the window expression: re-using the window expr after the
+    # purchase filter would re-evaluate it over the filtered frame
+    # (where no click rows exist at all)
+    fresh = F.col("click.ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return (
+        events.withColumn("click", carried)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(fresh, F.col("click.id")).alias("asof_click_id"),
+            F.when(fresh, F.col("click.ts")).alias("asof_click_ts"),
+        )
+    )

@@ -16,6 +16,7 @@ from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.operators.multimodal import (
     attach_media,
     decode_features,
+    resize_media,
     sample_frames,
 )
 from airflow_jira_etl_spark.registry import query
@@ -345,6 +346,44 @@ def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(
         attach_media(documents.where(F.col("doc_id") < 200)), n_frames=4
     )
+
+
+@query(
+    "mm_resize_batch",
+    # Uniform byte striding over the ASCII payload: stride k =
+    # max(ceil(n/256), 1), kept bytes at 0, k, 2k, ... — the oracle
+    # recomputes the strided sum with a range(0, n, k) comprehension
+    # (1-indexed substring; byte == codepoint on the ASCII fixture).
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n,
+               greatest(CAST(ceil(length(text) / 256.0) AS INTEGER), 1)
+                 AS stride
+        FROM documents
+    )
+    SELECT doc_id,
+           n AS n_bytes,
+           stride,
+           CAST(ceil(n / CAST(stride AS DOUBLE)) AS BIGINT) AS out_bytes,
+           CAST(coalesce(
+             list_sum([ascii(text[i + 1:i + 1])
+                       FOR i IN range(0, CAST(n AS INTEGER), stride)]),
+             0) AS BIGINT) AS out_sum
+    FROM m
+    """,
+)
+def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize/downsample plumbing: every payload reduced to a
+    ~256-byte budget by uniform striding inside an Arrow-batched
+    mapInPandas kernel (operators/multimodal.resize_media) — the
+    image-thumbnail / audio-decimation shape. The kernel is a
+    deterministic fake (codec libs absent) emitting byte-exact stats;
+    the Spark plumbing — binary column in, bounded payload out, stride
+    recorded for provenance — is the real deliverable. No shuffle at
+    all: a pure per-batch map, embarrassingly parallel at any scale."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    return resize_media(attach_media(documents), target_bytes=256)
 
 
 def _sem_clusters_oracle() -> str:

@@ -274,3 +274,33 @@ def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("salted_md5"),
         F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("sha_prefix"),
     )
+
+
+@query(
+    "fn_bitwise_suite",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 16 AS with_flag,
+           xor(event_id, 21845) AS toggled,
+           event_id << 3 AS shl3,
+           event_id >> 2 AS shr2,
+           CAST(bit_count(event_id) AS INTEGER) AS popcount
+    FROM events WHERE event_id < 2000
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator suite — flag fields, bit-packed ids, hash
+    mixing all live on these. Pure codegen expressions, no shuffle;
+    popcount (bit_count) is the building block for Hamming distance
+    over packed signatures (the SimHash verify step at scale)."""
+    events = catalog.load(spark, sf_dir, "events")
+    return events.where(F.col("event_id") < 2000).select(
+        "event_id",
+        F.expr("event_id & 255").alias("low_byte"),
+        F.expr("event_id | 16").alias("with_flag"),
+        F.expr("event_id ^ 21845").alias("toggled"),
+        F.expr("shiftleft(event_id, 3)").alias("shl3"),
+        F.expr("shiftright(event_id, 2)").alias("shr2"),
+        F.expr("bit_count(event_id)").alias("popcount"),
+    )

@@ -65,6 +65,9 @@ SWEEP_PRIORITY: list[str] = [
     "report_monthly_growth",
     "report_large_volume_customers",
     "win_concurrency_sweep",
+    "mm_resize_batch",
+    "fn_bitwise_suite",
+    "join_asof_tolerance",
     # tier A: r04 red rows — events ts unit fix must re-prove these
     "fn_timestamp_parse",
     "source_paged_union",

@@ -8,6 +8,7 @@ from pyspark.sql import Row
 from airflow_jira_etl_spark.operators.multimodal import (
     attach_media,
     decode_features,
+    resize_media,
     sample_frames,
 )
 
@@ -80,3 +81,24 @@ def test_decode_features_empty_text_matches_oracle(spark, tmp_path):
     df = registry.QUERIES["mm_decode_features"](spark, sf)
     rep = compare(df, con, registry.ORACLES["mm_decode_features"])
     assert not rep["errors"], rep
+
+
+def test_resize_media_stride_and_sums(spark):
+    media = attach_media(
+        spark.createDataFrame(
+            [
+                Row(doc_id=1, text="abcd" * 200, source="s"),  # 800 bytes
+                Row(doc_id=2, text="xy", source="s"),  # under budget
+                Row(doc_id=3, text="", source="s"),  # empty payload
+            ]
+        )
+    )
+    got = {r.doc_id: r for r in resize_media(media, target_bytes=256).collect()}
+    # 800 bytes -> stride ceil(800/256)=4 -> bytes at 0,4,8,... = all 'a'
+    assert got[1].stride == 4 and got[1].out_bytes == 200
+    assert got[1].out_sum == 200 * ord("a")
+    # under budget: stride 1, payload kept whole
+    assert got[2].stride == 1 and got[2].out_bytes == 2
+    assert got[2].out_sum == ord("x") + ord("y")
+    # empty payload: zero bytes out, zero sum, stride floor of 1
+    assert got[3].stride == 1 and got[3].out_bytes == 0 and got[3].out_sum == 0
