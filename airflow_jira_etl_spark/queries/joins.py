@@ -489,3 +489,42 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, F.col("click.ts")).alias("asof_click_ts"),
         )
     )
+
+
+@query(
+    "join_dpp_partitioned",
+    oracle="""
+    SELECT event_id, user_id, round(value + 1e-9, 4) AS value,
+           'Click' AS label
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a hive-partitioned fact table joined
+    to a tiny dimension whose FILTER (label = 'Click') only implies the
+    fact partitions at runtime — no static predicate on event_type
+    exists anywhere in the query. Catalyst injects the dim-side result
+    as a dynamicpruning subquery into the fact scan's PartitionFilters
+    (asserted in tests/test_scale_patterns.py), so only the set of
+    matching directories is ever listed or read. At 100 TB this is THE
+    star-join mechanism: date/tenant-partitioned facts are pruned by
+    dimension predicates the fact table never mentions."""
+    import os
+
+    from airflow_jira_etl_spark.queries.scans import SCRATCH
+
+    out_dir = os.path.join(SCRATCH, f"events_dpp_{os.path.basename(os.path.normpath(sf_dir))}")
+    events = catalog.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", fround(F.col("value")).alias("value"), "event_type"
+    )
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        events.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+    fact = spark.read.parquet(out_dir)
+    dim = spark.createDataFrame(
+        [("click", "Click"), ("view", "View"), ("error", "Error"),
+         ("purchase", "Purchase"), ("signup", "Signup")],
+        ["event_type", "label"],
+    ).where(F.col("label") == "Click")
+    return fact.join(F.broadcast(dim), "event_type").select(
+        "event_id", "user_id", "value", "label"
+    )

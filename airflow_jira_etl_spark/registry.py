@@ -68,6 +68,7 @@ SWEEP_PRIORITY: list[str] = [
     "mm_resize_batch",
     "fn_bitwise_suite",
     "join_asof_tolerance",
+    "join_dpp_partitioned",
     # tier A: r04 red rows — events ts unit fix must re-prove these
     "fn_timestamp_parse",
     "source_paged_union",

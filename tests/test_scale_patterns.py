@@ -250,3 +250,16 @@ def test_sorted_write_stats_enable_rowgroup_skipping(spark, sf_dir):
                 overlapping += g.num_rows
     assert total > 0
     assert overlapping < total / 2, (overlapping, total)
+
+
+def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
+    """The partitioned-fact ⋈ filtered-dim join must carry a
+    dynamicpruning subquery on the fact scan — static partition
+    filters are absent by construction, so without DPP the scan reads
+    every partition."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    df = registry.QUERIES["join_dpp_partitioned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
