@@ -912,3 +912,65 @@ def llm_quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("char_entropy"),
         )
     )
+
+
+@query(
+    "llm_corpus_clean_pipeline",
+    oracle=f"""
+    WITH kept AS (
+        SELECT doc_id, lang, text,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr', 'es')
+          AND n_chars BETWEEN 60 AND 2000
+          AND length(text) - length(replace(text, ' ', '')) + 1 >= 10
+    ),
+    keepers AS (
+        SELECT min(doc_id) AS doc_id FROM kept GROUP BY lower(trim(text))
+    )
+    SELECT k.doc_id, k.lang, CAST(k.n_words AS BIGINT) AS n_words,
+           CASE WHEN (k.doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (k.doc_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept k JOIN keepers USING (doc_id)
+    """,
+)
+def llm_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus cleaning job, composed from the
+    engine's own stages: language allowlist → quality gates (char
+    bounds + minimum word count) → exact dedup (deterministic min-id
+    keeper per normalized text) → reproducible 80/10/10 split by key
+    hash. One pipeline a reference user would run nightly, registered
+    as a single driver-checked query. Plan shape: the filters fuse
+    into the scan (pushed + codegen), dedup is one hash shuffle on the
+    normalized text, the keeper set joins back LEFT SEMI (only keys
+    cross), and the split is a pure map — two exchanges end to end, at
+    any scale. Filters run BEFORE dedup on purpose: no shuffle
+    bandwidth is spent normalizing documents that lose the quality
+    gate anyway."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    n_words = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    kept = (
+        documents.where(F.col("lang").isin("en", "de", "fr", "es"))
+        .where(F.col("n_chars").between(60, 2000))
+        .withColumn("n_words", n_words.cast("long"))
+        .where(F.col("n_words") >= 10)
+    )
+    keepers = kept.groupBy(F.lower(F.trim(F.col("text"))).alias("__norm")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    bucket = (F.col("doc_id") * 2654435761) % 100
+    return (
+        kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

@@ -432,3 +432,61 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(out_dir).select(
         "o_orderkey", "o_totalprice", "o_channel"
     )
+
+
+@query(
+    "scan_corrupt_quarantine",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value + 1e-9, 4) AS value
+    FROM events WHERE event_id % 1000 <> 17
+    """,
+)
+def scan_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine on ingest: a JSONL feed where every
+    1000th-ish line is malformed (truncated JSON — the reality of any
+    API/file feed at 100 TB) is read in PERMISSIVE mode with an
+    explicit ``_malformed`` capture column. Good rows pass through
+    typed; corrupt lines land INTACT in the capture column for a
+    quarantine sink instead of failing the job (FAILFAST) or vanishing
+    silently (DROPMALFORMED without capture). The query returns the
+    clean rows; the quarantine side — count and raw-line preservation —
+    is asserted in tests/test_ingest.py."""
+    from pyspark.sql import types as T
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(SCRATCH, f"events_corrupt_{tag}")
+    events = catalog.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", fround(F.col("value")).alias("value")
+    )
+    line = F.when(
+        F.col("event_id") % 1000 == 17,
+        # truncated mid-object: unparseable, deterministic per row
+        F.concat(F.lit('{"event_id": '), F.col("event_id"), F.lit(', "user_')),
+    ).otherwise(F.to_json(F.struct("event_id", "user_id", "event_type", "value")))
+    events.select(line.alias("value")).write.mode("overwrite").text(out_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_malformed", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_malformed")
+        .json(out_dir)
+        # One parse, two consumers (clean sink + quarantine sink): the
+        # split REQUIRES materializing the parsed batch — Spark refuses
+        # plans whose pruned scan references only the corrupt column
+        # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and even allowed, two
+        # lazy branches would parse every line twice. Production does
+        # this per micro-batch (batch-sized cache), not per table.
+        .cache()
+    )
+    raw.count()
+    return raw.where(F.col("_malformed").isNull()).select(
+        "event_id", "user_id", "event_type", "value"
+    )

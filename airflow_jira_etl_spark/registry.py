@@ -69,6 +69,8 @@ SWEEP_PRIORITY: list[str] = [
     "fn_bitwise_suite",
     "join_asof_tolerance",
     "join_dpp_partitioned",
+    "llm_corpus_clean_pipeline",
+    "scan_corrupt_quarantine",
     # tier A: r04 red rows — events ts unit fix must re-prove these
     "fn_timestamp_parse",
     "source_paged_union",

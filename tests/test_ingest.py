@@ -120,3 +120,59 @@ def test_ingest_replay_is_idempotent(spark, tmp_path):
         table.apply(records_to_flat_df(spark, page, mapping))
     assert sorted(map(tuple, table.read().collect())) == first_state
     assert len(first_state) == 12
+
+
+def test_corrupt_quarantine_preserves_raw_lines(spark, sf_dir):
+    """Every planted corrupt line must be captured INTACT (raw text in
+    the _malformed column), and the clean/quarantine split must be
+    exhaustive — no line silently dropped."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from airflow_jira_etl_spark import catalog, registry
+
+    registry.load_all_queries()
+    clean = registry.QUERIES["scan_corrupt_quarantine"](spark, sf_dir)
+    n_clean = clean.count()
+    total = catalog.load(spark, sf_dir, "events").count()
+    n_planted = catalog.load(spark, sf_dir, "events").where(
+        F.col("event_id") % 1000 == 17
+    ).count()
+    assert n_planted > 0
+    assert n_clean == total - n_planted
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        f"events_corrupt_{tag}",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_malformed", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_malformed")
+        .json(out_dir)
+        # Spark disallows queries touching ONLY the corrupt column on a
+        # raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); a quarantine
+        # consumer caches the parsed batch and splits it from there
+        .cache()
+    )
+    parsed.count()  # materialize the cache; the rule checks the raw scan
+    quarantined = parsed.where(F.col("_malformed").isNotNull())
+    rows = quarantined.collect()
+    parsed.unpersist()
+    assert len(rows) == n_planted
+    # raw line survives verbatim for replay/debugging
+    assert all(r._malformed.startswith('{"event_id": ') for r in rows)
+    assert all(r._malformed.endswith(', "user_') for r in rows)
