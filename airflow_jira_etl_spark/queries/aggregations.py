@@ -368,3 +368,29 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(q, 2).alias("p50"),
         F.element_at(q, 3).alias("p75"),
     )
+
+
+@query(
+    "agg_percentile_cont",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25) + 1e-9, 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50) + 1e-9, 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75) + 1e-9, 4) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (continuous) grouped quartiles — percentile_cont
+    semantics, the third member of the quantile family next to
+    agg_exact_quantiles (discrete rank selection) and
+    agg_approx_quantiles (mergeable sketch). Exact percentile needs the
+    full value multiset per group (one shuffle on the 3-value group
+    key); use the sketch twin when groups are huge."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    q = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+    return orders.groupBy("o_orderstatus").agg(
+        fround(F.element_at(q, 1)).alias("p25"),
+        fround(F.element_at(q, 2)).alias("p50"),
+        fround(F.element_at(q, 3)).alias("p75"),
+    )

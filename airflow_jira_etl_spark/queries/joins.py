@@ -528,3 +528,40 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.join(F.broadcast(dim), "event_type").select(
         "event_id", "user_id", "value", "label"
     )
+
+
+@query(
+    "join_bnl_range_bands",
+    oracle="""
+    SELECT event_id, round(value + 1e-9, 4) AS value,
+           CASE WHEN value >= 0 AND value < 2 THEN 'low'
+                WHEN value >= 2 AND value < 10 THEN 'mid'
+                WHEN value >= 10 AND value < 50 THEN 'high'
+                WHEN value >= 50 THEN 'xl' END AS band
+    FROM events
+    WHERE value >= 0
+    """,
+)
+def join_bnl_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key): events banded against a tiny
+    [lo, hi) boundary table. With no equality conjunct a hash join is
+    impossible — the correct plan is BroadcastNestedLoopJoin with the
+    4-row band table broadcast (plan-guarded in
+    tests/test_scale_patterns.py): every executor scans its fact split
+    once against an in-memory dim. The anti-pattern at scale is this
+    same join WITHOUT the broadcastable side — a full cartesian
+    shuffle; band tables are kept tiny precisely so they never shuffle
+    the fact."""
+    events = catalog.load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 2.0, "low"), (2.0, 10.0, "mid"),
+         (10.0, 50.0, "high"), (50.0, 1e18, "xl")],
+        ["lo", "hi", "band"],
+    )
+    return (
+        events.join(
+            F.broadcast(bands),
+            (events.value >= bands.lo) & (events.value < bands.hi),
+        )
+        .select("event_id", fround(F.col("value")).alias("value"), "band")
+    )

@@ -479,3 +479,50 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.sql("SELECT * FROM stream_ssj_out")
+
+
+@query(
+    "stream_tumbling_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY window_start
+                                     ORDER BY n_events DESC, event_type) AS rnk
+        FROM counts
+    ) r WHERE rnk <= 2
+    """,
+)
+def stream_tumbling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: tumbling 1-hour counts per event type maintain
+    incrementally in the stream (the only part that must be
+    streaming — state is |windows|x|types|), and the top-2 ranking runs
+    on the RESULT table at read time. Ranking inside the stream would
+    force complete-mode re-emission of every window on every batch;
+    rank-at-serve touches only output-sized data and is the standard
+    lambda-free split. Tie-break (count desc, then type) is total, so
+    the top-2 set is deterministic."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    out = run_available_now(agg, _ck("tumbling_topk"), "stream_topk_out")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+    )

@@ -71,6 +71,9 @@ SWEEP_PRIORITY: list[str] = [
     "join_dpp_partitioned",
     "llm_corpus_clean_pipeline",
     "scan_corrupt_quarantine",
+    "stream_tumbling_topk",
+    "join_bnl_range_bands",
+    "agg_percentile_cont",
     # tier A: r04 red rows — events ts unit fix must re-prove these
     "fn_timestamp_parse",
     "source_paged_union",

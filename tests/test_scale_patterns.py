@@ -263,3 +263,16 @@ def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
     df = registry.QUERIES["join_dpp_partitioned"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_range_band_join_broadcasts_nested_loop(spark, sf_dir):
+    """A no-equi-key range join must lower to BroadcastNestedLoopJoin
+    with the band table broadcast — never a cartesian shuffle of the
+    fact side."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    df = registry.QUERIES["join_bnl_range_bands"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
