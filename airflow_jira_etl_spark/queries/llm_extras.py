@@ -121,14 +121,24 @@ def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     map + array ops; no shuffle until the bucket groupBy a dedup
     consumer would add."""
     documents = catalog.load(spark, sf_dir, "documents")
-    hs = F.expr(
-        "transform(sequence(1, greatest(length(text) - 3, 1)), i -> "
-        " (ascii(substring(text, i, 1)) * 29791"
-        "  + ascii(substring(text, i + 1, 1)) * 961"
-        "  + ascii(substring(text, i + 2, 1)) * 31"
-        "  + ascii(substring(text, i + 3, 1))) % 1048573)"
+    # Char codes extracted once, O(1) element_at per gram — the
+    # substring(text, i, 1) form byte-scans to codepoint i each call,
+    # O(len²) per doc (see ngram_jaccard_pairs). Zero pads reproduce
+    # ascii('') = 0 for the out-of-range tail.
+    codes = F.expr(
+        "concat(transform(split(text, ''), c -> ascii(c)),"
+        " array(0L, 0L, 0L))"
     )
-    g = documents.select("doc_id", hs.alias("hs"))
+    hs = F.expr(
+        "transform(sequence(1, greatest(size(__c) - 6, 1)), i -> "
+        " (element_at(__c, i) * 29791"
+        "  + element_at(__c, i + 1) * 961"
+        "  + element_at(__c, i + 2) * 31"
+        "  + element_at(__c, i + 3)) % 1048573)"
+    )
+    g = documents.select("doc_id", codes.alias("__c")).select(
+        "doc_id", hs.alias("hs")
+    )
     return g.select(
         "doc_id",
         F.array_min("hs").cast("long").alias("fp_min"),

@@ -93,14 +93,19 @@ def _mh_pairs_cte() -> str:
     WITH toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
     ),
+    wh AS (
+        SELECT doc_id,
+               list_concat([ (length(w) * 2654435761
+                              + ascii(w) * 40503
+                              + ascii(reverse(w)) * 65599) % {_MH_P}
+                             FOR w IN t ], [0, 0]) AS w
+        FROM toks
+    ),
     grams AS (
         SELECT doc_id,
-               [ (length(s) * 2654435761
-                  + ascii(s) * 40503
-                  + ascii(reverse(s)) * 65599) % {_MH_P}
-                 FOR s IN [ array_to_string(t[i:i+2], ' ')
-                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1) ] ] AS hs
-        FROM toks
+               [ (w[i] * 40503 + w[i+1] * 65599 + w[i+2]) % {_MH_P}
+                 FOR i IN range(1, greatest(len(w) - 4, 1) + 1) ] AS hs
+        FROM wh
     ),
     sig AS (
         SELECT doc_id, list_distinct(hs) AS hset,
@@ -162,21 +167,28 @@ def minhash_candidates_portable(documents: DataFrame) -> DataFrame:
     signature pass is plan-identical across callers, so a combined run
     (bench, the driver sweep) computes the shingle signatures once."""
     n_par = documents.sparkSession.sparkContext.defaultParallelism
-    # word 3-shingles then the portable polynomial per shingle — all
-    # in-array (no explode, no shuffle until the band join), same shape
-    # as ngram_jaccard_pairs below
-    sh = F.expr(
-        "transform(sequence(1, greatest(size(__t) - 2, 1)), i -> "
-        " concat_ws(' ', slice(__t, i, 3)))"
+    # Word 3-shingles, Rabin-Karp style: hash each WORD once, then a
+    # shingle hash is an affine combine of three word hashes — pure
+    # int64 arithmetic, all in-array (no explode, no shuffle until the
+    # band join), same shape as ngram_jaccard_pairs below. The earlier
+    # form materialized every shingle as a STRING (slice + concat_ws
+    # inside an interpreted lambda — ~n_words short-lived strings per
+    # doc); combining word hashes instead cuts the signature pass to
+    # integer ops only. Two zero pads keep <3-word docs defined on
+    # both engines (ascii('') = 0 keeps the word hash itself total).
+    wh = F.expr(
+        f"concat(transform(split(lower(text), ' '), w ->"
+        f" (length(w) * 2654435761L + ascii(w) * 40503L"
+        f"  + ascii(reverse(w)) * 65599L) % {_MH_P}), array(0L, 0L))"
     )
     hs = F.expr(
-        f"transform(__sh, s -> (length(s) * 2654435761L"
-        f" + ascii(s) * 40503L + ascii(reverse(s)) * 65599L) % {_MH_P})"
+        f"transform(sequence(1, greatest(size(__w) - 4, 1)), i -> "
+        f" (element_at(__w, i) * 40503L + element_at(__w, i + 1) * 65599L"
+        f"  + element_at(__w, i + 2)) % {_MH_P})"
     )
     sig = (
         documents.repartition(n_par, "doc_id")
-        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("__t"))
-        .select("doc_id", sh.alias("__sh"))
+        .select("doc_id", wh.alias("__w"))
         .select("doc_id", hs.alias("hs"))
         .select(
             "doc_id",
@@ -349,18 +361,29 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prime (2^20 - 3) so each (A, B) is a true permutation of the hash
 # domain; every constant is plain integer arithmetic DuckDB reproduces
 # bit-for-bit. Production swaps in xxhash64 (operators/minhash.py) —
-# same bands→buckets→verify shape. 2 bands × 3 rows: a pair with
-# jaccard j collides in a band with prob j^3, so weak pairs (j≈0.2)
-# rarely become candidates (≈1.6%) while true near-dups (j≳0.9) are
-# caught with prob 1-(1-j^3)^2 ≈ 0.98+ — and the signature stays at 6
-# hashes, which the single-threaded oracle engine can also afford.
+# same bands→buckets→verify shape. 3 bands × 6 rows: a pair with
+# jaccard j collides in a band with prob j^6. The row count is sized to
+# the corpus's BASE similarity, not just the target τ: on a
+# small-vocabulary corpus (documents is ~30 distinct words, so char
+# 4-grams repeat heavily across unrelated docs) the all-pairs mean
+# jaccard is ≈0.28, and the old 2×3 geometry admitted 0.28³ ≈ 2% of ALL
+# pairs — 278k candidates from 5k docs at sf0.1, a 1000× false-positive
+# load on the verify join that only gets worse quadratically with
+# corpus size. At 6 rows the base rate is 0.28^6 ≈ 5e-4 (≈19k
+# candidates, 15× less) while true near-dups (j≳0.9) still collide
+# with prob 1-(1-j^6)^3 ≈ 0.97+ (the planted-recall test's one-char
+# edits sit at j≈0.96 → ≈0.99).
 _NG_P = 1048573
 _NG_SEEDS = [
     (37, 126), (101, 4373), (499, 9973),
     (1009, 11317), (2003, 30011), (4999, 70001),
+    (7919, 104729), (12553, 131071), (17389, 262139),
+    (27449, 524287), (39161, 2), (52361, 777),
+    (65437, 88888), (78787, 12345), (93179, 55555),
+    (104681, 99991), (115249, 65599), (122887, 40503),
 ]
-_NG_BANDS = 2
-_NG_ROWS = 3  # minhashes per band
+_NG_BANDS = 3
+_NG_ROWS = 6  # minhashes per band
 _NG_TAU = 0.5  # report only pairs at/above this exact jaccard
 
 
@@ -421,7 +444,7 @@ _NG_JACCARD_ORACLE = _ng_oracle()
 
 def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     """Character-4-gram Jaccard with REAL similarity blocking: MinHash
-    bands (2 bands × 3 rows from a portable affine hash family) replace
+    bands (3 bands × 6 rows from a portable affine hash family) replace
     any id-window convenience key, so near-duplicates are found no
     matter how far apart their doc_ids are. Same shape as
     operators/minhash.py: linear signature pass → narrow band-bucket
@@ -439,14 +462,25 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     # the narrow band join. At 100 TB the alternative (one row per
     # CHARACTER through a window sort) shuffles ~n_chars rows; this
     # form shuffles nothing and each minhash is an array_min over the
-    # gram array. Tail positions zero-pad via out-of-range substring
-    # (ascii('') = 0), matching the oracle's out-of-range slice.
+    # gram array.
+    #
+    # The char codes are extracted ONCE into an array and indexed with
+    # O(1) element_at, NOT read with substring(text, i, 1) inside the
+    # lambda: substring on a UTF8String byte-scans from the start to
+    # find codepoint i, so the per-gram form is O(len²) per document —
+    # measured 3× slower on this corpus and unboundedly worse on long
+    # documents. Three zero pads replace the old out-of-range-substring
+    # zero (ascii('') = 0), matching the oracle's out-of-range slice.
+    codes = F.expr(
+        "concat(transform(split(text, ''), c -> ascii(c)),"
+        " array(0L, 0L, 0L))"
+    )
     hs = F.expr(
-        "transform(sequence(1, greatest(length(text) - 3, 1)), i -> "
-        " (ascii(substring(text, i, 1)) * 29791"
-        "  + ascii(substring(text, i + 1, 1)) * 961"
-        "  + ascii(substring(text, i + 2, 1)) * 31"
-        "  + ascii(substring(text, i + 3, 1))) % 1048573)"
+        "transform(sequence(1, greatest(size(__c) - 6, 1)), i -> "
+        " (element_at(__c, i) * 29791"
+        "  + element_at(__c, i + 1) * 961"
+        "  + element_at(__c, i + 2) * 31"
+        "  + element_at(__c, i + 3)) % 1048573)"
     )
     # The gram hashing is CPU-heavy per input byte (~len lambda evals
     # per doc), so parallelism must not be tied to the source file
@@ -462,6 +496,7 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     # signature computation runs twice concurrently
     sig = (
         documents.repartition(n_par, "doc_id")
+        .select("doc_id", codes.alias("__c"))
         .select("doc_id", hs.alias("hs"))
         .select(
             "doc_id",
