@@ -1,0 +1,160 @@
+"""Embedding-table operators beyond similarity search: per-class
+centroids and nearest-centroid assignment — the label-side primitives
+of a training-data pipeline (cluster prototypes, weak-label assignment,
+drift checks), complementing the ANN queries in llm_ops/llm_extras.
+
+Scale shape: both queries reduce the n×d embedding table through ONE
+partial→final aggregate keyed by (label, position) — k·d result rows
+regardless of corpus size — and the assignment pass broadcasts those
+k centroids back over a single scan. Nothing here shuffles vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.functions.rounding import fround
+from airflow_jira_etl_spark.functions.similarity import cosine
+from airflow_jira_etl_spark.registry import query
+
+
+def _centroid_components(emb: DataFrame) -> DataFrame:
+    """(label, pos0, cv): mean embedding component per label. posexplode
+    feeds a (label, position)-keyed aggregate — map-side partial means
+    the shuffle carries k·d partial sums, not n·d element rows."""
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "v"
+        ),
+    )
+    return ex.groupBy("label", "pos0").agg(F.avg("v").alias("cv"))
+
+
+@query(
+    "llm_embed_centroids",
+    # (struct-list comprehension instead of UNNEST WITH ORDINALITY,
+    # which this DuckDB build does not implement)
+    # the trailing + 0.0 normalizes IEEE negative zero: embedding
+    # components are zero-mean, so a per-(label,pos) average can sit
+    # within summation error of 0 and round to -0.0 in one engine and
+    # 0.0 in the other — adding positive zero collapses both to 0.0
+    oracle="""
+    SELECT label, CAST(u.pos AS INTEGER) AS pos,
+           round(avg(u.v) + 1e-9, 4) + 0.0 AS centroid_v
+    FROM (
+        SELECT label,
+               unnest([{'pos': i - 1, 'v': CAST(embedding[i] AS DOUBLE)}
+                       FOR i IN range(1, len(embedding) + 1)]) AS u
+        FROM embeddings
+    )
+    GROUP BY label, u.pos
+    """,
+)
+def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, one row per (label, dimension). The
+    whole n×64 table folds into k×64 rows in a single partial→final
+    aggregate — at 100 TB the shuffle moves k·d·n_partitions partial
+    sums (kilobytes), never vectors. Elements are cast to double
+    BEFORE averaging (float32 accumulation drifts across engines)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    return _centroid_components(emb).select(
+        "label",
+        F.col("pos0").cast("int").alias("pos"),
+        # + 0.0 collapses -0.0/0.0 (see oracle comment)
+        (fround(F.col("cv")) + F.lit(0.0)).alias("centroid_v"),
+    )
+
+
+@query(
+    "llm_embed_knn_assign",
+    oracle="""
+    WITH expl AS (
+        SELECT label, u.pos AS pos, avg(u.v) AS cv
+        FROM (
+            SELECT label,
+                   unnest([{'pos': i, 'v': CAST(embedding[i] AS DOUBLE)}
+                           FOR i IN range(1, len(embedding) + 1)]) AS u
+            FROM embeddings
+        )
+        GROUP BY label, u.pos
+    ),
+    cent AS (
+        SELECT label AS c_label, list(cv ORDER BY pos) AS c
+        FROM expl GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, c.c_label,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            c.c) + 1e-9, 4) + 0.0 AS cs
+        FROM embeddings e, cent c
+    ),
+    ranked AS (
+        SELECT vec_id, label, c_label, cs,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, c_label) AS rn
+        FROM scored
+    )
+    SELECT vec_id, label, c_label AS assigned_label, cs AS cos_sim
+    FROM ranked WHERE rn = 1
+    """,
+)
+def llm_embed_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (1-NN against class prototypes):
+    every vector gets the label of its closest per-class mean, plus its
+    true label for a drift/agreement readout. The k centroids assemble
+    on k·d rows and BROADCAST; scoring is a map-side expand (n×k rows
+    never shuffle raw), and the arg-max folds straight back down via a
+    partial→final max over a (cs, label) struct — no window, no
+    per-vector sort, so the only thing the shuffle carries is one
+    struct per vector. Ranking compares the 4-dp ROUNDED similarity
+    (ties broken by label) so the winner is engine-independent; the
+    oracle's row_number form picks the identical row."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    cent = (
+        _centroid_components(emb)
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos0", "cv"))
+            ).alias("pc")
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(pc, x -> x.cv)").alias("c"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        # + 0.0 collapses -0.0/0.0 so near-orthogonal scores rank
+        # identically in both engines (ties then break by label)
+        (fround(cosine(F.col("embedding"), F.col("c"))) + F.lit(0.0)).alias(
+            "cs"
+        ),
+    )
+    # arg-max by (cs, then SMALLER label): max over a struct whose
+    # second field is the negated label implements the deterministic
+    # tie-break without a window shuffle-and-sort
+    best = (
+        scored.groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cs"),
+                    (-F.col("c_label")).alias("neg_label"),
+                    F.col("c_label"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("b.c_label").alias("assigned_label"),
+            F.col("b.cs").alias("cos_sim"),
+        )
+    )
+    return best

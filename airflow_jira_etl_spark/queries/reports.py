@@ -636,3 +636,170 @@ def report_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame
             "sum_qty",
         )
     )
+
+
+@query(
+    "report_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def report_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    multi-supplier order ("late" = shipped >60 days after the order
+    date; the fixture has no commit/receipt dates). The interesting
+    machinery is the pair of correlated subqueries with a <>
+    correlation on the same fact table — Catalyst decorrelates them
+    into LeftSemi and LeftAnti hash joins on l_orderkey (no per-row
+    re-execution, no cartesian; same lowering the simpler
+    filter_exists/not_exists queries plan-guard). At scale all three
+    lineitem reads shuffle on l_orderkey, so they co-partition; the
+    NOT EXISTS side carries the extra correlated o_orderdate predicate
+    into the join condition."""
+    for t in ("supplier", "lineitem", "orders"):
+        catalog.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "report_sales_opportunity",
+    oracle="""
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal) + 1e-9, 4) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1997-06-01')
+    GROUP BY c_nationkey
+    """,
+)
+def report_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-lapsed customers per nation —
+    above-average account balance (uncorrelated scalar subquery:
+    computed once, broadcast as a literal-like filter) and no order
+    since mid-1997 (correlated NOT EXISTS → LeftAnti hash join against
+    a date-pruned orders scan). Every customer in the fixture has SOME
+    order, so the recency predicate is what makes the anti join
+    selective."""
+    for t in ("customer", "orders"):
+        catalog.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS numcust,
+               round(sum(c_acctbal) + 1e-9, 4) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1997-06-01')
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@query(
+    "report_supplier_share",
+    oracle="""
+    SELECT l_suppkey, round(sum(l_quantity) + 1e-9, 4) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) >
+           (SELECT 1.1 * sum(l_quantity) / count(DISTINCT l_suppkey)
+            FROM lineitem)
+    """,
+)
+def report_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: suppliers moving >110% of the mean per-supplier
+    volume. A HAVING against an uncorrelated scalar subquery over the
+    SAME fact: both aggregates are partial→final over one lineitem
+    scan shape, and the scalar side reduces to a single broadcast
+    value — no re-scan per group. Quantity (integer-valued) rather
+    than revenue keeps the threshold comparison exact in both engines;
+    the 1.1 multiplier is scale-free (survives any SF) where a fixed
+    fraction of total would empty out as the supplier count grows."""
+    for t in ("lineitem",):
+        catalog.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT l_suppkey, round(sum(l_quantity) + 1e-9, 4) AS total_qty
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) >
+               (SELECT 1.1 * sum(l_quantity) / count(DISTINCT l_suppkey)
+                FROM lineitem)
+        """
+    )
+
+
+@query(
+    "report_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+             AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def report_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO parts.
+    Conditional aggregation over a broadcast dimension join — the
+    month filter is pushed to the lineitem scan, part broadcasts, and
+    the two sums fold into ONE aggregate pass (a CASE inside sum, not
+    two scans). Returns a single row."""
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    lo = F.lit("1997-03-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            fround(100.0 * F.sum(promo) / F.sum(rev)).alias("promo_pct")
+        )
+    )

@@ -40,20 +40,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registration order.  To keep every query's differential evidence fresh,
 # the sweep order is explicit and least-recently-checked-first, decoupled
 # from module import order.  Round-5 derivation (mechanical: latest
-# CORRECTNESS_r*.json row per query, then code-change recency):
-#   tier A — round-4 red rows, all round-5 NEW queries (first
-#            evidence), and every query whose code changed in round 5
-#            (streaming source conform, upsert compact/combine, the
-#            portable pair-gen);
-#   tier B — round-1-only evidence (spilled past every window since);
-#   tier C — round-2-only evidence.  Tiers A+B fill ~37 of the ~50
-#            slots; the tier-C stragglers past the window lead round 6.
+# CORRECTNESS_r*.json row per query, then code-change recency). The
+# 50-slot window is exactly consumed by the three must-have classes:
+#   41 never-driver-checked queries (35 added earlier in round 5 + the
+#      decorrelation reports and embedding ops added later in the round)
+#      — first evidence, pinned in-window by test_sweep_priority;
+#    5 round-4 red rows (events ts-unit drift) — the unit-sniff fix
+#      must be re-proved by the driver itself;
+#    4 minhash-family queries whose hashing was rewritten late in
+#      round 5 (codes-array gram pass, Rabin-Karp word shingles, 3×6
+#      geometry) — highest-risk changed code.
+# Displaced past the window: the 8 r02-evidence streaming queries,
+# sink_create_table/mm_*/sink_upsert (green or rows-green r03/r04) and
+# tiers B/C — all covered by the committed local sf0.01 sweep artifact
+# and first in line for round 6.
 # `python -m airflow_jira_etl_spark.tools.sweep_advisor` derives the
 # evidence-based base order mechanically from CORRECTNESS_r*.json;
 # tests/test_sweep_priority.py pins the never-checked/red-row window
 # invariants.
 SWEEP_PRIORITY: list[str] = [
-    # tier A: NEW this session — first evidence
+    # never checked: NEW earlier this session — first evidence
     "cdc_latest_per_key",
     "sink_scd2_apply",
     "ts_gapfill_locf",
@@ -74,14 +80,44 @@ SWEEP_PRIORITY: list[str] = [
     "stream_tumbling_topk",
     "join_bnl_range_bands",
     "agg_percentile_cont",
-    # tier A: r04 red rows — events ts unit fix must re-prove these
+    # r04 red rows — events ts unit fix must re-prove these
     "fn_timestamp_parse",
     "source_paged_union",
     "join_asof_latest",
     "win_running_sum",
     "win_lag_lead",
-    # tier A: streaming queries — page layout v2 + unit-sniffed stream
-    # source landed this round; all r2-only evidence besides
+    # code rewritten late in round 5 (gram hashing + LSH geometry):
+    # driver must independently re-prove the whole band family
+    "llm_dedup_ngram_jaccard",
+    "llm_fingerprint_rolling",
+    "llm_dedup_minhash",
+    "llm_dedup_clusters",
+    # never checked: NEW earlier this session — first evidence
+    "stream_stream_interval_join",
+    "mv_incremental_refresh",
+    "win_sessionize_gaps",
+    "llm_pii_scrub",
+    "report_funnel_steps",
+    "report_retention_cohorts",
+    "win_running_distinct",
+    "agg_mode_per_group",
+    "llm_quality_entropy",
+    "sink_time_travel",
+    "win_consecutive_runs",
+    "join_bucketed_colocated",
+    "fn_hash_suite",
+    "scan_jsonl",
+    "scan_csv",
+    # never checked: NEW late in round 5 — first evidence
+    "report_waiting_suppliers",
+    "report_sales_opportunity",
+    "report_supplier_share",
+    "report_promo_revenue",
+    "llm_embed_centroids",
+    "llm_embed_knn_assign",
+    # ---- 50-slot window boundary ----
+    # streaming queries: page layout v2 + unit-sniffed stream source
+    # landed early in round 5; r2-only evidence, locally sf0.01-green
     "stream_tumbling_count",
     "stream_sliding_avg",
     "stream_session_window",
@@ -90,30 +126,11 @@ SWEEP_PRIORITY: list[str] = [
     "stream_stateful_profile",
     "stream_foreachbatch_upsert",
     "stream_static_enrich",
-    "stream_stream_interval_join",  # NEW this round — first evidence
-    "mv_incremental_refresh",  # NEW this round — first evidence
-    "win_sessionize_gaps",  # NEW this round — first evidence
-    "llm_pii_scrub",  # NEW this round — first evidence
-    "report_funnel_steps",  # NEW this round — first evidence
-    "report_retention_cohorts",  # NEW this round — first evidence
-    "win_running_distinct",  # NEW this round — first evidence
-    "agg_mode_per_group",  # NEW this round — first evidence
-    "llm_quality_entropy",  # NEW this round — first evidence
-    "sink_time_travel",  # NEW this round — first evidence
-    "win_consecutive_runs",  # NEW this round — first evidence
-    "join_bucketed_colocated",  # NEW this round — first evidence
-    "fn_hash_suite",  # NEW this round — first evidence
-    "scan_jsonl",  # NEW this round — first evidence
-    "scan_csv",  # NEW this round — first evidence
     "sink_create_table",  # first SQL oracle this round (was rows-only)
-    # tier A: pair-gen refactor + first SQL oracle landed this round
-    "llm_dedup_clusters",
-    "llm_dedup_minhash",
-    # tier A: first SQL oracles this round (previous rows were
-    # rows-only) + mm_sample_frames' keyed-subset change
+    # first SQL oracles this round (previous rows were rows-only)
     "mm_decode_features",
     "mm_sample_frames",
-    # tier A: upsert sink — bucketer fingerprint (r4) + vacuum manifest
+    # upsert sink — bucketer fingerprint (r4) + vacuum manifest
     # stripping (r5) touched the merge path
     "sink_upsert",
     # tier B: round-1-only evidence
@@ -149,7 +166,6 @@ SWEEP_PRIORITY: list[str] = [
     "llm_stratified_sample",
     "llm_dedup_exact",
     "llm_dedup_simhash",
-    "llm_dedup_ngram_jaccard",
     "llm_sim_topk",
     "llm_sim_pairs_threshold",
     "llm_text_tokens",
@@ -161,7 +177,6 @@ SWEEP_PRIORITY: list[str] = [
     "udtf_explode_kv",
     "llm_lang_id",
     "llm_token_count_bpe",
-    "llm_fingerprint_rolling",
     "llm_sim_lsh_topk",
     "llm_sim_ivf_topk",
 ]
@@ -187,6 +202,7 @@ def load_all_queries() -> None:
         sorts_sets,
         matview,
         cdc,
+        embedding_ops,
     )
 
     missing = [n for n in SWEEP_PRIORITY if n not in QUERIES]

@@ -1,0 +1,83 @@
+"""Emit a driver-format correctness artifact for EVERY registered query.
+
+Usage::
+
+    python -m airflow_jira_etl_spark.tools.correctness_local \
+        [sf_dir] [out.json]
+
+The external driver sweep records only ~50 queries per round; this tool
+runs the IDENTICAL differential check (tests/oracle_check.py — row
+count, sorted column names, order-insensitive 4-dp value comparison)
+over the full registry and writes one JSON object per query in the same
+shape as ``CORRECTNESS_r{N}.json``, so out-of-window queries still
+carry machine-checkable evidence in-repo.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from airflow_jira_etl_spark import registry
+from airflow_jira_etl_spark.session import get_spark
+
+
+def main(argv: list[str]) -> int:
+    from tests.oracle_check import canon_rows, duckdb_conn
+
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+    out_path = argv[2] if len(argv) > 2 else "CORRECTNESS_LOCAL.json"
+
+    registry.load_all_queries()
+    spark = get_spark("correctness-local")
+    con = duckdb_conn(sf_dir)
+
+    out: dict[str, dict] = {}
+    n_bad = 0
+    for name, fn in registry.QUERIES.items():
+        rec: dict = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = list(df.columns)
+            spark_rows = [tuple(r) for r in df.collect()]
+            rec["spark_rows"] = len(spark_rows)
+            if name in registry.ORACLES:
+                duck = con.execute(registry.ORACLES[name])
+                duck_cols = [d[0] for d in duck.description]
+                duck_rows = duck.fetchall()
+                rec["oracle_rows"] = len(duck_rows)
+                rec["rows_match"] = len(spark_rows) == len(duck_rows)
+                rec["schema_match"] = sorted(spark_cols) == sorted(duck_cols)
+                rec["hash_match"] = bool(
+                    rec["rows_match"]
+                    and rec["schema_match"]
+                    and canon_rows(spark_cols, spark_rows)
+                    == canon_rows(duck_cols, duck_rows)
+                )
+            else:
+                rec["err"] = "no_oracle"
+        except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+        if rec["err"] not in (None, "no_oracle") or rec["hash_match"] is False:
+            n_bad += 1
+        out[name] = rec
+        print(
+            f"# {name}: hash={rec['hash_match']} err={rec['err']}",
+            file=sys.stderr,
+        )
+
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {out_path}: {len(out)} queries, {n_bad} bad")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -78,19 +78,25 @@ def main() -> None:
         .load()
         .count()
     )
-    # Expression-codegen warmup: the minhash band families compile
-    # multi-thousand-line Janino projection classes (16–18 higher-order
-    # transforms in a single select) — a one-time per-session cost
-    # (~4 s per family, independent of data size) that otherwise lands
-    # on whichever family query happens to run first. Run each family
-    # once at the smallest fixture: the generated source is identical
-    # at any SF, so the global codegen cache absorbs the compile here,
-    # reported in warmup_sec rather than hidden in one query's number.
+    # Expression-codegen warmup: run EVERY query once at the smallest
+    # fixture. Generated projection/predicate classes are compiled by
+    # Janino once per unique expression tree, independent of data size
+    # (the minhash band families alone are ~4 s each), and WHICH query
+    # pays a shared family's compile otherwise depends on run order —
+    # measured numbers would jump 3× between identical runs as the
+    # attribution moved around. Warming every shape at sf0.001 makes
+    # the measured loop pure steady state; the one-time compile cost is
+    # reported in warmup_sec, not hidden in arbitrary queries' numbers.
+    # (This mirrors how a long-lived cluster actually behaves: the
+    # compile is per-session, the queries run thousands of times.)
     tiny_sf = os.path.join(os.path.dirname(os.path.normpath(SF_DIR)), "sf0.001")
     if not os.path.isdir(tiny_sf):
         tiny_sf = SF_DIR
-    for warm_q in ("llm_dedup_minhash", "llm_dedup_ngram_jaccard"):
-        registry.QUERIES[warm_q](spark, tiny_sf).count()
+    for name, fn in sorted(registry.QUERIES.items()):
+        try:
+            fn(spark, tiny_sf).count()
+        except Exception as exc:  # a warm failure must not kill the bench
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     warm_s = time.perf_counter() - t0
 
     timings: dict[str, float] = {}

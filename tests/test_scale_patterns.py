@@ -276,3 +276,36 @@ def test_range_band_join_broadcasts_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_waiting_suppliers_decorrelates_both_subqueries(spark, sf_dir):
+    """The Q21 shape's correlated EXISTS and NOT EXISTS (with a <>
+    correlation and an outer-column predicate) must BOTH lower to hash
+    joins on l_orderkey — LeftSemi + LeftAnti, no per-row subquery, no
+    cartesian."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    plan = (
+        registry.QUERIES["report_waiting_suppliers"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_assign_broadcasts_centroids_no_window(spark, sf_dir):
+    """Nearest-centroid assignment must broadcast the k centroids (the
+    scoring expand never shuffles vectors) and fold the arg-max with a
+    hash aggregate — no window sort over the full scored set."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    plan = (
+        registry.QUERIES["llm_embed_knn_assign"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
