@@ -97,6 +97,12 @@ def main() -> None:
             fn(spark, tiny_sf).count()
         except Exception as exc:  # a warm failure must not kill the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    # drop every cached relation the warm pass left behind: ~146
+    # queries' worth of resident column batches otherwise raise GC
+    # pressure that bleeds into the measured numbers (the measured
+    # queries rebuild their own caches, exactly as they would on a
+    # fresh cluster)
+    spark.catalog.clearCache()
     warm_s = time.perf_counter() - t0
 
     timings: dict[str, float] = {}

@@ -244,3 +244,25 @@ def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
         got = approx[r.o_orderstatus]
         for v, (lo, hi) in zip(got, (r.b25, r.b50, r.b75)):
             assert lo <= v <= hi, (r.o_orderstatus, v, lo, hi)
+
+
+def test_minhash_portable_short_and_empty_docs(spark):
+    """The Rabin-Karp word-shingle combine pads with zeros so docs with
+    fewer than 3 words still hash totally: identical short docs must
+    pair at j=1.0, and empty text must not crash the signature pass."""
+    from airflow_jira_etl_spark.queries.llm_ops import minhash_pairs_portable
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha beta"),
+            (3, ""),
+            (4, "solo"),
+            (5, "completely different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id1, r.id2): r.j for r in minhash_pairs_portable(df).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    # the distinct short/empty docs must not pair with anything
+    assert set(pairs) == {(1, 2)}
