@@ -107,11 +107,16 @@ def llm_embed_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     true label for a drift/agreement readout. The k centroids assemble
     on k·d rows and BROADCAST; scoring is a map-side expand (n×k rows
     never shuffle raw), and the arg-max folds straight back down via a
-    partial→final max over a (cs, label) struct — no window, no
-    per-vector sort, so the only thing the shuffle carries is one
-    struct per vector. Ranking compares the 4-dp ROUNDED similarity
-    (ties broken by label) so the winner is engine-independent; the
-    oracle's row_number form picks the identical row."""
+    partial→final max over ONE PRIMITIVE LONG that encodes
+    (rounded cs, tie-break label) — a struct-typed max would lose the
+    mutable hash-agg buffer and silently compile to Sort +
+    SortAggregate over the full n×k expand (observed; plan-guarded
+    against in tests/test_scale_patterns.py). With the long key the
+    plan is a pure HashAggregate and the only shuffle traffic is one
+    8-byte key per vector. Ranking compares the 4-dp ROUNDED
+    similarity (ties broken by smaller label) so the winner is
+    engine-independent; the oracle's row_number form picks the
+    identical row."""
     emb = catalog.load(spark, sf_dir, "embeddings")
     cent = (
         _centroid_components(emb)
@@ -136,25 +141,25 @@ def llm_embed_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cs"
         ),
     )
-    # arg-max by (cs, then SMALLER label): max over a struct whose
-    # second field is the negated label implements the deterministic
-    # tie-break without a window shuffle-and-sort
-    best = (
-        scored.groupBy("vec_id", "label")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("cs"),
-                    (-F.col("c_label")).alias("neg_label"),
-                    F.col("c_label"),
-                )
-            ).alias("b")
-        )
-        .select(
-            "vec_id",
-            "label",
-            F.col("b.c_label").alias("assigned_label"),
-            F.col("b.cs").alias("cos_sim"),
-        )
+    # arg-max by (cs, then SMALLER label), packed into one long so the
+    # aggregate keeps a primitive mutable buffer (HashAggregate with
+    # map-side partials — max over a struct degrades to SortAggregate):
+    # cs is already rounded to 4 dp, so cs·10⁴ is integral in [-10⁴,10⁴];
+    # key = cs_int·10⁶ + (10⁶-1-label) is monotone in (cs, -label).
+    cs_int = F.round(F.col("cs") * 10000).cast("long")
+    cs_key = cs_int * F.lit(1000000).cast("long") + (
+        F.lit(999999) - F.col("c_label")
     )
-    return best
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max(cs_key).alias("k")
+    )
+    dec_int = F.floor(F.col("k") / 1000000)  # floor handles negative cs
+    return best.select(
+        "vec_id",
+        "label",
+        (F.lit(999999) - (F.col("k") - dec_int * 1000000))
+        .cast("int")
+        .alias("assigned_label"),
+        # /10⁴ then +0.0 restores the 4-dp value (and positive zero)
+        (dec_int.cast("double") / 10000.0 + F.lit(0.0)).alias("cos_sim"),
+    )

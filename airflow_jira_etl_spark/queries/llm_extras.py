@@ -120,25 +120,15 @@ def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for xxhash64, which a production build would use. Pure
     map + array ops; no shuffle until the bucket groupBy a dedup
     consumer would add."""
+    from airflow_jira_etl_spark.functions.textgrams import (
+        with_char_gram_hashes,
+    )
+
     documents = catalog.load(spark, sf_dir, "documents")
-    # Char codes extracted once, O(1) element_at per gram — the
-    # substring(text, i, 1) form byte-scans to codepoint i each call,
-    # O(len²) per doc (see ngram_jaccard_pairs). Zero pads reproduce
-    # ascii('') = 0 for the out-of-range tail.
-    codes = F.expr(
-        "concat(transform(split(text, ''), c -> ascii(c)),"
-        " array(0L, 0L, 0L))"
-    )
-    hs = F.expr(
-        "transform(sequence(1, greatest(size(__c) - 6, 1)), i -> "
-        " (element_at(__c, i) * 29791"
-        "  + element_at(__c, i + 1) * 961"
-        "  + element_at(__c, i + 2) * 31"
-        "  + element_at(__c, i + 3)) % 1048573)"
-    )
-    g = documents.select("doc_id", codes.alias("__c")).select(
-        "doc_id", hs.alias("hs")
-    )
+    # the SHARED O(len) char-4-gram pass (functions/textgrams.py) —
+    # one definition with ngram_jaccard_pairs so the polynomial and
+    # pad convention cannot drift between the two oracles
+    g = with_char_gram_hashes(documents.select("doc_id", "text"))
     return g.select(
         "doc_id",
         F.array_min("hs").cast("long").alias("fp_min"),

@@ -456,31 +456,16 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     Takes any DataFrame with (doc_id long, text string); the query
     below applies it to the documents table, the planted-distant-id
     recall test applies it to synthetic fixtures."""
-    # Signature pass is a pure in-array map — the same
-    # transform(sequence(...)) gram hashing llm_fingerprint_rolling
-    # uses: no explode, no per-doc window sort, no shuffle at all until
-    # the narrow band join. At 100 TB the alternative (one row per
-    # CHARACTER through a window sort) shuffles ~n_chars rows; this
-    # form shuffles nothing and each minhash is an array_min over the
-    # gram array.
-    #
-    # The char codes are extracted ONCE into an array and indexed with
-    # O(1) element_at, NOT read with substring(text, i, 1) inside the
-    # lambda: substring on a UTF8String byte-scans from the start to
-    # find codepoint i, so the per-gram form is O(len²) per document —
-    # measured 3× slower on this corpus and unboundedly worse on long
-    # documents. Three zero pads replace the old out-of-range-substring
-    # zero (ascii('') = 0), matching the oracle's out-of-range slice.
-    codes = F.expr(
-        "concat(transform(split(text, ''), c -> ascii(c)),"
-        " array(0L, 0L, 0L))"
-    )
-    hs = F.expr(
-        "transform(sequence(1, greatest(size(__c) - 6, 1)), i -> "
-        " (element_at(__c, i) * 29791"
-        "  + element_at(__c, i + 1) * 961"
-        "  + element_at(__c, i + 2) * 31"
-        "  + element_at(__c, i + 3)) % 1048573)"
+    # Signature pass is a pure in-array map — the SHARED char-4-gram
+    # rolling hash (functions/textgrams.py, also the base of
+    # llm_fingerprint_rolling): no explode, no per-doc window sort, no
+    # shuffle at all until the narrow band join. At 100 TB the
+    # alternative (one row per CHARACTER through a window sort)
+    # shuffles ~n_chars rows; this form shuffles nothing and each
+    # minhash is an array_min over the gram array. See textgrams.py
+    # for why the codes array (not per-gram substring) is load-bearing.
+    from airflow_jira_etl_spark.functions.textgrams import (
+        with_char_gram_hashes,
     )
     # The gram hashing is CPU-heavy per input byte (~len lambda evals
     # per doc), so parallelism must not be tied to the source file
@@ -495,9 +480,9 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     # sides of the self-join otherwise race to materialize it and the
     # signature computation runs twice concurrently
     sig = (
-        documents.repartition(n_par, "doc_id")
-        .select("doc_id", codes.alias("__c"))
-        .select("doc_id", hs.alias("hs"))
+        with_char_gram_hashes(
+            documents.repartition(n_par, "doc_id").select("doc_id", "text")
+        )
         .select(
             "doc_id",
             F.array_distinct("hs").alias("hset"),

@@ -23,7 +23,7 @@ from airflow_jira_etl_spark.session import get_spark
 
 
 def main(argv: list[str]) -> int:
-    from tests.oracle_check import canon_rows, duckdb_conn
+    from tests.oracle_check import compare_detail, duckdb_conn
 
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
     out_path = argv[2] if len(argv) > 2 else "CORRECTNESS_LOCAL.json"
@@ -45,23 +45,19 @@ def main(argv: list[str]) -> int:
         }
         try:
             df = fn(spark, sf_dir)
-            spark_cols = list(df.columns)
-            spark_rows = [tuple(r) for r in df.collect()]
-            rec["spark_rows"] = len(spark_rows)
             if name in registry.ORACLES:
-                duck = con.execute(registry.ORACLES[name])
-                duck_cols = [d[0] for d in duck.description]
-                duck_rows = duck.fetchall()
-                rec["oracle_rows"] = len(duck_rows)
-                rec["rows_match"] = len(spark_rows) == len(duck_rows)
-                rec["schema_match"] = sorted(spark_cols) == sorted(duck_cols)
-                rec["hash_match"] = bool(
-                    rec["rows_match"]
-                    and rec["schema_match"]
-                    and canon_rows(spark_cols, spark_rows)
-                    == canon_rows(duck_cols, duck_rows)
-                )
+                # the same comparison tests/test_oracle.py gates on
+                d = compare_detail(df, con, registry.ORACLES[name])
+                for k in (
+                    "rows_match",
+                    "schema_match",
+                    "hash_match",
+                    "spark_rows",
+                    "oracle_rows",
+                ):
+                    rec[k] = d[k]
             else:
+                rec["spark_rows"] = df.count()
                 rec["err"] = "no_oracle"
         except Exception as exc:  # noqa: BLE001
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]

@@ -28,6 +28,10 @@ def main(argv: list[str]) -> int:
     only = set(argv[2:])
 
     registry.load_all_queries()
+    unknown = only - set(registry.QUERIES)
+    if unknown:  # a typo must not read as a green empty sweep
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
     spark = get_spark("oracle-sweep")
     con = duckdb_conn(sf_dir)
 

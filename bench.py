@@ -91,6 +91,11 @@ def main() -> None:
     # compile is per-session, the queries run thousands of times.)
     tiny_sf = os.path.join(os.path.dirname(os.path.normpath(SF_DIR)), "sf0.001")
     if not os.path.isdir(tiny_sf):
+        print(
+            f"# no {tiny_sf}: warmup will run the FULL suite at {SF_DIR} "
+            "(roughly doubles bench wall time)",
+            file=sys.stderr,
+        )
         tiny_sf = SF_DIR
     for name, fn in sorted(registry.QUERIES.items()):
         try:

@@ -66,23 +66,56 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
-    """Return a diff report; empty `errors` list means match."""
+def compare_detail(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
+    """Driver-format comparison record: the rows/schema/hash booleans
+    the external sweep records, plus first mismatches when values
+    differ. ONE implementation — `compare` (the pytest gate) and
+    tools/correctness_local (the committed artifact) both build on it,
+    so the two can never disagree on what "matches" means."""
     spark_cols = list(spark_df.columns)
     spark_rows = [tuple(r) for r in spark_df.collect()]
     duck = con.execute(sql)
     duck_cols = [d[0] for d in duck.description]
     duck_rows = duck.fetchall()
 
-    errors: list[str] = []
-    if sorted(spark_cols) != sorted(duck_cols):
-        errors.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
-    if len(spark_rows) != len(duck_rows):
-        errors.append(f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}")
-    if not errors:
+    rows_match = len(spark_rows) == len(duck_rows)
+    schema_match = sorted(spark_cols) == sorted(duck_cols)
+    hash_match = None
+    mismatches: list = []
+    if rows_match and schema_match:
         s = canon_rows(spark_cols, spark_rows)
         d = canon_rows(duck_cols, duck_rows)
-        if s != d:
-            mism = [(a, b) for a, b in zip(s, d) if a != b][:3]
-            errors.append(f"values differ; first mismatches: {mism}")
-    return {"errors": errors, "spark_rows": len(spark_rows), "duck_rows": len(duck_rows)}
+        hash_match = s == d
+        if not hash_match:
+            mismatches = [(a, b) for a, b in zip(s, d) if a != b][:3]
+    return {
+        "rows_match": rows_match,
+        "schema_match": schema_match,
+        "hash_match": bool(hash_match) if hash_match is not None else False,
+        "spark_rows": len(spark_rows),
+        "oracle_rows": len(duck_rows),
+        "spark_cols": sorted(spark_cols),
+        "duck_cols": sorted(duck_cols),
+        "mismatches": mismatches,
+    }
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
+    """Return a diff report; empty `errors` list means match."""
+    d = compare_detail(spark_df, con, sql)
+    errors: list[str] = []
+    if not d["schema_match"]:
+        errors.append(
+            f"columns differ: spark={d['spark_cols']} duck={d['duck_cols']}"
+        )
+    if not d["rows_match"]:
+        errors.append(
+            f"row count differs: spark={d['spark_rows']} duck={d['oracle_rows']}"
+        )
+    if not errors and not d["hash_match"]:
+        errors.append(f"values differ; first mismatches: {d['mismatches']}")
+    return {
+        "errors": errors,
+        "spark_rows": d["spark_rows"],
+        "duck_rows": d["oracle_rows"],
+    }

@@ -45,7 +45,9 @@ def _corpora():
     dups = []
     for i in range(10):
         base = " ".join(rng.choice(vocab) for _ in range(30))
-        mutated = base.replace(" ", " ", 1)  # identical twin
+        # whitespace variant: a doubled space splits into an empty
+        # "word", exercising the zero-pad word-hash path on a near-dup
+        mutated = base.replace(" ", "  ", 1)
         words = base.split()
         words[rng.randrange(len(words))] = rng.choice(vocab)
         dups.append((1000 + i, base))

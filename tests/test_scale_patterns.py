@@ -298,7 +298,9 @@ def test_waiting_suppliers_decorrelates_both_subqueries(spark, sf_dir):
 def test_knn_assign_broadcasts_centroids_no_window(spark, sf_dir):
     """Nearest-centroid assignment must broadcast the k centroids (the
     scoring expand never shuffles vectors) and fold the arg-max with a
-    hash aggregate — no window sort over the full scored set."""
+    HASH aggregate over the primitive packed key — no window, and no
+    SortAggregate anywhere (a struct-typed max silently degrades to
+    Sort + SortAggregate over the full n×k expand)."""
     from airflow_jira_etl_spark import registry
 
     registry.load_all_queries()
@@ -309,3 +311,4 @@ def test_knn_assign_broadcasts_centroids_no_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Window" not in plan, plan
     assert "HashAggregate" in plan, plan
+    assert "SortAggregate" not in plan, plan
