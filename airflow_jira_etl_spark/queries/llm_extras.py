@@ -97,7 +97,7 @@ def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH grams AS (
         SELECT doc_id,
-               [ (ascii(text[i:i]) * 29791
+               [ (CAST(ascii(text[i:i]) AS BIGINT) * 29791
                   + ascii(text[i+1:i+1]) * 961
                   + ascii(text[i+2:i+2]) * 31
                   + ascii(text[i+3:i+3])) % 1048573

@@ -95,9 +95,14 @@ def _mh_pairs_cte() -> str:
     ),
     wh AS (
         SELECT doc_id,
+               -- BIGINT casts: DuckDB ascii() is INT32 and a non-ASCII
+               -- codepoint (e.g. CJK ~35k, max 0x10FFFF) overflows
+               -- INT32 when multiplied by the 65599 coefficient; the
+               -- Spark twin uses long literals throughout
                list_concat([ (length(w) * 2654435761
-                              + ascii(w) * 40503
-                              + ascii(reverse(w)) * 65599) % {_MH_P}
+                              + CAST(ascii(w) AS BIGINT) * 40503
+                              + CAST(ascii(reverse(w)) AS BIGINT) * 65599)
+                             % {_MH_P}
                              FOR w IN t ], [0, 0]) AS w
         FROM toks
     ),
@@ -292,8 +297,9 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(
                  (length(token) * 2654435761
-                  + ascii(token) * 40503
-                  + ascii(reverse(token)) * 65599) % 1048573 AS BIGINT) AS th
+                  + CAST(ascii(token) AS BIGINT) * 40503
+                  + CAST(ascii(reverse(token)) AS BIGINT) * 65599)
+                 % 1048573 AS BIGINT) AS th
         FROM tok
     ),
     bits AS (
@@ -325,8 +331,10 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     th = (
         F.length("token") * F.lit(2654435761)
-        + F.ascii("token") * F.lit(40503)
-        + F.ascii(F.reverse(F.col("token"))) * F.lit(65599)
+        # long BEFORE the multiply: an int×int product wraps silently
+        # on non-ASCII codepoints (≤0x10FFFF × 65599 > 2^31)
+        + F.ascii("token").cast("long") * F.lit(40503)
+        + F.ascii(F.reverse(F.col("token"))).cast("long") * F.lit(65599)
     ) % F.lit(1048573)
     h = tok.select("doc_id", th.cast("long").alias("th"))
     bits = h.select(

@@ -60,11 +60,23 @@ def _corpora():
         (9004, "Mixed CASE, punct!  double  spaces"),
         (9005, "Mixed CASE, punct!  double  spaces"),
     ]
+    # non-ASCII codepoints: DuckDB's INT32 ascii() overflowed the
+    # 65599/29791 products before the oracles gained BIGINT casts —
+    # this corpus keeps that armor in place (accents + CJK; identical
+    # twins must still pair)
+    uni = [
+        (9101, "café münchen déjà vu résumé naïve"),
+        (9102, "café münchen déjà vu résumé naïve"),
+        (9103, "日本語 テキスト 処理 テスト 行います"),
+        (9104, "日本語 テキスト 処理 テスト 行います"),
+        (9105, "mixed ascii und ümlaut wörter hier"),
+    ]
     return {
         "word_salad": salad,
         "planted_dups": dups,
         "edges": edge,
-        "all": salad + dups + edge,
+        "unicode": uni,
+        "all": salad + dups + edge + uni,
     }
 
 
@@ -88,7 +100,7 @@ def _compare(spark, docs, oracle_sql, spark_fn):
     return len(spark_rows)
 
 
-@pytest.mark.parametrize("corpus", ["word_salad", "planted_dups", "edges", "all"])
+@pytest.mark.parametrize("corpus", ["word_salad", "planted_dups", "edges", "unicode", "all"])
 def test_minhash_portable_parity_on_generated_corpus(spark, corpus):
     docs = _corpora()[corpus]
     n = _compare(
@@ -103,7 +115,7 @@ def test_minhash_portable_parity_on_generated_corpus(spark, corpus):
         assert n >= 10  # identical twins must always survive
 
 
-@pytest.mark.parametrize("corpus", ["word_salad", "planted_dups", "edges", "all"])
+@pytest.mark.parametrize("corpus", ["word_salad", "planted_dups", "edges", "unicode", "all"])
 def test_ngram_jaccard_parity_on_generated_corpus(spark, corpus):
     docs = _corpora()[corpus]
     n = _compare(spark, docs, _NG_JACCARD_ORACLE, ngram_jaccard_pairs)
