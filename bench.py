@@ -106,8 +106,14 @@ def main() -> None:
     # queries' worth of resident column batches otherwise raise GC
     # pressure that bleeds into the measured numbers (the measured
     # queries rebuild their own caches, exactly as they would on a
-    # fresh cluster)
+    # fresh cluster) — and take the full-GC pause HERE, inside
+    # warmup_sec, rather than letting it land mid-measurement on
+    # whichever query allocates first
     spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     warm_s = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
