@@ -18,10 +18,14 @@ from pyspark.sql import functions as F
 
 GRAM_P = 1048573  # 2^20 - 3, the shared portable hash modulus
 
-_CODES = F.expr(
+# expression SOURCE strings (Columns are built lazily inside the
+# function — F.expr at module import would require an active
+# SparkContext, and this module is imported by oracle generators that
+# run before any session exists)
+_CODES_SQL = (
     "concat(transform(split(text, ''), c -> ascii(c)), array(0L, 0L, 0L))"
 )
-_HS = F.expr(
+_HS_SQL = (
     f"transform(sequence(1, greatest(size(__c) - 6, 1)), i -> "
     f" (element_at(__c, i) * 29791"
     f"  + element_at(__c, i + 1) * 961"
@@ -34,4 +38,24 @@ def with_char_gram_hashes(df: DataFrame, out: str = "hs") -> DataFrame:
     """Append column ``out`` = array of char-4-gram hashes of ``text``.
     Pure in-array map (no explode, no shuffle); requires a ``text``
     column and consumes a private ``__c`` intermediate."""
-    return df.withColumn("__c", _CODES).withColumn(out, _HS).drop("__c")
+    return (
+        df.withColumn("__c", F.expr(_CODES_SQL))
+        .withColumn(out, F.expr(_HS_SQL))
+        .drop("__c")
+    )
+
+
+def char_gram_sql(text: str = "text") -> str:
+    """DuckDB list-comprehension snippet computing the SAME gram-hash
+    array as :func:`with_char_gram_hashes` — generated here so the
+    ngram-dedup and fingerprint oracles share one definition of the
+    polynomial. The first term casts to BIGINT because DuckDB ascii()
+    is INT32 and a non-ASCII codepoint × 29791 overflows; out-of-range
+    slices give ascii('') = 0, matching the Spark side's zero pads."""
+    return (
+        f"[ (CAST(ascii({text}[i:i]) AS BIGINT) * 29791"
+        f" + ascii({text}[i+1:i+1]) * 961"
+        f" + ascii({text}[i+2:i+2]) * 31"
+        f" + ascii({text}[i+3:i+3])) % {GRAM_P}"
+        f" FOR i IN range(1, greatest(length({text}) - 2, 2)) ]"
+    )

@@ -86,9 +86,18 @@ def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM expl GROUP BY label
     ),
     scored AS (
+        -- zero-norm guard evaluated BEFORE the cosine (CASE
+        -- short-circuits): a zero vector or zero centroid defines
+        -- cs = 0.0 on both engines instead of NaN/divide-by-zero
         SELECT e.vec_id, e.label, c.c_label,
-               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                            c.c) + 1e-9, 4) + 0.0 AS cs
+               CASE WHEN list_sum([CAST(x * x AS DOUBLE)
+                                   FOR x IN CAST(e.embedding AS DOUBLE[])]) = 0
+                      OR list_sum([x * x FOR x IN c.c]) = 0
+                    THEN 0.0
+                    ELSE round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.c)
+                         + 1e-9, 4) + 0.0
+               END AS cs
         FROM embeddings e, cent c
     ),
     ranked AS (
@@ -131,15 +140,37 @@ def llm_embed_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(pc, x -> x.cv)").alias("c"),
         )
     )
+    from airflow_jira_etl_spark.functions.similarity import norm2
+
+    # the packed-key decode below assumes 0 ≤ label < 10⁶; validate on
+    # the k-row centroid table BEFORE broadcast (negligible cost) so a
+    # drifted fixture fails loudly instead of corrupting the decode
+    cent = cent.withColumn(
+        "c_label",
+        F.when(
+            (F.col("c_label") < 0) | (F.col("c_label") > 999999),
+            F.raise_error(
+                F.concat(
+                    F.lit("llm_embed_knn_assign: label out of [0, 999999]: "),
+                    F.col("c_label").cast("string"),
+                )
+            ).cast("int"),
+        ).otherwise(F.col("c_label")),
+    )
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
         "c_label",
         # + 0.0 collapses -0.0/0.0 so near-orthogonal scores rank
-        # identically in both engines (ties then break by label)
-        (fround(cosine(F.col("embedding"), F.col("c"))) + F.lit(0.0)).alias(
-            "cs"
-        ),
+        # identically in both engines (ties then break by label);
+        # zero-norm vectors define cs = 0.0 (matching the oracle's
+        # guard) instead of the engine-divergent NaN
+        F.when(
+            (norm2(F.col("embedding")) == 0) | (norm2(F.col("c")) == 0),
+            F.lit(0.0),
+        )
+        .otherwise(fround(cosine(F.col("embedding"), F.col("c"))) + F.lit(0.0))
+        .alias("cs"),
     )
     # arg-max by (cs, then SMALLER label), packed into one long so the
     # aggregate keeps a primitive mutable buffer (HashAggregate with

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.functions.rounding import fround
+from airflow_jira_etl_spark.functions.textgrams import char_gram_sql
 from airflow_jira_etl_spark.operators.multimodal import (
     attach_media,
     decode_features,
@@ -94,14 +95,12 @@ def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_fingerprint_rolling",
-    oracle="""
+    # gram array generated from the same char_gram_sql definition the
+    # ngram-dedup oracle uses — one polynomial, no drift
+    oracle=f"""
     WITH grams AS (
         SELECT doc_id,
-               [ (CAST(ascii(text[i:i]) AS BIGINT) * 29791
-                  + ascii(text[i+1:i+1]) * 961
-                  + ascii(text[i+2:i+2]) * 31
-                  + ascii(text[i+3:i+3])) % 1048573
-                 FOR i IN range(1, greatest(length(text) - 2, 2)) ] AS hs
+               {char_gram_sql("text")} AS hs
         FROM documents
     )
     SELECT doc_id,

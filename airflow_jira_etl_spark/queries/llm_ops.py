@@ -70,6 +70,29 @@ _MH_ROWS = 4
 _MH_TAU = 0.5
 
 
+def _word_hash_duck(w: str) -> str:
+    """DuckDB form of the portable word hash — ONE definition feeding
+    the minhash CTE and the simhash oracle so the polynomial (and its
+    INT32-overflow BIGINT casts: DuckDB ascii() is INT32 and a
+    non-ASCII codepoint × 65599 overflows) cannot drift between them.
+    `_word_hash_spark` below is the byte-for-byte Spark twin."""
+    return (
+        f"(length({w}) * 2654435761"
+        f" + CAST(ascii({w}) AS BIGINT) * 40503"
+        f" + CAST(ascii(reverse({w})) AS BIGINT) * 65599) % {_MH_P}"
+    )
+
+
+def _word_hash_spark(w: str) -> str:
+    """Spark SQL-expression form of the SAME word hash (`L` literals
+    force int64 before the multiply — an int×int product would wrap
+    silently on non-ASCII codepoints)."""
+    return (
+        f"(length({w}) * 2654435761L + ascii({w}) * 40503L"
+        f" + ascii(reverse({w})) * 65599L) % {_MH_P}"
+    )
+
+
 def _mh_pairs_cte() -> str:
     """The shared DuckDB CTE chain (shingle → signature → band join →
     Jaccard verify) ending in `scored(id1, id2, j)`; llm_dedup_minhash
@@ -95,14 +118,7 @@ def _mh_pairs_cte() -> str:
     ),
     wh AS (
         SELECT doc_id,
-               -- BIGINT casts: DuckDB ascii() is INT32 and a non-ASCII
-               -- codepoint (e.g. CJK ~35k, max 0x10FFFF) overflows
-               -- INT32 when multiplied by the 65599 coefficient; the
-               -- Spark twin uses long literals throughout
-               list_concat([ (length(w) * 2654435761
-                              + CAST(ascii(w) AS BIGINT) * 40503
-                              + CAST(ascii(reverse(w)) AS BIGINT) * 65599)
-                             % {_MH_P}
+               list_concat([ {_word_hash_duck("w")}
                              FOR w IN t ], [0, 0]) AS w
         FROM toks
     ),
@@ -183,8 +199,7 @@ def minhash_candidates_portable(documents: DataFrame) -> DataFrame:
     # both engines (ascii('') = 0 keeps the word hash itself total).
     wh = F.expr(
         f"concat(transform(split(lower(text), ' '), w ->"
-        f" (length(w) * 2654435761L + ascii(w) * 40503L"
-        f"  + ascii(reverse(w)) * 65599L) % {_MH_P}), array(0L, 0L))"
+        f" {_word_hash_spark('w')}), array(0L, 0L))"
     )
     hs = F.expr(
         f"transform(sequence(1, greatest(size(__w) - 4, 1)), i -> "
@@ -288,18 +303,16 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_dedup_simhash",
-    oracle="""
+    # token hash generated from the same _word_hash_duck definition the
+    # minhash CTE uses — one polynomial, no drift
+    oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
         FROM documents
     ),
     h AS (
         SELECT doc_id,
-               CAST(
-                 (length(token) * 2654435761
-                  + CAST(ascii(token) AS BIGINT) * 40503
-                  + CAST(ascii(reverse(token)) AS BIGINT) * 65599)
-                 % 1048573 AS BIGINT) AS th
+               CAST({_word_hash_duck("token")} AS BIGINT) AS th
         FROM tok
     ),
     bits AS (
@@ -329,14 +342,11 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split(F.lower(F.col("text")), " "))
         ).alias("token"),
     )
-    th = (
-        F.length("token") * F.lit(2654435761)
-        # long BEFORE the multiply: an int×int product wraps silently
-        # on non-ASCII codepoints (≤0x10FFFF × 65599 > 2^31)
-        + F.ascii("token").cast("long") * F.lit(40503)
-        + F.ascii(F.reverse(F.col("token"))).cast("long") * F.lit(65599)
-    ) % F.lit(1048573)
-    h = tok.select("doc_id", th.cast("long").alias("th"))
+    # the shared _word_hash_spark definition (same polynomial as the
+    # minhash family, long literals prevent int wrap on unicode)
+    h = tok.select(
+        "doc_id", F.expr(_word_hash_spark("token")).alias("th")
+    )
     bits = h.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
@@ -412,12 +422,12 @@ def _ng_oracle() -> str:
         for i in range(_NG_BANDS)
     )
     h_eq = " AND ".join(f"a.h{r} = b.h{r}" for r in range(_NG_ROWS))
+    from airflow_jira_etl_spark.functions.textgrams import char_gram_sql
+
     return f"""
     WITH grams AS (
         SELECT doc_id,
-               [ (CAST(ascii(text[i:i]) AS BIGINT) * 29791 + ascii(text[i+1:i+1]) * 961
-                  + ascii(text[i+2:i+2]) * 31 + ascii(text[i+3:i+3])) % {_NG_P}
-                 FOR i IN range(1, greatest(length(text) - 2, 2)) ] AS hs
+               {char_gram_sql("text")} AS hs
         FROM documents
     ),
     sig AS (

@@ -53,6 +53,7 @@ def _corpora():
         dups.append((1000 + i, base))
         dups.append((2000 + i, " ".join(words)))
         dups.append((3000 + i, mutated))
+        dups.append((4000 + i, base))  # exact twin: j = 1.0 guaranteed
     edge = [
         (9001, ""),
         (9002, "x"),
@@ -112,7 +113,9 @@ def test_minhash_portable_parity_on_generated_corpus(spark, corpus):
         ),
     )
     if corpus in ("planted_dups", "all"):
-        assert n >= 10  # identical twins must always survive
+        assert n >= 10  # the exact twins (1000+i, 4000+i) must survive
+    if corpus == "unicode":
+        assert n >= 2  # both unicode identical-twin pairs must pair
 
 
 @pytest.mark.parametrize("corpus", ["word_salad", "planted_dups", "edges", "unicode", "all"])
@@ -121,3 +124,5 @@ def test_ngram_jaccard_parity_on_generated_corpus(spark, corpus):
     n = _compare(spark, docs, _NG_JACCARD_ORACLE, ngram_jaccard_pairs)
     if corpus in ("planted_dups", "all"):
         assert n >= 10
+    if corpus == "unicode":
+        assert n >= 2
