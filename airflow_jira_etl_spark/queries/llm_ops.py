@@ -53,10 +53,12 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Portable MinHash family for the word-shingle dedup query: same affine
 # permutation scheme as the n-gram family below, but over WORD-3-shingle
 # hashes (operators/minhash.py's shingle domain) with the operator's
-# 16-hash / 4-band / 4-row geometry. The shingle-string hash is the same
-# length/first/last-codepoint polynomial the simhash oracle uses, so
-# DuckDB reproduces every value bit-for-bit. Production swaps in
-# xxhash64 (operators/minhash.py, used by llm_dedup_clusters and the
+# 16-hash / 4-band / 4-row geometry. Each word is hashed once with the
+# same length/first/last-codepoint polynomial the simhash oracle uses
+# (_word_hash_duck/_word_hash_spark — one definition, two engines) and
+# a shingle hash is an affine combine of three word hashes, so DuckDB
+# reproduces every value bit-for-bit. Production swaps in xxhash64
+# (operators/minhash.py, used by llm_dedup_clusters and the
 # planted-recall tests) — identical shape, stronger hashes.
 _MH_P = 1048573
 _MH_SEEDS = [
