@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.functions.rounding import fround
-from airflow_jira_etl_spark.functions.similarity import cosine
+from airflow_jira_etl_spark.functions.similarity import cosine, norm2
 from airflow_jira_etl_spark.registry import query
 
 
@@ -140,24 +140,31 @@ def llm_embed_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(pc, x -> x.cv)").alias("c"),
         )
     )
-    from airflow_jira_etl_spark.functions.similarity import norm2
-
     # the packed-key decode below assumes 0 ≤ label < 10⁶; validate on
     # the k-row centroid table BEFORE broadcast (negligible cost) so a
-    # drifted fixture fails loudly instead of corrupting the decode
+    # drifted fixture fails loudly instead of corrupting the decode —
+    # NULL counts as out of domain (a NULL label would otherwise slip
+    # through the comparison and silently drop its centroid)
     cent = cent.withColumn(
         "c_label",
         F.when(
-            (F.col("c_label") < 0) | (F.col("c_label") > 999999),
+            F.col("c_label").isNull()
+            | (F.col("c_label") < 0)
+            | (F.col("c_label") > 999999),
             F.raise_error(
                 F.concat(
                     F.lit("llm_embed_knn_assign: label out of [0, 999999]: "),
-                    F.col("c_label").cast("string"),
+                    F.coalesce(F.col("c_label").cast("string"), F.lit("NULL")),
                 )
             ).cast("int"),
         ).otherwise(F.col("c_label")),
     )
-    scored = emb.crossJoin(F.broadcast(cent)).select(
+    # zero-norm flags precomputed ONCE per side (k rows / n rows) —
+    # inlining norm2 into the scoring expression would recompute an
+    # O(d) fold per (vector × centroid) row in the map-side expand
+    cent = cent.withColumn("c_zero", norm2(F.col("c")) == 0)
+    emb_flagged = emb.withColumn("e_zero", norm2(F.col("embedding")) == 0)
+    scored = emb_flagged.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
         "c_label",
@@ -165,10 +172,7 @@ def llm_embed_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # identically in both engines (ties then break by label);
         # zero-norm vectors define cs = 0.0 (matching the oracle's
         # guard) instead of the engine-divergent NaN
-        F.when(
-            (norm2(F.col("embedding")) == 0) | (norm2(F.col("c")) == 0),
-            F.lit(0.0),
-        )
+        F.when(F.col("e_zero") | F.col("c_zero"), F.lit(0.0))
         .otherwise(fround(cosine(F.col("embedding"), F.col("c"))) + F.lit(0.0))
         .alias("cs"),
     )

@@ -18,6 +18,10 @@ from pyspark.sql import types as T
 from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.functions.similarity import cosine
+from airflow_jira_etl_spark.functions.textgrams import (
+    char_gram_sql,
+    with_char_gram_hashes,
+)
 from airflow_jira_etl_spark.registry import query
 
 
@@ -260,14 +264,19 @@ def minhash_candidates_portable(documents: DataFrame) -> DataFrame:
     )
 
 
-def minhash_pairs_portable(documents: DataFrame) -> DataFrame:
-    """Portable-family MinHash-LSH near-dup pairs (id1, id2, j ≥ tau):
-    exact Jaccard verify over the shared candidate generator."""
-    pairs = minhash_candidates_portable(documents)
+def minhash_verify(cand: DataFrame) -> DataFrame:
+    """Exact Jaccard verify over (id1, id2, h1, h2) candidates:
+    keep pairs at/above τ with their true Jaccard."""
     inter = F.size(F.array_intersect("h1", "h2")).cast("double")
     union = F.size(F.array_union("h1", "h2")).cast("double")
     j = inter / union
-    return pairs.where(j >= _MH_TAU).select("id1", "id2", j.alias("j"))
+    return cand.where(j >= _MH_TAU).select("id1", "id2", j.alias("j"))
+
+
+def minhash_pairs_portable(documents: DataFrame) -> DataFrame:
+    """Portable-family MinHash-LSH near-dup pairs (id1, id2, j ≥ tau):
+    exact Jaccard verify over the shared candidate generator."""
+    return minhash_verify(minhash_candidates_portable(documents))
 
 
 _CT_TAU = 0.7  # containment threshold
@@ -424,8 +433,6 @@ def _ng_oracle() -> str:
         for i in range(_NG_BANDS)
     )
     h_eq = " AND ".join(f"a.h{r} = b.h{r}" for r in range(_NG_ROWS))
-    from airflow_jira_etl_spark.functions.textgrams import char_gram_sql
-
     return f"""
     WITH grams AS (
         SELECT doc_id,
@@ -484,9 +491,6 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     # shuffles ~n_chars rows; this form shuffles nothing and each
     # minhash is an array_min over the gram array. See textgrams.py
     # for why the codes array (not per-gram substring) is load-bearing.
-    from airflow_jira_etl_spark.functions.textgrams import (
-        with_char_gram_hashes,
-    )
     # The gram hashing is CPU-heavy per input byte (~len lambda evals
     # per doc), so parallelism must not be tied to the source file
     # layout (one small parquet file = one task doing ALL the hashing).

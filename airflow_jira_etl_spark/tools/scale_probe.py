@@ -28,7 +28,7 @@ from airflow_jira_etl_spark.session import get_spark
 def main(argv: list[str]) -> int:
     from airflow_jira_etl_spark.queries.llm_ops import (
         minhash_candidates_portable,
-        minhash_pairs_portable,
+        minhash_verify,
         ngram_jaccard_pairs,
     )
 
@@ -57,12 +57,18 @@ def main(argv: list[str]) -> int:
         t0 = time.time()
         np_ = ngram_jaccard_pairs(c).count()
         t_ng = time.time() - t0
+        # candidates are cached so cand_s times signature + band join
+        # exactly once and mh_s times ONLY the Jaccard verify — the
+        # earlier form re-ran the candidate pipeline inside the pair
+        # timing, making the two numbers overlap and order-dependent
+        cand = minhash_candidates_portable(c).cache()
         t0 = time.time()
-        nc = minhash_candidates_portable(c).count()
+        nc = cand.count()
         t_cand = time.time() - t0
         t0 = time.time()
-        npair = minhash_pairs_portable(c).count()
+        npair = minhash_verify(cand).count()
         t_mh = time.time() - t0
+        cand.unpersist()
         print(
             f"RESULT mult={mult} docs={n} ngram_pairs={np_} "
             f"ngram_s={t_ng:.1f} mh_cand={nc} cand_s={t_cand:.1f} "

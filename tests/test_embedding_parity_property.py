@@ -98,13 +98,11 @@ def test_knn_assign_rejects_out_of_domain_label(spark):
     import airflow_jira_etl_spark.queries.embedding_ops as eo
     from unittest import mock
 
-    import pytest as _pytest
-
     rows = [(0, [1.0, 0.0], -1), (1, [0.0, 1.0], 2)]
     sdf = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
     with mock.patch.object(eo.catalog, "load", lambda spark, sf, t: sdf):
         df = registry.QUERIES["llm_embed_knn_assign"](spark, "ignored")
-        with _pytest.raises(Exception, match="label out of"):
+        with pytest.raises(Exception, match="label out of"):
             df.collect()
