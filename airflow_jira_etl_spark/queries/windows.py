@@ -457,12 +457,20 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_concurrency_sweep",
     oracle="""
-    WITH iv AS (
-        SELECT CAST(ts AS TIMESTAMP) AS s,
-               least(CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE,
-                     date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY)
-                 AS e
+    WITH ev AS (
+        -- explicit floor-to-microseconds: whatever unit the round's
+        -- fixture ships (the r04 NANOS incident; r05's hash-only red),
+        -- both engines must see the identical micros value. epoch_ns
+        -- handles TIMESTAMP and TIMESTAMP_NS alike; // floors.
+        SELECT make_timestamp(epoch_ns(CAST(ts AS TIMESTAMP)) // 1000) AS tsu
         FROM events
+    ),
+    iv AS (
+        SELECT tsu AS s,
+               least(tsu + INTERVAL 5 MINUTE,
+                     date_trunc('day', tsu) + INTERVAL 1 DAY)
+                 AS e
+        FROM ev
     ),
     pts AS (
         SELECT CAST(date_trunc('day', s) AS DATE) AS day, s AS pt, 1 AS delta
@@ -492,9 +500,16 @@ def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed hour); the sweep is 2n points, ONE exchange keyed by day,
     and per-day windows that parallelize across the calendar. Ties at
     the same (pt, delta) produce the same running-sum multiset under
-    any order, so max is deterministic."""
+    any order, so max is deterministic. Both sides of the oracle floor
+    ``ts`` to whole microseconds explicitly (Spark via unix_micros
+    round-trip, DuckDB via epoch_ns // 1000) so a fixture regeneration
+    that ships sub-microsecond timestamps (the r04 NANOS incident, the
+    suspected r05 hash-only red) cannot shift a coincident boundary on
+    one engine only."""
     events = catalog.load(spark, sf_dir, "events")
-    s = F.col("ts")
+    # identity for micros-precision timestamps; explicit floor contract
+    # mirroring the oracle's make_timestamp(epoch_ns(ts) // 1000)
+    s = F.timestamp_micros(F.unix_micros(F.col("ts")))
     day_end = F.date_trunc("day", s) + F.expr("INTERVAL 1 DAY")
     iv = events.select(
         s.alias("s"),

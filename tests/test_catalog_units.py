@@ -168,6 +168,85 @@ def test_load_casts_drifted_physical_types(spark, tmp_path):
     assert rows[1].o_orderdate == datetime.datetime(2024, 1, 1, 0, 0, 1)
 
 
+def _write_adversarial_sweep_events(sf: str, unit: str) -> None:
+    """Events engineered to break a sweep-line on precision drift:
+    coincident starts, end-meets-start chains (half-open boundary),
+    sub-microsecond fractions that only coincide after floor-to-micros,
+    and midnight clipping — written at the requested parquet unit."""
+    base = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z in ns
+    h = 3_600 * 10**9
+    min5 = 5 * 60 * 10**9
+    ns: list[int] = []
+    ns += [base + 10 * h] * 4  # coincident burst: 4 identical starts
+    b = base + 2 * h  # chain: each interval's end == next one's start
+    ns += [b, b + min5, b + 2 * min5]
+    # a carries .999999999; c sits at floor(a)+5min — whether a's END
+    # coincides with anything depends ONLY on consistent micros floor
+    a = base + 3 * h + 999_999_999
+    ns += [a, (a // 1000) * 1000 + min5]
+    j = base + 4 * h  # pair differing below 1 µs: coincide after floor
+    ns += [j + 1, j + 999]
+    # midnight: 23:58 start (interval clipped at day end) + a start at
+    # exactly the next midnight (belongs wholly to day 2)
+    ns += [base + 24 * h - 120 * 10**9, base + 24 * h]
+    vals = ns if unit == "ns" else [v // 1000 for v in ns]
+    n = len(vals)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(vals, pa.timestamp(unit)),
+            "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(
+        table, os.path.join(sf, "events.parquet"), store_schema=False
+    )
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_concurrency_sweep_parity_on_coincident_boundaries(
+    spark, tmp_path, unit
+):
+    """End-to-end reproduction of the r05 hash-only red's suspected
+    mechanism: the SAME adversarial events file (coincident and
+    sub-microsecond boundary timestamps, at either parquet unit) must
+    hash-match between the Spark sweep-line and the DuckDB oracle —
+    Spark loading via catalog's footer-sniff path, DuckDB reading the
+    parquet natively exactly as the driver's view registration does."""
+    import duckdb
+
+    from airflow_jira_etl_spark import registry
+    from airflow_jira_etl_spark.queries.windows import win_concurrency_sweep
+    from tests.oracle_check import canon_rows
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    _write_adversarial_sweep_events(sf, unit)
+
+    out = win_concurrency_sweep(spark, sf)
+    spark_cols = list(out.columns)
+    spark_rows = [tuple(r) for r in out.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf, 'events.parquet')}')"
+    )
+    duck = con.execute(registry.ORACLES["win_concurrency_sweep"])
+    duck_cols = [d[0] for d in duck.description]
+    duck_rows = duck.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert canon_rows(spark_cols, spark_rows) == canon_rows(
+        duck_cols, duck_rows
+    )
+    by_day = {r[0].isoformat(): r[1] for r in spark_rows}
+    assert by_day["2024-01-01"] >= 4  # the coincident burst must count
+
+
 def test_load_missing_declared_column_fails_loudly(spark, tmp_path):
     sf = str(tmp_path / "sf")
     os.makedirs(sf)
