@@ -413,7 +413,11 @@ _NG_SEEDS = [
 ]
 _NG_BANDS = 3
 _NG_ROWS = 6  # minhashes per band
-_NG_TAU = 0.5  # report only pairs at/above this exact jaccard
+# Verify threshold on band-collided candidates. NOTE the geometry, not
+# τ, sets effective recall: detection midpoint sits at j≈0.83 (see the
+# CONTRACT paragraph in ngram_jaccard_pairs) — τ only trims verified
+# candidates below it.
+_NG_TAU = 0.5
 
 
 def _ng_oracle() -> str:
@@ -479,6 +483,15 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     verify only on surviving pairs, with the gram sets re-attached
     after the join; pairs below τ=0.5 are dropped (a dedup pair list,
     not an all-similarities dump).
+
+    CONTRACT: the reported set is BAND-COLLIDED pairs with exact
+    jaccard ≥ τ, not all pairs ≥ τ. The 3×6 geometry's per-band
+    collision prob is j^6, putting the detection S-curve midpoint near
+    j≈0.83 — pairs with true jaccard in [0.5, ~0.8] are mostly never
+    surfaced. That is the intended dedup operating point (true
+    near-dups at j≳0.9 collide with prob ≥0.97); the oracle shares the
+    identical geometry, so both engines miss the same mid-band pairs
+    and parity holds.
 
     Takes any DataFrame with (doc_id long, text string); the query
     below applies it to the documents table, the planted-distant-id
@@ -666,9 +679,17 @@ def llm_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket is the shuffle key: candidate generation stays linear
     (avg bucket size = n/64) and at rest the bucket doubles as a
     partition key so each bucket's pairs verify co-located."""
-    emb = catalog.load(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _hyperplane_bucket_spark()
+    # The signature relation feeds BOTH sides of the self-join: cache
+    # it and fill the cache eagerly, or the two sides race to
+    # materialize it and the scan + bucket projection runs twice
+    # concurrently (same pattern as the minhash band join — PLANS.md
+    # documents the 2× race there)
+    emb = (
+        catalog.load(spark, sf_dir, "embeddings")
+        .withColumn("bucket", _hyperplane_bucket_spark())
+        .cache()
     )
+    emb.count()
     a, b = emb.alias("a"), emb.alias("b")
     cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (

@@ -703,8 +703,8 @@ def report_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey, count(*) AS numcust,
            round(sum(c_acctbal) + 1e-9, 4) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                       WHERE c_acctbal > 0.0)
+    WHERE c_acctbal > (SELECT round(avg(c_acctbal) + 1e-9, 4)
+                       FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '1997-06-01')
@@ -718,7 +718,11 @@ def report_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     since mid-1997 (correlated NOT EXISTS → LeftAnti hash join against
     a date-pruned orders scan). Every customer in the fixture has SOME
     order, so the recency predicate is what makes the anti join
-    selective."""
+    selective. The scalar threshold is rounded to 4 dp (+1e-9) on both
+    sides — Spark's partial-agg summation order can differ from
+    DuckDB's serial avg by ulps, and a balance sitting exactly at the
+    raw threshold could otherwise flip membership between engines
+    (the repo-wide boundary-stabilization convention)."""
     for t in ("customer", "orders"):
         catalog.load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
@@ -726,8 +730,8 @@ def report_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_nationkey, count(*) AS numcust,
                round(sum(c_acctbal) + 1e-9, 4) AS totacctbal
         FROM customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                           WHERE c_acctbal > 0.0)
+        WHERE c_acctbal > (SELECT round(avg(c_acctbal) + 1e-9, 4)
+                           FROM customer WHERE c_acctbal > 0.0)
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '1997-06-01')

@@ -37,11 +37,16 @@ def main(argv: list[str]) -> int:
 
     spark = get_spark("scale-probe")
     docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+    # replica id stride derived from the corpus, not a fixed constant:
+    # a fixture whose doc_id range reached a hard-coded 1M would
+    # silently collide replica ids, merging distinct documents and
+    # corrupting the probe's pair counts
+    stride = docs.agg(F.max("doc_id")).first()[0] + 1
 
     def corpus(mult: int):
         parts = [
             docs.select(
-                (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+                (F.col("doc_id") + r * stride).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(f" replica{r}")).alias("text"),
             )
             for r in range(mult)
