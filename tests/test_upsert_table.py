@@ -324,6 +324,57 @@ def test_schema_evolution_adds_column_with_nulls(spark, tmp_path):
         t2.apply(evolved)
 
 
+def test_lifecycle_merge_compact_vacuum_time_travel(spark, tmp_path):
+    """The composed lifecycle walked end-to-end in ONE chain:
+    create → merge×3 → compact → merge → vacuum → reads of old
+    generations. Individual guards exist per step; this pins their
+    interplay — compaction preserves state, vacuum after a compaction
+    reclaims everything the compacted generation superseded, the
+    time-travel surface shrinks to exactly the retained manifests, and
+    a vacuumed generation refuses time travel loudly instead of
+    serving partial data."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=8)
+    base = spark.range(500).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v")
+    )
+    t.apply(base)  # gen 0: all buckets
+    for i in range(1, 4):  # gens 1..3: single-key COW rewrites
+        t.apply(
+            spark.createDataFrame([(i, float(i))], "k long, v double")
+        )
+    state_g3 = sorted((r.k, r.v) for r in t.read().collect())
+
+    t.compact()  # gen 4: one file per bucket, state unchanged
+    assert sorted((r.k, r.v) for r in t.read().collect()) == state_g3
+    t.apply(
+        spark.createDataFrame([(0, -1.0)], "k long, v double")
+    )  # gen 5
+
+    # pre-vacuum, time travel still reaches the pre-compaction chain
+    assert (
+        sorted((r.k, r.v) for r in t.read(generation=3).collect())
+        == state_g3
+    )
+
+    deleted = t.vacuum(retain_last=2)  # retains gens 4 and 5
+    # the compaction superseded every pre-compact data dir: all gone
+    assert deleted == [f"gen_{n:06d}" for n in range(4)]
+
+    # the time-travel surface is now exactly the retained window
+    assert (
+        sorted((r.k, r.v) for r in t.read(generation=4).collect())
+        == state_g3
+    )
+    got5 = {r.k: r.v for r in t.read(generation=5).collect()}
+    assert got5[0] == -1.0 and len(got5) == 500
+    with pytest.raises(ValueError, match="no retained manifest"):
+        t.read(generation=3)
+
+    # and the current pointer still serves the full, newest state
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 500 and got[0] == -1.0 and got[3] == 3.0
+
+
 def test_vacuum_rejects_zero_retention(spark, tmp_path):
     t = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
     t.apply(spark.createDataFrame([(1, "a")], "k long, v string"))
