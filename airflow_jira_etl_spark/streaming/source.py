@@ -90,7 +90,13 @@ def write_event_pages(
 
     The page layout is deterministic in (source, n_pages), so an
     existing directory with a matching meta file is reused as-is —
-    repeated streaming queries in one sweep pay the paging cost once."""
+    repeated streaming queries in one sweep pay the paging cost once.
+
+    Builders are serialized across PROCESSES with an exclusive flock:
+    two concurrent sessions (e.g. a test run alongside a bench run)
+    otherwise race the check-rebuild sequence — one rmtree's the pages
+    the other's running stream is reading mid-query. The loser of the
+    lock re-validates the meta and returns without rebuilding."""
     import json
 
     from airflow_jira_etl_spark import catalog
@@ -113,12 +119,39 @@ def write_event_pages(
         "layout": 2,
     }
     meta_path = os.path.join(out_dir, "_PAGES_META.json")
-    try:
-        with open(meta_path) as f:
-            if json.load(f) == meta:
-                return page_size
-    except (FileNotFoundError, json.JSONDecodeError):
-        pass
+
+    def _meta_current() -> bool:
+        try:
+            with open(meta_path) as f:
+                return json.load(f) == meta
+        except (FileNotFoundError, json.JSONDecodeError):
+            return False
+
+    if _meta_current():  # fast path, no lock traffic in steady state
+        return page_size
+    import fcntl
+
+    os.makedirs(os.path.dirname(out_dir) or ".", exist_ok=True)
+    with open(out_dir + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if _meta_current():  # another process built it while we waited
+            return page_size
+        return _build_event_pages(
+            events, out_dir, meta, meta_path, n_pages, page_size
+        )
+
+
+def _build_event_pages(
+    events: DataFrame,
+    out_dir: str,
+    meta: dict,
+    meta_path: str,
+    n_pages: int,
+    page_size: int,
+) -> int:
+    """The rebuild body of write_event_pages — caller holds the flock."""
+    import json
+
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     # ONE job writes every page (hash-partition on the page id -> each

@@ -100,6 +100,36 @@ def test_event_pages_reuse_when_unchanged(spark, tmp_path):
     assert tree_state(pages_dir) == before
 
 
+def test_event_pages_concurrent_builders_serialize(spark, tmp_path):
+    """Two builders racing a cold cache (the test-run-alongside-bench
+    scenario) must serialize on the build lock: both return, the pages
+    are intact, and exactly one build happened (the loser sees the
+    winner's meta and skips its own rmtree+rewrite)."""
+    import threading
+
+    src_dir = tmp_path / "sf"
+    src_dir.mkdir()
+    _write_events_fixture(str(src_dir), [7.0] * 8)
+    pages_dir = str(tmp_path / "pages")
+
+    errors = []
+
+    def build():
+        try:
+            write_event_pages(spark, str(src_dir), pages_dir, n_pages=2)
+        except Exception as exc:  # noqa: BLE001 — surface below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=build) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    rows = spark.read.parquet(os.path.join(pages_dir, "page_*")).collect()
+    assert len(rows) == 8 and {r.value for r in rows} == {7.0}
+
+
 def test_pages_store_real_timestamps(spark, sf_dir, tmp_path):
     """Layout v2: page files persist ts as a real timestamp column (no
     raw-long plumbing), so page readers use the declared events schema
