@@ -29,7 +29,7 @@ from airflow_jira_etl_spark.registry import query
     WITH feats AS (
         SELECT doc_id, lang,
                CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS DOUBLE)
-                 / length(text) AS vowel_ratio,
+                 / nullif(length(text), 0) AS vowel_ratio,
                CAST(length(text) AS DOUBLE)
                  / len(string_split(text, ' ')) AS avg_tok_len
         FROM documents
@@ -52,7 +52,13 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior (pure map, no shuffle) are identical."""
     documents = catalog.load(spark, sf_dir, "documents")
     vowels = F.regexp_replace(F.lower(F.col("text")), "[^aeiou]", "")
-    vowel_ratio = F.length(vowels).cast("double") / F.length("text")
+    # NULLIF guard: an empty doc would otherwise divide by zero —
+    # a hard error under ANSI mode, not a quiet NULL. NULL ratio
+    # falls through the CASE to 'lat-short' identically on both
+    # engines (the oracle carries the same nullif).
+    vowel_ratio = F.length(vowels).cast("double") / F.nullif(
+        F.length("text"), F.lit(0)
+    )
     avg_tok_len = F.length("text").cast("double") / F.size(F.split(F.col("text"), " "))
     return documents.select(
         "doc_id",
@@ -277,25 +283,45 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, documents, "doc_id")
 
 
+# The fake media kernels compute statistics over the UTF-8 BYTES of
+# the payload (the payload IS bytes — that's the point of the binary
+# column), so the oracles must too: length()/ascii() count CODEPOINTS
+# and silently diverge the moment the corpus grows a multi-byte
+# character (caught by tests/test_docs_drift_sweep.py). DuckDB 1.0 has
+# no byte indexing on BLOB, so bytes are read through hex():
+# hex(encode(text)) is 2 chars per byte, and byte i parses from the
+# pair at [2i+1, 2i+2] via strpos on the uppercase hex alphabet.
+_HEXD = "'0123456789ABCDEF'"
+
+
+def _hexbyte(i: str) -> str:
+    """SQL expression for byte ``i`` (0-based) of hx (hex string col)."""
+    return (
+        f"((strpos({_HEXD}, hx[2*({i})+1 : 2*({i})+1]) - 1) * 16"
+        f" + (strpos({_HEXD}, hx[2*({i})+2 : 2*({i})+2]) - 1))"
+    )
+
+
 @query(
     "mm_decode_features",
-    # The fake decode kernel computes pure byte statistics over the
-    # UTF-8 payload; the fixture text is ASCII (verified), so byte ==
-    # codepoint and DuckDB reproduces every value exactly. A production
-    # codec kernel would drop back to rows-only.
-    oracle="""
-    WITH b AS (
+    # Byte-exact mirror of the fake decode kernel for ANY text —
+    # multi-byte UTF-8 included. A production codec kernel would drop
+    # back to rows-only.
+    oracle=f"""
+    WITH h AS (
         SELECT doc_id,
-               CAST(length(text) AS BIGINT) AS n_bytes,
-               -- empty-text guard must be explicit: string_split_regex
-               -- of '' is [''] (not []), whose unicode() is -1 — the
-               -- coalesce alone would yield -1 where the kernel sums
-               -- an empty payload to 0
-               CAST(CASE WHEN length(text) = 0 THEN 0 ELSE coalesce(
-                 list_sum([unicode(c) FOR c IN string_split_regex(text, '')]),
-                 0) END AS BIGINT) AS byte_sum,
-               CASE WHEN length(text) > 0 THEN ascii(text) ELSE -1 END AS fb
+               octet_length(encode(text)) AS nb,
+               hex(encode(text)) AS hx
         FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               CAST(nb AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN nb = 0 THEN 0 ELSE
+                 list_sum([{_hexbyte('i')} FOR i IN range(nb)])
+               END AS BIGINT) AS byte_sum,
+               CASE WHEN nb > 0 THEN {_hexbyte('0')} ELSE -1 END AS fb
+        FROM h
     )
     SELECT doc_id,
            'image/fake' AS media_type,
@@ -318,19 +344,22 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_sample_frames",
-    # Frame slicing is byte arithmetic over the ASCII payload: step =
-    # max(n//4, 1), frame i covers [i*step, i*step+step). The oracle
-    # mirrors it with substring-then-encode (1 char = 1 byte here).
+    # Frame slicing is byte arithmetic over the UTF-8 payload: step =
+    # max(n_bytes//4, 1), frame i covers bytes [i*step, i*step+step).
+    # Byte slices come back out of the hex representation via unhex —
+    # correct even when a slice lands mid-codepoint (a real media
+    # payload has no codepoints; byte boundaries are the contract).
     oracle="""
     WITH m AS (
-        SELECT doc_id, text,
-               length(text) AS n,
-               greatest(length(text) // 4, 1) AS step
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               greatest(octet_length(encode(text)) // 4, 1) AS step,
+               hex(encode(text)) AS hx
         FROM documents WHERE doc_id < 200
     )
     SELECT doc_id,
            CAST(i AS INTEGER) AS frame_idx,
-           encode(substring(text, i * step + 1, step)) AS frame_bytes
+           unhex(substring(hx, i * step * 2 + 1, step * 2)) AS frame_bytes
     FROM m, (SELECT unnest(range(4)) AS i) g
     WHERE i * step < n
     """,
@@ -349,16 +378,18 @@ def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_resize_batch",
-    # Uniform byte striding over the ASCII payload: stride k =
-    # max(ceil(n/256), 1), kept bytes at 0, k, 2k, ... — the oracle
-    # recomputes the strided sum with a range(0, n, k) comprehension
-    # (1-indexed substring; byte == codepoint on the ASCII fixture).
-    oracle="""
+    # Uniform byte striding over the UTF-8 payload: stride k =
+    # max(ceil(n_bytes/256), 1), kept bytes at 0, k, 2k, ... — the
+    # oracle recomputes the strided sum over hex-parsed bytes, exact
+    # for any text (multi-byte UTF-8 included).
+    oracle=f"""
     WITH m AS (
-        SELECT doc_id, text,
-               CAST(length(text) AS BIGINT) AS n,
-               greatest(CAST(ceil(length(text) / 256.0) AS INTEGER), 1)
-                 AS stride
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n,
+               greatest(
+                 CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER),
+                 1) AS stride,
+               hex(encode(text)) AS hx
         FROM documents
     )
     SELECT doc_id,
@@ -366,7 +397,7 @@ def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
            stride,
            CAST(ceil(n / CAST(stride AS DOUBLE)) AS BIGINT) AS out_bytes,
            CAST(coalesce(
-             list_sum([ascii(text[i + 1:i + 1])
+             list_sum([{_hexbyte('i')}
                        FOR i IN range(0, CAST(n AS INTEGER), stride)]),
              0) AS BIGINT) AS out_sum
     FROM m
