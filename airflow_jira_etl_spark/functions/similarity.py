@@ -24,4 +24,14 @@ def norm2(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
+    """Zero-norm convention: cs = 0.0 (a zero vector is similar to
+    nothing), matching the guard in embedding_ops and its oracles. A
+    plain division is a DIVIDE_BY_ZERO hard error under ANSI mode the
+    moment a regenerated fixture ships a zero vector — try_divide
+    yields NULL there, coalesced to 0.0. Every oracle using DuckDB's
+    list_cosine_similarity (which returns -1.0 on a zero vector, not
+    an error) must carry the matching CASE guard."""
+    return F.coalesce(
+        F.try_divide(dot(a, b), F.sqrt(norm2(a)) * F.sqrt(norm2(b))),
+        F.lit(0.0),
+    )

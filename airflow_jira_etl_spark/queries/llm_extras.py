@@ -156,7 +156,13 @@ def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probe AS (SELECT e AS p, bucket AS pb FROM sig WHERE vec_id = 0)
     SELECT vec_id, label, bucket,
-           round(list_cosine_similarity(e, probe.p) + 1e-9, 4) AS cos_sim
+           -- zero-norm guard: engine convention is cs = 0.0 (DuckDB's
+           -- list_cosine_similarity returns -1.0 on a zero vector)
+           round(CASE WHEN list_sum([x * x FOR x IN e]) = 0
+                        OR list_sum([x * x FOR x IN probe.p]) = 0
+                 THEN 0.0
+                 ELSE list_cosine_similarity(e, probe.p)
+                 END + 1e-9, 4) AS cos_sim
     FROM sig, probe
     WHERE vec_id <> 0 AND bucket = probe.pb
     ORDER BY cos_sim DESC, vec_id

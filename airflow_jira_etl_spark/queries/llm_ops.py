@@ -594,8 +594,14 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0
     )
     SELECT vec_id, label,
-           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), probe.p)
-                 + 1e-9, 4) AS cos_sim
+           -- zero-norm guard: engine convention is cs = 0.0 (DuckDB's
+           -- list_cosine_similarity returns -1.0 on a zero vector,
+           -- Spark's unguarded division is an ANSI error)
+           round(CASE WHEN list_sum([x * x FOR x IN CAST(embedding AS DOUBLE[])]) = 0
+                        OR list_sum([x * x FOR x IN probe.p]) = 0
+                 THEN 0.0
+                 ELSE list_cosine_similarity(CAST(embedding AS DOUBLE[]), probe.p)
+                 END + 1e-9, 4) AS cos_sim
     FROM embeddings, probe
     WHERE vec_id <> 0
     ORDER BY cos_sim DESC, vec_id
