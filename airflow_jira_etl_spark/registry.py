@@ -23,14 +23,22 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register ``fn`` as query ``name`` with an optional DuckDB oracle."""
+    """Register ``fn`` as query ``name`` with an optional DuckDB oracle.
+
+    Oracles are drift-proofed at registration: TPC-H table references
+    are routed through contract-typed CTEs (``oracle_norm.drift_proof``)
+    so the DuckDB side stays type-stable under fixture regeneration,
+    mirroring what ``catalog.conform`` already guarantees on the Spark
+    side. No-op on today's fixtures; tests/test_tpch_drift_sweep.py is
+    the behavioral gate."""
+    from airflow_jira_etl_spark.oracle_norm import drift_proof
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            ORACLES[name] = drift_proof(oracle)
         return fn
 
     return deco
