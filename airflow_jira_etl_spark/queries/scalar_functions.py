@@ -133,8 +133,10 @@ def fn_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_k_ceil,
            CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k_floor,
            round(pow(o_totalprice / 100000.0, 2) + 1e-9, 4) AS price_sq,
-           round(sqrt(o_totalprice) + 1e-9, 4) AS price_sqrt,
-           round(ln(o_totalprice) + 1e-9, 4) AS price_ln,
+           round(sqrt(CASE WHEN o_totalprice >= 0 THEN o_totalprice END) + 1e-9, 4)
+               AS price_sqrt,
+           round(ln(CASE WHEN o_totalprice > 0 THEN o_totalprice END) + 1e-9, 4)
+               AS price_ln,
            CAST(o_orderkey % 10 AS BIGINT) AS key_mod,
            CAST(sign(o_totalprice - 250000.0) AS INTEGER) AS above_mid
     FROM orders
@@ -151,8 +153,12 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(p / 1000.0).alias("price_k_ceil"),
         F.floor(p / 1000.0).alias("price_k_floor"),
         fround(F.pow(p / 100000.0, 2)).alias("price_sq"),
-        fround(F.sqrt(p)).alias("price_sqrt"),
-        fround(F.log(p)).alias("price_ln"),
+        # domain-guarded on BOTH engines: sqrt/ln of out-of-domain input
+        # is NULL by convention (Spark yields NaN/NULL, DuckDB raises —
+        # a regenerated fixture with negative money would otherwise
+        # error the oracle run; see tests/test_tpch_content_drift_sweep)
+        fround(F.sqrt(F.when(p >= 0, p))).alias("price_sqrt"),
+        fround(F.log(F.when(p > 0, p))).alias("price_ln"),
         (F.col("o_orderkey") % 10).alias("key_mod"),
         F.signum(p - 250000.0).cast("int").alias("above_mid"),
     )
