@@ -663,37 +663,59 @@ def report_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame
 def report_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
     multi-supplier order ("late" = shipped >60 days after the order
-    date; the fixture has no commit/receipt dates). The interesting
-    machinery is the pair of correlated subqueries with a <>
-    correlation on the same fact table — Catalyst decorrelates them
-    into LeftSemi and LeftAnti hash joins on l_orderkey (no per-row
-    re-execution, no cartesian; same lowering the simpler
-    filter_exists/not_exists queries plan-guard). At scale all three
-    lineitem reads shuffle on l_orderkey, so they co-partition; the
-    NOT EXISTS side carries the extra correlated o_orderdate predicate
-    into the join condition."""
-    for t in ("supplier", "lineitem", "orders"):
-        catalog.load(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(
-        """
-        SELECT s_name, count(*) AS numwait
-        FROM supplier
-        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        JOIN orders ON o_orderkey = l1.l_orderkey
-        WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-          AND EXISTS (
-            SELECT 1 FROM lineitem l2
-            WHERE l2.l_orderkey = l1.l_orderkey
-              AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (
-            SELECT 1 FROM lineitem l3
-            WHERE l3.l_orderkey = l1.l_orderkey
-              AND l3.l_suppkey <> l1.l_suppkey
-              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        GROUP BY s_name
-        ORDER BY numwait DESC, s_name
-        LIMIT 20
-        """
+    date; the fixture has no commit/receipt dates).
+
+    The oracle states it with the textbook pair of <>-correlated
+    EXISTS / NOT EXISTS subqueries — three reads of the fact table.
+    The engine computes the same predicate in ONE lineitem scan: after
+    the lineitem⋈orders join (shuffle on l_orderkey), two window
+    collect_sets over the same l_orderkey partitioning give each row
+    its order's distinct-supplier and distinct-LATE-supplier sets, and
+    a row qualifies iff it is late, the order has >1 supplier, and the
+    late-supplier set is exactly {its own supplier}. Because the window
+    partitions on the join key, Catalyst inserts no extra exchange —
+    at 100 TB that is 1 shuffle of the fact table instead of 3 (the
+    decorrelated semi + anti joins each re-shuffled a full lineitem
+    read). Supplier is broadcast; the final agg is on s_name (bounded
+    domain)."""
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supplier = catalog.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    flagged = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_order = flagged.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w).alias(
+            "late_supps"
+        ),
+    )
+    qualifying = per_order.where(
+        F.col("is_late")
+        & (F.col("n_supp") > 1)
+        & (F.size("late_supps") == 1)  # sole late supplier == this row's
+    )
+    return (
+        qualifying.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )
 
 
