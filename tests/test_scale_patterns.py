@@ -278,11 +278,15 @@ def test_range_band_join_broadcasts_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_waiting_suppliers_decorrelates_both_subqueries(spark, sf_dir):
-    """The Q21 shape's correlated EXISTS and NOT EXISTS (with a <>
-    correlation and an outer-column predicate) must BOTH lower to hash
-    joins on l_orderkey — LeftSemi + LeftAnti, no per-row subquery, no
-    cartesian."""
+def test_waiting_suppliers_single_fact_scan(spark, sf_dir):
+    """The Q21 shape must read the fact table ONCE: both correlated
+    predicates (other-supplier exists / no-other-late-supplier) are
+    derived from window collect_sets over the l_orderkey partitioning
+    the lineitem⋈orders join already established — exactly one lineitem
+    scan, exactly one fact-side hashpartitioning exchange feeding the
+    window, and no cartesian. (The textbook decorrelated form re-scans
+    and re-shuffles lineitem twice more; that lowering is still guarded
+    for the simpler EXISTS queries above.)"""
     from airflow_jira_etl_spark import registry
 
     registry.load_all_queries()
@@ -290,8 +294,9 @@ def test_waiting_suppliers_decorrelates_both_subqueries(spark, sf_dir):
         registry.QUERIES["report_waiting_suppliers"](spark, sf_dir)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "LeftSemi" in plan, plan
-    assert "LeftAnti" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan, plan
+    assert plan.count("hashpartitioning(l_orderkey") == 1, plan
     assert "CartesianProduct" not in plan, plan
 
 
