@@ -27,6 +27,15 @@ on both sides (DuckDB converts ns parquet to µs TIMESTAMP at read;
 Spark conform divs by 1000 — both truncate), and documents/embeddings
 carry no decimal/date-capable columns. The TPC-H money/date columns are
 the one place a plausible regen changes arithmetic semantics.
+
+The rewriter understands the three lexical regions oracle SQL in this
+repo uses — code, ``'...'`` literals (with ``''`` escapes) and ``--``
+line comments — via a character scanner, NOT a regex over quotes: an
+apostrophe inside a comment ("-- don't ...") must not flip literal
+parity, and a WITH clause behind a leading comment must still merge.
+Block comments are not scanned because no oracle uses them; a ``/*``
+would simply be treated as code (and the parse gate in
+tests/test_oracle_norm.py fails loudly if that ever produces bad SQL).
 """
 
 from __future__ import annotations
@@ -57,17 +66,66 @@ _DUCK_TYPE = {
     T.TimestampType: "TIMESTAMP",
 }
 
-# Single-quoted SQL literals (with '' escapes); replacement never
-# touches the inside of these.
-_LITERAL = re.compile(r"('(?:[^']|'')*')")
-_WITH = re.compile(r"\s*WITH\s+(RECURSIVE\s+)?", re.IGNORECASE)
+_WITH = re.compile(r"WITH\s+(RECURSIVE\s+)?", re.IGNORECASE)
+
+
+def scan_segments(sql: str) -> list[tuple[str, str]]:
+    """Lex ``sql`` into ``(kind, text)`` segments, kind in
+    {"code", "lit", "comment"}; concatenating texts reproduces the
+    input exactly."""
+    out: list[tuple[str, str]] = []
+    i, start, state, n = 0, 0, "code", len(sql)
+
+    def flush(upto: int, kind: str) -> None:
+        nonlocal start
+        if upto > start:
+            out.append((kind, sql[start:upto]))
+        start = upto
+
+    while i < n:
+        c = sql[i]
+        if state == "code":
+            if c == "'":
+                flush(i, "code")
+                state = "lit"
+                i += 1
+            elif c == "-" and sql[i : i + 2] == "--":
+                flush(i, "code")
+                state = "comment"
+                i += 2
+            else:
+                i += 1
+        elif state == "lit":
+            if c == "'":
+                if sql[i + 1 : i + 2] == "'":  # escaped quote
+                    i += 2
+                else:
+                    i += 1
+                    flush(i, "lit")
+                    state = "code"
+            else:
+                i += 1
+        else:  # comment — runs to end of line
+            if c == "\n":
+                flush(i, "comment")
+                state = "code"
+            else:
+                i += 1
+    flush(n, state)
+    return out
+
+
+def code_text(sql: str) -> str:
+    """The code-only portion of ``sql`` (literals and comments
+    stripped) — shared with the registry-coverage test so both sides
+    agree on what counts as a table reference."""
+    return "".join(s for k, s in scan_segments(sql) if k == "code")
 
 
 def _contract_cte(table: str) -> str:
-    fields = SCHEMAS[table].fields
     cols = ", ".join(
         f"CAST({f.name} AS {_DUCK_TYPE[type(f.dataType)]}) AS {f.name}"
-        for f in fields
+        for f in SCHEMAS[table].fields
     )
     return f"{table}__t AS (SELECT {cols} FROM {table})"
 
@@ -75,24 +133,35 @@ def _contract_cte(table: str) -> str:
 def drift_proof(sql: str) -> str:
     """Return ``sql`` with every TPC-H table reference routed through a
     contract-typed CTE; unchanged when no TPC-H table is referenced."""
-    parts = _LITERAL.split(sql)
-    code = [p for i, p in enumerate(parts) if i % 2 == 0]
+    segments = scan_segments(sql)
+    code = [s for k, s in segments if k == "code"]
     referenced = [
         t
         for t in NORM_TABLES
-        if any(re.search(rf"\b{t}\b", p, re.IGNORECASE) for p in code)
+        if any(re.search(rf"\b{t}\b", s, re.IGNORECASE) for s in code)
     ]
     if not referenced:
         return sql
-    for i in range(0, len(parts), 2):
-        for t in referenced:
-            parts[i] = re.sub(
-                rf"\b{t}\b", f"{t}__t", parts[i], flags=re.IGNORECASE
-            )
-    body = "".join(parts)
+    rewritten = []
+    for kind, s in segments:
+        if kind == "code":
+            for t in referenced:
+                s = re.sub(rf"\b{t}\b", f"{t}__t", s, flags=re.IGNORECASE)
+        rewritten.append((kind, s))
     preamble = ", ".join(_contract_cte(t) for t in referenced)
-    m = _WITH.match(body)
-    if m:  # merge into the oracle's own WITH list (RECURSIVE kept first)
-        rec = m.group(1) or ""
-        return f"WITH {rec}{preamble}, {body[m.end():]}"
+
+    # Does the oracle's own statement start with WITH?  Find the first
+    # non-whitespace CODE character (comments may precede it) and test
+    # there; if so, splice the preamble into the existing WITH list,
+    # keeping RECURSIVE immediately after the keyword.
+    body = "".join(s for _, s in rewritten)
+    pos = 0
+    for kind, s in rewritten:
+        if kind == "code" and s.strip():
+            pos += len(s) - len(s.lstrip())
+            break
+        pos += len(s)
+    m = _WITH.match(body, pos)
+    if m:
+        return body[: m.end()] + f"{preamble}, " + body[m.end() :]
     return f"WITH {preamble} {body}"

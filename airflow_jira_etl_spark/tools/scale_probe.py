@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.session import get_spark
+from airflow_jira_etl_spark.tools.replication import (
+    key_stride,
+    replicate_with_stride,
+)
 
 
 def main(argv: list[str]) -> int:
@@ -37,24 +41,22 @@ def main(argv: list[str]) -> int:
 
     spark = get_spark("scale-probe")
     docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
-    # replica id stride derived from the corpus, not a fixed constant:
-    # a fixture whose doc_id range reached a hard-coded 1M would
-    # silently collide replica ids, merging distinct documents and
-    # corrupting the probe's pair counts
-    stride = docs.agg(F.max("doc_id")).first()[0] + 1
+    # stride derivation + union fold shared with the TPC-H probe
+    # (tools/replication.py — data-derived stride, never a constant)
+    stride = key_stride(docs, "doc_id")
 
     def corpus(mult: int):
-        parts = [
-            docs.select(
-                (F.col("doc_id") + r * stride).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(f" replica{r}")).alias("text"),
-            )
-            for r in range(mult)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        return out
+        return replicate_with_stride(
+            docs,
+            "doc_id",
+            mult,
+            stride,
+            # distinct suffix word per replica: cross-replica documents
+            # are true NEAR-duplicates of their twins, not exact copies
+            transform=lambda df, r: df.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" replica{r}"))
+            ),
+        )
 
     for mult in mults:
         c = corpus(mult).repartition(32).cache()

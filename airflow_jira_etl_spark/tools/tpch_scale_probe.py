@@ -30,10 +30,12 @@ import sys
 import tempfile
 import time
 
-from pyspark.sql import functions as F
-
 from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.session import get_spark
+from airflow_jira_etl_spark.tools.replication import (
+    key_stride,
+    replicate_with_stride,
+)
 
 PROBES = (
     "flagship_revenue_by_nation",  # star join + fixed-domain agg
@@ -45,27 +47,20 @@ PROBES = (
 
 def build_scaled(spark, sf_dir: str, mult: int, out_dir: str) -> None:
     """Materialize a mult× fixture dir: fact tables replicated with
-    order keys offset per replica, everything else symlinked."""
+    order keys offset per replica, everything else symlinked. ONE
+    stride (from orders, the key's home table) is shared by both fact
+    tables so replica lineitems still reference their replica's
+    orders."""
     orders = catalog.load(spark, sf_dir, "orders")
     li = catalog.load(spark, sf_dir, "lineitem")
-    stride = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    stride = key_stride(orders, "o_orderkey")
 
-    def replicate(df, keycol):
-        parts = [
-            df.withColumn(keycol, F.col(keycol) + F.lit(r * stride))
-            for r in range(mult)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        return out
-
-    replicate(orders, "o_orderkey").write.mode("overwrite").parquet(
-        os.path.join(out_dir, "orders.parquet")
-    )
-    replicate(li, "l_orderkey").write.mode("overwrite").parquet(
-        os.path.join(out_dir, "lineitem.parquet")
-    )
+    replicate_with_stride(orders, "o_orderkey", mult, stride).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "orders.parquet"))
+    replicate_with_stride(li, "l_orderkey", mult, stride).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "lineitem.parquet"))
     for t in catalog.TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
@@ -76,7 +71,9 @@ def main(argv: list[str]) -> int:
     from airflow_jira_etl_spark import registry
 
     registry.load_all_queries()
-    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+    # absolute path: the dimension symlinks below are created inside a
+    # temp dir, so a relative sf_dir would make them dangle
+    sf_dir = os.path.abspath(argv[1] if len(argv) > 1 else "/root/testdata/sf0.1")
     mults = [
         int(m) for m in (argv[2].split(",") if len(argv) > 2 else ["1", "4", "10"])
     ]

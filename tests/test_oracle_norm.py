@@ -10,7 +10,12 @@ import re
 import duckdb
 
 from airflow_jira_etl_spark import registry
-from airflow_jira_etl_spark.oracle_norm import NORM_TABLES, drift_proof
+from airflow_jira_etl_spark.oracle_norm import (
+    NORM_TABLES,
+    code_text,
+    drift_proof,
+    scan_segments,
+)
 
 registry.load_all_queries()
 
@@ -34,6 +39,46 @@ def test_string_literals_protected():
     )
     assert "'customer part%'" in out  # literal untouched
     assert "FROM customer__t" in out
+
+
+def test_apostrophe_in_comment_does_not_flip_literal_parity():
+    sql = (
+        "SELECT c_name -- don't touch this\n"
+        "FROM customer WHERE c_name = 'customer one'"
+    )
+    out = drift_proof(sql)
+    assert "'customer one'" in out  # literal untouched
+    assert "-- don't touch this" in out  # comment untouched
+    assert "FROM customer__t" in out  # reference rewritten
+
+
+def test_scanner_roundtrips_and_classifies():
+    sql = "SELECT 'it''s' AS a -- trailing, isn't code\nFROM orders"
+    segs = scan_segments(sql)
+    assert "".join(s for _, s in segs) == sql
+    assert code_text(sql) == "SELECT  AS a \nFROM orders"
+
+
+def test_leading_comment_with_clause_still_merges():
+    sql = (
+        "-- doc comment\n"
+        "WITH x AS (SELECT o_orderkey FROM orders) SELECT * FROM x"
+    )
+    out = drift_proof(sql)
+    assert out.upper().count("WITH") == 1  # merged, not doubled
+    assert "orders__t AS (SELECT" in out
+    assert ", x AS (SELECT o_orderkey FROM orders__t)" in out
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT CAST(1 AS BIGINT) o_orderkey,"
+        " CAST(1 AS BIGINT) o_custkey, 'O' o_orderstatus,"
+        " CAST(1.0 AS DOUBLE) o_totalprice,"
+        " TIMESTAMP '1995-01-01' o_orderdate, '1-URGENT' o_orderpriority"
+    )
+    assert con.execute(out).fetchall() == [(1,)]
 
 
 def test_existing_with_is_merged():
@@ -108,10 +153,13 @@ def test_every_registered_oracle_still_parses():
 def test_all_norm_tables_have_contract_ctes_in_registry():
     """Every registered TPC-H-reading oracle actually got the rewrite:
     after drift_proof, each referenced table's ONLY bare (non-__t)
-    occurrence outside string literals is the CTE's own `FROM <t>)`."""
+    occurrence outside literals/comments is the CTE's own `FROM <t>)`.
+    Uses oracle_norm.code_text — the SAME lexer drift_proof uses — so
+    the coverage check and the rewriter can never disagree on what
+    counts as a reference."""
     offenders = {}
     for name, sql in registry.ORACLES.items():
-        code = "".join(re.split(r"'(?:[^']|'')*'", sql)[::2])
+        code = code_text(sql)
         for t in NORM_TABLES:
             bare = [
                 m
