@@ -14,19 +14,24 @@ on such a fixture (tests/test_tpch_drift_sweep.py), via Decimal-vs-float
 outputs, decimal-exact vs float avg/percentile interpolation, and
 date-vs-timestamp rendering.
 
-``drift_proof`` rewrites an oracle to read each referenced TPC-H table
+``drift_proof`` rewrites an oracle to read each referenced fixture table
 through a CTE that CASTs every column to the same contract type Spark's
 ``conform`` produces, generated from ``catalog.SCHEMAS`` so there is
 exactly one source of truth. On today's fixtures every cast is a no-op;
 under type drift both engines converge to the contract types before any
 arithmetic happens.
 
-Only the TPC-H tables are normalized: int-width drift is value-invisible
-(both engines surface Python ints), events already floors NANOS at scan
-on both sides (DuckDB converts ns parquet to µs TIMESTAMP at read;
-Spark conform divs by 1000 — both truncate), and documents/embeddings
-carry no decimal/date-capable columns. The TPC-H money/date columns are
-the one place a plausible regen changes arithmetic semantics.
+Every fixture table is normalized. TPC-H money/dates are where a
+spec-faithful regen bites hardest (21/63 measured), but a decimal
+events ``value`` leaks a raw Decimal through ``source_paged_union``
+(measured, 1/50), and a float64 ``embedding`` regen would silently
+change cosine ulps unless both engines narrow to FLOAT[] the way
+Spark's conform narrows to array<float>. Int-width drift is
+value-invisible (both engines surface Python ints) and DuckDB already
+floors ns-parquet to µs TIMESTAMP at scan exactly like conform's
+div-1000 — those casts are included anyway because they cost nothing
+and make the guarantee uniform: whatever layout the round ships, both
+engines compute on the declared contract types.
 
 The rewriter understands the three lexical regions oracle SQL in this
 repo uses — code, ``'...'`` literals (with ``''`` escapes) and ``--``
@@ -46,8 +51,8 @@ from pyspark.sql import types as T
 
 from airflow_jira_etl_spark.catalog import SCHEMAS
 
-# Tables whose contract types a spec-faithful regen could change in
-# arithmetic-visible ways (decimal money, date dates).
+# Every fixture table (== catalog.TABLES; asserted in tests so the two
+# can never drift apart).
 NORM_TABLES = (
     "lineitem",
     "orders",
@@ -56,6 +61,9 @@ NORM_TABLES = (
     "part",
     "nation",
     "region",
+    "events",
+    "documents",
+    "embeddings",
 )
 
 _DUCK_TYPE = {
@@ -65,6 +73,14 @@ _DUCK_TYPE = {
     T.StringType: "VARCHAR",
     T.TimestampType: "TIMESTAMP",
 }
+
+
+def _duck_type(dt: T.DataType) -> str:
+    if isinstance(dt, T.ArrayType):
+        return f"{_duck_type(dt.elementType)}[]"
+    if isinstance(dt, T.FloatType):
+        return "FLOAT"
+    return _DUCK_TYPE[type(dt)]
 
 _WITH = re.compile(r"WITH\s+(RECURSIVE\s+)?", re.IGNORECASE)
 
@@ -124,15 +140,16 @@ def code_text(sql: str) -> str:
 
 def _contract_cte(table: str) -> str:
     cols = ", ".join(
-        f"CAST({f.name} AS {_DUCK_TYPE[type(f.dataType)]}) AS {f.name}"
+        f"CAST({f.name} AS {_duck_type(f.dataType)}) AS {f.name}"
         for f in SCHEMAS[table].fields
     )
     return f"{table}__t AS (SELECT {cols} FROM {table})"
 
 
 def drift_proof(sql: str) -> str:
-    """Return ``sql`` with every TPC-H table reference routed through a
-    contract-typed CTE; unchanged when no TPC-H table is referenced."""
+    """Return ``sql`` with every fixture-table reference routed through
+    a contract-typed CTE; unchanged when no fixture table is
+    referenced."""
     segments = scan_segments(sql)
     code = [s for k, s in segments if k == "code"]
     referenced = [

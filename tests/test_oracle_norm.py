@@ -20,9 +20,20 @@ from airflow_jira_etl_spark.oracle_norm import (
 registry.load_all_queries()
 
 
-def test_non_tpch_sql_untouched():
-    sql = "SELECT doc_id, ts FROM documents JOIN events USING (doc_id)"
+def test_sql_without_fixture_tables_untouched():
+    sql = "SELECT x, count(*) FROM my_staging_table GROUP BY x"
     assert drift_proof(sql) == sql
+
+
+def test_norm_tables_is_exactly_the_catalog():
+    from airflow_jira_etl_spark.catalog import TABLES
+
+    assert sorted(NORM_TABLES) == sorted(TABLES)
+
+
+def test_array_contract_type_renders():
+    out = drift_proof("SELECT vec_id FROM embeddings")
+    assert "CAST(embedding AS FLOAT[]) AS embedding" in out
 
 
 def test_plain_select_gets_preamble_and_rewrite():
