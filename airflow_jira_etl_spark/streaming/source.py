@@ -36,19 +36,40 @@ _SCRATCH = os.path.join(
 
 
 def _staged_events_dir(sf_dir: str) -> str:
-    """The file stream source requires a DIRECTORY; stage the events
-    parquet file into one via symlink (no copy)."""
+    """The file stream source requires a DIRECTORY of data files; stage
+    the events parquet into one via symlinks (no copy).
+
+    The source LISTS the staged directory non-recursively, so a
+    directory-shaped events.parquet (Spark-style part-file output — a
+    layout a future fixture regeneration could ship) must be staged as
+    one link per data file; linking the directory itself makes the
+    stream silently read ZERO rows (measured while building the
+    streaming scale probe). Both layouts re-stage whenever the expected
+    link set changes."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     d = os.path.join(_SCRATCH, "stream_src", tag)
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
     src = table_path(sf_dir, "events")
-    if not os.path.islink(link) or os.readlink(link) != src:
-        try:
-            os.remove(link)
-        except FileNotFoundError:
-            pass
-        os.symlink(src, link)
+    if os.path.isdir(src):
+        wanted = {
+            f"events_{f}": os.path.join(src, f)
+            for f in sorted(os.listdir(src))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        }
+    else:
+        wanted = {"events.parquet": src}
+    current = {
+        e: os.readlink(os.path.join(d, e))
+        for e in os.listdir(d)
+        if os.path.islink(os.path.join(d, e))
+    }
+    if current != wanted:
+        for e in os.listdir(d):
+            p = os.path.join(d, e)
+            if os.path.islink(p):
+                os.remove(p)
+        for name, target in wanted.items():
+            os.symlink(target, os.path.join(d, name))
     return d
 
 

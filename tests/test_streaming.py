@@ -73,3 +73,37 @@ def test_foreachbatch_compact_leaves_single_generation(spark, sf_dir):
     m = t._read_manifest(os.path.join(t.root, gens[0]))
     assert {p.split("/", 1)[0] for p in m["buckets"].values()} == {gens[0]}
     assert t.read().count() == n_rows
+
+
+def test_stream_reads_directory_shaped_events_fixture(spark, tmp_path):
+    """A future fixture regeneration could ship events.parquet as a
+    Spark-style DIRECTORY of part files instead of one file. The
+    staged stream source lists its directory non-recursively, so the
+    staging layer must link the part files individually — linking the
+    directory itself makes every streaming query silently read zero
+    rows (found while building the streaming scale probe)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = catalog.table_path("/root/testdata/sf0.01", "events")
+    fix = str(tmp_path / "dirfix")
+    os.makedirs(fix)
+    t = pq.read_table(src)
+    part_dir = os.path.join(fix, "events.parquet")
+    os.makedirs(part_dir)
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), os.path.join(part_dir, "part-0.parquet"),
+                   store_schema=False)
+    pq.write_table(t.slice(half), os.path.join(part_dir, "part-1.parquet"),
+                   store_schema=False)
+    for name in catalog.TABLES:
+        dst = os.path.join(fix, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(catalog.table_path("/root/testdata/sf0.01", name), dst)
+
+    got = registry.QUERIES["stream_dedup_keys"](spark, fix)
+    want = catalog.load(spark, fix, "events").select(
+        "user_id", "event_type"
+    ).distinct()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
