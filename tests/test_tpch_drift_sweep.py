@@ -133,3 +133,37 @@ def test_all_tpch_oracles_survive_spec_type_drift(spark, spec_fixture):
         f"{len(failures)} TPC-H oracle(s) diverge on a spec-typed "
         f"(decimal/date32/int32) fixture: {failures}"
     )
+
+
+def test_directory_shaped_table_loads_and_matches_oracle(spark, tmp_path):
+    """Layout drift, not type drift: a regenerated fixture could ship a
+    table as a Spark-style DIRECTORY of part files. catalog.load reads
+    either layout (spark.read.parquet handles directories) and the
+    DuckDB harness globs directory sources — one differential check
+    proves both sides agree on the split table."""
+    fix = str(tmp_path / "dirfix")
+    os.makedirs(fix)
+    t = pq.read_table(catalog.table_path(SRC, "orders"))
+    part_dir = os.path.join(fix, "orders.parquet")
+    os.makedirs(part_dir)
+    half = t.num_rows // 2
+    pq.write_table(
+        t.slice(0, half), os.path.join(part_dir, "part-0.parquet"),
+        store_schema=False,
+    )
+    pq.write_table(
+        t.slice(half), os.path.join(part_dir, "part-1.parquet"),
+        store_schema=False,
+    )
+    for name in catalog.TABLES:
+        dst = os.path.join(fix, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(catalog.table_path(SRC, name), dst)
+    con = duckdb_conn(fix)
+    r = compare(
+        registry.QUERIES["sort_multi_key"](spark, fix),
+        con,
+        registry.ORACLES["sort_multi_key"],
+    )
+    assert not r["errors"], r["errors"]
+    assert r["spark_rows"] > 0
