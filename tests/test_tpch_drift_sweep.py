@@ -1,5 +1,6 @@
-"""Whole-family defense for the one fixture family without drift armor:
-the TPC-H tables. The driver regenerates /root/testdata between rounds
+"""Whole-family type-drift defense for the TPC-H tables (see
+test_compound_drift_sweep for all families drifted at once).
+The driver regenerates /root/testdata between rounds
 and has already shipped breaking type drift once (events
 TIMESTAMP(NANOS), the r04 incident) and content drift once (the
 documents corpus regen). The TPC-H tables currently arrive as
