@@ -168,3 +168,32 @@ def test_directory_shaped_table_loads_and_matches_oracle(spark, tmp_path):
     )
     assert not r["errors"], r["errors"]
     assert r["spark_rows"] > 0
+
+
+def test_column_order_and_extra_column_drift(spark, tmp_path):
+    """A regenerated fixture could reorder columns or append new ones
+    (schema evolution). Both sides canonicalize by construction —
+    catalog.conform selects the declared columns by name, and the
+    oracle contract CTE projects the same declared list — so the
+    differential must hold on a reversed-column nation table carrying
+    an extra column neither engine declared."""
+    fix = str(tmp_path / "colfix")
+    os.makedirs(fix)
+    t = pq.read_table(catalog.table_path(SRC, "nation"))
+    cols = list(reversed(t.column_names))
+    t = t.select(cols).append_column(
+        "n_comment", pa.array(["x"] * t.num_rows)
+    )
+    pq.write_table(t, os.path.join(fix, "nation.parquet"), store_schema=False)
+    for name in catalog.TABLES:
+        dst = os.path.join(fix, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(catalog.table_path(SRC, name), dst)
+    con = duckdb_conn(fix)
+    r = compare(
+        registry.QUERIES["join_broadcast_dim"](spark, fix),
+        con,
+        registry.ORACLES["join_broadcast_dim"],
+    )
+    assert not r["errors"], r["errors"]
+    assert r["spark_rows"] > 0
