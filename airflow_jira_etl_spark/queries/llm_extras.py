@@ -479,9 +479,15 @@ def llm_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_jira_etl_spark.queries.llm_ops import _hyperplane_bucket_spark
 
     emb = catalog.load(spark, sf_dir, "embeddings")
+    # cache the signature relation and fill it EAGERLY before the
+    # bucket self-join: lazy, the two join sides race to materialize it
+    # and the scan + 24-hyperplane projection runs twice concurrently —
+    # the same race measured (and fixed, 2.7->1.8 s) in
+    # llm_sim_pairs_threshold; see PLANS.md
     sig = emb.select(
         "vec_id", "embedding", _hyperplane_bucket_spark().alias("bucket")
-    )
+    ).cache()
+    sig.count()
     a, b = sig.alias("a"), sig.alias("b")
     from airflow_jira_etl_spark.functions.similarity import cosine
 
