@@ -183,3 +183,40 @@ def test_all_norm_tables_have_contract_ctes_in_registry():
             if has_cte and len(bare) != 1:
                 offenders[name] = f"{len(bare)} bare {t} refs, expected 1"
     assert not offenders, offenders
+
+
+def test_scanner_properties_on_generated_sql():
+    """Property gate for the 3-state lexer: on any string built from
+    SQL-ish fragments (code, balanced literals with '' escapes, line
+    comments), segments must (1) concatenate back to the input,
+    (2) classify every literal as one 'lit' segment with its quotes,
+    (3) never contain a quote character inside a 'code' segment."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    code_frag = st.text(
+        alphabet="abc_ ,.()\n-=<>0123456789", min_size=0, max_size=12
+    ).filter(lambda s: "--" not in s)
+    lit_frag = st.text(
+        alphabet="abc -'", min_size=0, max_size=8
+    ).map(lambda s: "'" + s.replace("'", "''") + "'")
+    comment_frag = st.text(
+        alphabet="abc '-", min_size=0, max_size=8
+    ).filter(lambda s: "\n" not in s).map(lambda s: "--" + s + "\n")
+    frag = st.one_of(code_frag, lit_frag, comment_frag)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(frag, min_size=0, max_size=12))
+    def check(frags):
+        sql = "".join(frags)
+        segs = scan_segments(sql)
+        assert "".join(s for _, s in segs) == sql
+        for kind, s in segs:
+            if kind == "code":
+                assert "'" not in s
+            if kind == "lit":
+                assert s.startswith("'") and s.endswith("'")
+            if kind == "comment":
+                assert s.startswith("--")
+
+    check()
