@@ -352,9 +352,12 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_sample_frames",
     # Frame slicing is byte arithmetic over the UTF-8 payload: step =
     # max(n_bytes//4, 1), frame i covers bytes [i*step, i*step+step).
-    # Byte slices come back out of the hex representation via unhex —
-    # correct even when a slice lands mid-codepoint (a real media
-    # payload has no codepoints; byte boundaries are the contract).
+    # The frame payload is emitted as UPPERCASE HEX on both engines —
+    # byte-exact, and hashable by every canonicalizer (the driver's
+    # pandas factorize crashes on raw bytearray: r06 ERR) — and slicing
+    # hex is correct even when a slice lands mid-codepoint (a real
+    # media payload has no codepoints; byte boundaries are the
+    # contract).
     oracle="""
     WITH m AS (
         SELECT doc_id,
@@ -365,7 +368,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(i AS INTEGER) AS frame_idx,
-           unhex(substring(hx, i * step * 2 + 1, step * 2)) AS frame_bytes
+           substring(hx, i * step * 2 + 1, step * 2) AS frame_hex
     FROM m, (SELECT unnest(range(4)) AS i) g
     WHERE i * step < n
     """,
@@ -373,12 +376,19 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over opaque media payloads: one row in → N frame
     rows out through mapInPandas (the video keyframe-extraction shape).
+    The operator keeps its binary API (``sample_frames`` returns
+    ``frame_bytes binary`` — what a production consumer wants); the
+    query surface projects ``hex(frame_bytes)`` because raw binary is
+    unhashable downstream (driver canonicalizer, pandas factorize).
     The demo subset is keyed (doc_id < 200), not limit(200): an
     unordered LIMIT is partition-order-dependent and can't be
     differentially checked."""
     documents = catalog.load(spark, sf_dir, "documents")
-    return sample_frames(
+    frames = sample_frames(
         attach_media(documents.where(F.col("doc_id") < 200)), n_frames=4
+    )
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
     )
 
 

@@ -458,36 +458,43 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_concurrency_sweep",
     oracle="""
     WITH ev AS (
-        -- explicit floor-to-microseconds: whatever unit the round's
-        -- fixture ships (the r04 NANOS incident; r05's hash-only red),
-        -- both engines must see the identical micros value. epoch_ns
-        -- handles TIMESTAMP and TIMESTAMP_NS alike; // floors.
-        SELECT make_timestamp(epoch_ns(CAST(ts AS TIMESTAMP)) // 1000) AS tsu
+        -- sole timestamp touchpoint: floor to BIGINT epoch micros.
+        -- epoch_ns handles TIMESTAMP and TIMESTAMP_NS alike; // floors.
+        SELECT epoch_ns(CAST(ts AS TIMESTAMP)) // 1000 AS us
         FROM events
     ),
     iv AS (
-        SELECT tsu AS s,
-               least(tsu + INTERVAL 5 MINUTE,
-                     date_trunc('day', tsu) + INTERVAL 1 DAY)
-                 AS e
+        -- day bucketing via sign-safe floor-mod (engine-agnostic even
+        -- for pre-epoch values; both engines' % is truncated remainder)
+        SELECT us AS s_us,
+               us - ((us % 86400000000) + 86400000000) % 86400000000
+                 AS day_start_us
         FROM ev
     ),
-    pts AS (
-        SELECT CAST(date_trunc('day', s) AS DATE) AS day, s AS pt, 1 AS delta
-        FROM iv
-        UNION ALL
-        SELECT CAST(date_trunc('day', s) AS DATE) AS day, e AS pt, -1 AS delta
+    iv2 AS (
+        SELECT s_us,
+               least(s_us + 300000000, day_start_us + 86400000000) AS e_us,
+               CAST(day_start_us // 86400000000 AS BIGINT) AS day_idx
         FROM iv
     ),
+    pts AS (
+        SELECT day_idx, s_us AS pt_us, 1 AS delta FROM iv2
+        UNION ALL
+        SELECT day_idx, e_us AS pt_us, -1 AS delta FROM iv2
+    ),
     run AS (
-        SELECT day,
-               sum(delta) OVER (PARTITION BY day ORDER BY pt, delta
+        SELECT day_idx, pt_us,
+               sum(delta) OVER (PARTITION BY day_idx ORDER BY pt_us, delta
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND CURRENT ROW) AS live
         FROM pts
     )
-    SELECT day, max(live) AS max_concurrent
-    FROM run GROUP BY day
+    SELECT DATE '1970-01-01' + CAST(day_idx AS INT) AS day,
+           CAST(max(live) AS BIGINT) AS max_concurrent,
+           CAST(count(*) AS BIGINT) AS n_points,
+           min(pt_us) AS min_pt_us,
+           max(pt_us) AS max_pt_us
+    FROM run GROUP BY day_idx
     """,
 )
 def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,29 +507,55 @@ def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed hour); the sweep is 2n points, ONE exchange keyed by day,
     and per-day windows that parallelize across the calendar. Ties at
     the same (pt, delta) produce the same running-sum multiset under
-    any order, so max is deterministic. Both sides of the oracle floor
-    ``ts`` to whole microseconds explicitly (Spark via unix_micros
-    round-trip, DuckDB via epoch_ns // 1000) so a fixture regeneration
-    that ships sub-microsecond timestamps (the r04 NANOS incident, the
-    suspected r05 hash-only red) cannot shift a coincident boundary on
-    one engine only."""
+    any order, so max is deterministic.
+
+    ALL arithmetic is BIGINT epoch-microseconds on both engines — the
+    single timestamp touchpoint is unix_micros / epoch_ns//1000; day
+    bucketing, the 5-minute interval add, and the end-of-day clip are
+    pure integer math, and the output day is rebuilt by DATE
+    arithmetic from the epoch-day index. No date_trunc, no INTERVAL,
+    no timezone-bearing cast survives (driver hash-reds r05+r06 under
+    two timestamp-typed oracle variants while local stayed green —
+    this removes the entire semantics class). The per-day n_points /
+    min_pt_us / max_pt_us diagnostics localize any future mismatch to
+    point-set vs running-sum."""
     events = catalog.load(spark, sf_dir, "events")
-    # identity for micros-precision timestamps; explicit floor contract
-    # mirroring the oracle's make_timestamp(epoch_ns(ts) // 1000)
-    s = F.timestamp_micros(F.unix_micros(F.col("ts")))
-    day_end = F.date_trunc("day", s) + F.expr("INTERVAL 1 DAY")
-    iv = events.select(
-        s.alias("s"),
-        F.least(s + F.expr("INTERVAL 5 MINUTES"), day_end).alias("e"),
+    day_us = F.lit(86_400_000_000)
+    us = F.unix_micros(F.col("ts"))
+    ev = events.select(us.alias("us"))
+    fm = ((F.col("us") % day_us) + day_us) % day_us
+    iv = ev.select(
+        F.col("us").alias("s_us"), (F.col("us") - fm).alias("day_start_us")
     )
-    day = F.date_trunc("day", F.col("s")).cast("date").alias("day")
-    pts = iv.select(day, F.col("s").alias("pt"), F.lit(1).alias("delta")).unionByName(
-        iv.select(day, F.col("e").alias("pt"), F.lit(-1).alias("delta"))
+    iv2 = iv.select(
+        "s_us",
+        F.least(
+            F.col("s_us") + F.lit(300_000_000), F.col("day_start_us") + day_us
+        ).alias("e_us"),
+        F.expr("day_start_us div 86400000000").alias("day_idx"),
+    )
+    pts = iv2.select(
+        "day_idx", F.col("s_us").alias("pt_us"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv2.select("day_idx", F.col("e_us").alias("pt_us"), F.lit(-1).alias("delta"))
     )
     w = (
-        Window.partitionBy("day")
-        .orderBy("pt", "delta")
+        Window.partitionBy("day_idx")
+        .orderBy("pt_us", "delta")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = pts.select("day", F.sum("delta").over(w).alias("live"))
-    return run.groupBy("day").agg(F.max("live").alias("max_concurrent"))
+    run = pts.select("day_idx", "pt_us", F.sum("delta").over(w).alias("live"))
+    return run.groupBy("day_idx").agg(
+        F.max("live").alias("max_concurrent"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("pt_us").alias("min_pt_us"),
+        F.max("pt_us").alias("max_pt_us"),
+    ).select(
+        F.date_add(F.to_date(F.lit("1970-01-01")), F.col("day_idx").cast("int")).alias(
+            "day"
+        ),
+        "max_concurrent",
+        "n_points",
+        "min_pt_us",
+        "max_pt_us",
+    )
