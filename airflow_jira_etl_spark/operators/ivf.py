@@ -127,18 +127,12 @@ def build_index(
     return spark.read.parquet(vectors_dir), spark.read.parquet(centroids_dir)
 
 
-def search_index(
-    indexed: DataFrame,
-    centroids: DataFrame,
-    probe: DataFrame,
-    probe_id: int,
-    top_k: int = 10,
-    n_probe: int = 2,
-) -> DataFrame:
-    """Directory-pruned IVF search: rank k centroids against the probe
-    (k tiny rows to the driver), then scan only the n_probe winning
-    cluster directories."""
-    probe_clusters = [
+def rank_probe_clusters(
+    centroids: DataFrame, probe: DataFrame, n_probe: int
+) -> list:
+    """Rank the k centroids against the probe and return the n_probe
+    winning cluster ids (k tiny rows to the driver)."""
+    return [
         r.cluster_id
         for r in centroids.crossJoin(F.broadcast(probe))
         .select("cluster_id", cosine(F.col("centroid"), F.col("p")).alias("s"))
@@ -146,6 +140,21 @@ def search_index(
         .limit(n_probe)
         .collect()
     ]
+
+
+def search_index(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    probe: DataFrame,
+    probe_id: int,
+    top_k: int = 10,
+    n_probe: int = 2,
+    probe_clusters: list | None = None,
+) -> DataFrame:
+    """Directory-pruned IVF search: rank k centroids against the probe,
+    then scan only the n_probe winning cluster directories."""
+    if probe_clusters is None:
+        probe_clusters = rank_probe_clusters(centroids, probe, n_probe)
     return (
         indexed.where(F.col("cluster_id").isin(probe_clusters))
         .where(F.col("vec_id") != probe_id)

@@ -159,6 +159,22 @@ def drift_proof(sql: str) -> str:
     ]
     if not referenced:
         return sql
+    # Registration-time guard: the rewrite below renames EVERY bare
+    # occurrence of a fixture-table word, so an oracle that reuses one
+    # as its own alias ("AS part") or CTE name ("WITH events AS (")
+    # would be silently rewritten into nonsense and surface only as a
+    # confusing hash mismatch. Fail loudly at import instead.
+    joined = " ".join(code)
+    for t in referenced:
+        if re.search(rf"\bAS\s+{t}\b\s*(?!\()", joined, re.IGNORECASE) or re.search(
+            rf"(?:\bWITH\b|,)\s*(?:RECURSIVE\s+)?{t}\s+AS\s*\(",
+            joined,
+            re.IGNORECASE,
+        ):
+            raise ValueError(
+                f"oracle reuses fixture-table name {t!r} as an alias or "
+                "CTE name; rename it (drift_proof would rewrite it)"
+            )
     rewritten = []
     for kind, s in segments:
         if kind == "code":

@@ -78,15 +78,40 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: estimates differ across engines
+@query(
+    "agg_approx_distinct",
+    # Boolean-contract oracle: the HLL++ ESTIMATE is engine-specific
+    # (never hashable cross-engine), so the hashed surface is the exact
+    # per-group count plus the CLAIM that the estimate lands within the
+    # ±5% tolerance (2.5× the configured rsd) — Spark computes both
+    # estimate and exact and asserts the bound; the oracle recomputes
+    # the exact count and expects the claim to hold.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HLL++) — the 100 TB path for
-    cardinality: constant memory per group vs the exact expand.
-    Cross-engine estimates differ by design → rows-only check here;
-    tests/test_operators.py bounds the estimate against exact ±5%."""
+    cardinality: constant memory per group vs the exact expand. The
+    estimate itself differs across engines by design, so the
+    differential surface is a boolean contract (estimate within ±5% of
+    exact, both computed in the same Spark pass); tests/test_operators
+    additionally bounds the raw estimate."""
     lineitem = catalog.load(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("within_tol"),
     )
 
 
@@ -347,7 +372,22 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantiles")
+@query(
+    "agg_approx_quantiles",
+    # Boolean-contract oracle: sketch internals are engine-specific, so
+    # the hashed surface is per-group booleans claiming each
+    # approximate quartile lands inside the exact CONTINUOUS percentile
+    # envelope at q ± 0.01 (100× the configured n/10000 rank-error
+    # bound — generous, but still a real rank-tolerance contract).
+    # Spark computes sketch + exact envelope in one pass; the oracle
+    # expects every claim to hold.
+    oracle="""
+    SELECT o_orderstatus,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate grouped quartiles via ``approx_percentile`` (the
     Greenwald-Khanna mergeable sketch): per order status, p25/p50/p75
@@ -355,18 +395,32 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB twin of agg_exact_quantiles (reports.py): the sketch is a
     bounded-size partial aggregate — one map-side pass, |groups|
     sketches across the exchange — where the exact rank-selection
-    needs the full value multiset per group. No SQL oracle by design
-    (sketch internals are engine-specific); the named tolerance test
+    needs the full value multiset per group. The differential surface
+    is the rank-tolerance boolean contract (see oracle); the named
+    tolerance test
     (tests/test_operators.py::test_approx_quantiles_within_rank_tolerance)
-    bounds every approximate quartile against the exact one."""
+    additionally bounds the raw values."""
     orders = catalog.load(spark, sf_dir, "orders")
     q = F.expr(
         "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)"
     )
-    return orders.groupBy("o_orderstatus").agg(
-        F.element_at(q, 1).alias("p25"),
-        F.element_at(q, 2).alias("p50"),
-        F.element_at(q, 3).alias("p75"),
+    lo = F.expr(
+        "percentile(o_totalprice, array(0.24, 0.49, 0.74))"
+    )
+    hi = F.expr(
+        "percentile(o_totalprice, array(0.26, 0.51, 0.76))"
+    )
+    agged = orders.groupBy("o_orderstatus").agg(
+        q.alias("qv"), lo.alias("lov"), hi.alias("hiv")
+    )
+    def ok(i: int) -> F.Column:
+        v = F.element_at("qv", i)
+        return (v >= F.element_at("lov", i)) & (v <= F.element_at("hiv", i))
+    return agged.select(
+        "o_orderstatus",
+        ok(1).alias("p25_ok"),
+        ok(2).alias("p50_ok"),
+        ok(3).alias("p75_ok"),
     )
 
 

@@ -626,35 +626,86 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
 
 
-def _hyperplane_bucket_spark() -> F.Column:
-    """6 random-hyperplane sign bits → 64-way LSH bucket. Each plane is
-    a ±1 pattern over its own disjoint 4-dim block (dims 4j+1..4j+4 with
-    signs + + - -), so the planes are exactly orthogonal and every
-    arithmetic step is a 4-term double sum both engines evaluate in the
-    same left-to-right order — bit-identical bucket ids."""
+# Hyperplane LSH geometry: the bucket-bit count ADAPTS to corpus size
+# so the mean bucket stays ~_HP_TARGET rows and within-bucket candidate
+# pairs stay LINEAR in n (a fixed 64-bucket space makes them ~n²/64 —
+# the scale-killer class; the minhash band family at
+# operators/minhash.py:60-74 already sizes its geometry the same way).
+# Plane j is a ±1 sign pattern over a 4-dim block: block = j % 16 (64
+# declared dims / 4), pattern = j // 16 out of the three mutually
+# orthogonal sign characters (+,+,-,-) / (+,-,+,-) / (+,-,-,+) — up to
+# 48 exactly-orthogonal planes, each a 4-term double sum both engines
+# evaluate in the same left-to-right order (bit-identical bucket ids).
+# Plane order keeps planes 0..5 identical to the historical fixed-64
+# geometry, so today's fixture sizes (≤4096 vectors → 6 bits) produce
+# the exact buckets the driver already hash-verified.
+_HP_TARGET = 64
+_HP_MIN_BITS = 6
+_HP_MAX_BITS = 48
+_HP_BLOCKS = 16
+_HP_PATTERNS = ((1, 1, -1, -1), (1, -1, 1, -1), (1, -1, -1, 1))
+
+
+def _hp_n_bits(n_rows: int) -> int:
+    """ceil(log2(ceil(n/target))) clamped to [6, 48] — pure integer
+    arithmetic (bit_length), mirrored exactly by the SQL CASE ladder in
+    ``_hp_npow_sql`` (n_bits = b  ⟺  n ≤ target·2^b < n·2)."""
+    m = max(1, -(-n_rows // _HP_TARGET))
+    b = (m - 1).bit_length()
+    return min(_HP_MAX_BITS, max(_HP_MIN_BITS, b))
+
+
+def _hp_plane_dims(j: int) -> tuple[tuple[int, int], ...]:
+    block, pattern = j % _HP_BLOCKS, _HP_PATTERNS[j // _HP_BLOCKS]
+    return tuple((4 * block + i + 1, pattern[i]) for i in range(4))
+
+
+def _hyperplane_bucket_spark(n_bits: int = _HP_MIN_BITS) -> F.Column:
+    """``n_bits`` sign bits → 2^n_bits-way LSH bucket. Callers derive
+    ``n_bits`` from the corpus row count via ``_hp_n_bits`` (a single
+    cheap parquet-stats count — the same scalar-discovery class as the
+    paged source's max-id probe)."""
     bucket = F.lit(0)
-    for j in range(6):
-        s = (
-            F.element_at("embedding", 4 * j + 1).cast("double")
-            + F.element_at("embedding", 4 * j + 2).cast("double")
-            - F.element_at("embedding", 4 * j + 3).cast("double")
-            - F.element_at("embedding", 4 * j + 4).cast("double")
-        )
+    for j in range(n_bits):
+        s = F.lit(0.0)
+        for dim, sign in _hp_plane_dims(j):
+            term = F.element_at("embedding", dim).cast("double")
+            s = (s + term) if sign > 0 else (s - term)
         bucket = bucket + F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
 
 
+def _hp_npow_sql(tbl: str) -> str:
+    """Scalar-subquery CASE ladder giving 2^n_bits from count(*) —
+    exact integer thresholds (n ≤ target·2^b → b), matching
+    ``_hp_n_bits`` branch for branch."""
+    branches = "\n               ".join(
+        f"WHEN cnt <= {_HP_TARGET * (1 << b)} THEN {1 << b}"
+        for b in range(_HP_MIN_BITS, _HP_MAX_BITS)
+    )
+    return (
+        f"(SELECT CASE {branches}\n"
+        f"               ELSE {1 << _HP_MAX_BITS} END\n"
+        f"        FROM (SELECT count(*) AS cnt FROM {tbl}))"
+    )
+
+
 def _hyperplane_bucket_sql(tbl: str) -> str:
+    """Full 48-plane bucket modulo the adaptive 2^n_bits power. Every
+    plane's value 2^j with j ≥ n_bits is divisible by 2^n_bits, so the
+    modulo of the full sum equals the Spark side's n_bits-plane sum —
+    the SQL stays one static string while mirroring the dynamic
+    geometry."""
     terms = []
-    for j in range(6):
-        s = (
-            f"(CAST({tbl}.embedding[{4 * j + 1}] AS DOUBLE)"
-            f" + CAST({tbl}.embedding[{4 * j + 2}] AS DOUBLE)"
-            f" - CAST({tbl}.embedding[{4 * j + 3}] AS DOUBLE)"
-            f" - CAST({tbl}.embedding[{4 * j + 4}] AS DOUBLE))"
-        )
+    for j in range(_HP_MAX_BITS):
+        parts = []
+        for dim, sign in _hp_plane_dims(j):
+            op = "+" if sign > 0 else "-"
+            parts.append(f" {op} CAST({tbl}.embedding[{dim}] AS DOUBLE)")
+        s = "(" + "".join(parts).lstrip(" +") + ")"
         terms.append(f"CASE WHEN {s} > 0 THEN {1 << j} ELSE 0 END")
-    return " + ".join(terms)
+    total = " + ".join(terms)
+    return f"(({total}) % {_hp_npow_sql(tbl)})"
 
 
 @query(
@@ -679,22 +730,21 @@ def _hyperplane_bucket_sql(tbl: str) -> str:
 )
 def llm_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine ≥ τ within REAL similarity blocks: a
-    64-way random-hyperplane LSH bucket (sign bits of 6 orthogonal
-    projections) replaces any id-window convenience key — high-cosine
-    vectors land in the same bucket regardless of their ids. The
-    bucket is the shuffle key: candidate generation stays linear
-    (avg bucket size = n/64) and at rest the bucket doubles as a
-    partition key so each bucket's pairs verify co-located."""
+    random-hyperplane LSH bucket (sign bits of orthogonal projections)
+    replaces any id-window convenience key — high-cosine vectors land
+    in the same bucket regardless of their ids. The bucket is the
+    shuffle key, and the bit count ADAPTS to corpus size (_hp_n_bits:
+    mean bucket ~64 rows) so candidate generation stays linear in n
+    instead of ~n²/2^bits; at rest the bucket doubles as a partition
+    key so each bucket's pairs verify co-located."""
+    emb0 = catalog.load(spark, sf_dir, "embeddings")
+    n_bits = _hp_n_bits(emb0.count())  # parquet-stats count: O(footer)
     # The signature relation feeds BOTH sides of the self-join: cache
     # it and fill the cache eagerly, or the two sides race to
     # materialize it and the scan + bucket projection runs twice
     # concurrently (same pattern as the minhash band join — PLANS.md
     # documents the 2× race there)
-    emb = (
-        catalog.load(spark, sf_dir, "embeddings")
-        .withColumn("bucket", _hyperplane_bucket_spark())
-        .cache()
-    )
+    emb = emb0.withColumn("bucket", _hyperplane_bucket_spark(n_bits)).cache()
     emb.count()
     a, b = emb.alias("a"), emb.alias("b")
     cos = cosine(F.col("a.embedding"), F.col("b.embedding"))

@@ -47,96 +47,43 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # A budget-capped external sweep records the first ~50 queries in
 # registration order.  To keep every query's differential evidence fresh,
 # the sweep order is explicit and least-recently-checked-first, decoupled
-# from module import order.  Round-6 derivation (mechanical:
+# from module import order.  Round-7 derivation (mechanical:
 # `python -m airflow_jira_etl_spark.tools.sweep_advisor` base order from
 # the latest CORRECTNESS_r*.json row per query, then the documented hand
 # promotions for code recency).  The 50-slot window:
-#    1 r05 red row (win_concurrency_sweep, hash-only, oracle hardened
-#      this round) — must be re-proved by the driver itself;
-#    8 streaming queries whose r02 rows predate the round-5 event-page
-#      layout v2 + unit-sniffed stream source;
-#    3 queries whose SQL oracles were added in round 5 but whose only
-#      driver rows are r04 rows-only (sink_create_table, mm_decode_
-#      features, mm_sample_frames) — first hash-level evidence;
-#    1 sink_upsert — the merge path changed in rounds 4-5 (bucketer
-#      fingerprint, vacuum manifest stripping);
-#    6 round-1-evidence sort/set queries;
-#   31 of the 37 non-streaming round-2-evidence queries.
-# Oversubscription: 57 candidates for 50 slots -> 6 documented
-# deferrals to round 7, chosen for weakest info gain:
-#   flagship_revenue_by_nation (independently exercised by the driver's
-#   entry() smoke every round), llm_sim_ivf_topk (rows-only by design —
-#   a driver row adds no hash evidence), and 4 of the 6 r02 TPC-H
-#   reports (untouched since r02, SQL-only composition of join/agg
-#   operators that r04/r05 rows re-prove broadly). They lead round 7.
+#    2 r06 red rows (win_concurrency_sweep — rewritten to pure BIGINT
+#      epoch-micros arithmetic this round; mm_sample_frames — now emits
+#      frame_hex instead of raw binary), pinned at slots 1-2;
+#    5 queries whose code/oracle changed in round 7 and whose older
+#      green rows therefore prove a superseded contract:
+#      llm_sim_pairs_threshold + llm_dedup_semantic_clusters (adaptive
+#      hyperplane bucket count), agg_approx_distinct +
+#      agg_approx_quantiles + llm_sim_ivf_topk (rows-only ->
+#      boolean-contract SQL oracles — first hash evidence possible);
+#    5 r02-evidence deferrals from round 6 (flagship + 4 TPC-H
+#      reports) — the oldest rows in the registry;
+#   38 of the 41 round-4-evidence queries (alphabetical).
+# Oversubscription: 51 candidates for 50 slots -> 1 documented deferral
+# to round 8, chosen for weakest info gain: scan_parquet (a bare SELECT *
+# whose scan path every other green row and the driver's entry() smoke
+# exercise every round; its r04 evidence also already meets the
+# no-older-than-r04 freshness floor).
 # tests/test_sweep_priority.py pins the window invariants.
 SWEEP_PRIORITY: list[str] = [
-    # slot 1: the only red driver row in r01-r05 — re-prove first
     "win_concurrency_sweep",
-    # r02 evidence predating the r5 streaming page-layout change
-    "stream_tumbling_count",
-    "stream_sliding_avg",
-    "stream_session_window",
-    "stream_watermark_late",
-    "stream_dedup_keys",
-    "stream_stateful_profile",
-    "stream_foreachbatch_upsert",
-    "stream_static_enrich",
-    # SQL oracles added r5; only rows-only r04 driver rows exist
-    "sink_create_table",
-    "mm_decode_features",
     "mm_sample_frames",
-    # merge path changed r4/r5 (fingerprint, vacuum manifest)
-    "sink_upsert",
-    # tier B: round-1-only evidence
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "set_union_distinct",
-    "sort_limit_topk",
-    "sort_multi_key",
-    # tier C: round-2-only evidence (31 of 37; deferrals below)
-    "agg_exact_quantiles",
-    "agg_unpivot",
-    "filter_exists_subquery",
-    "filter_not_exists_subquery",
-    "filter_scalar_subquery",
-    "fn_array_suite",
-    "fn_conditional_suite",
-    "fn_date_suite",
-    "fn_map_json_suite",
-    "fn_math_suite",
-    "fn_string_suite",
-    "fn_time_of_day",
-    "llm_corpus_sample",
-    "llm_dedup_exact",
-    "llm_dedup_simhash",
-    "llm_lang_id",
-    "llm_sim_lsh_topk",
     "llm_sim_pairs_threshold",
-    "llm_sim_topk",
-    "llm_stratified_sample",
-    "llm_text_quality",
-    "llm_text_stats",
-    "llm_text_tokens",
-    "llm_token_count_bpe",
-    "llm_train_val_test_split",
-    "report_returned_items",
-    "report_shipping_priority",
-    "udaf_grouped_agg",
-    "udf_pandas_vectorized",
-    "udf_python_scalar",
-    "udtf_explode_kv",
-    # ---- 50-slot window boundary ----
-    # round-7 leads: the 6 documented deferrals
-    "flagship_revenue_by_nation",
+    "llm_dedup_semantic_clusters",
+    "agg_approx_distinct",
+    "agg_approx_quantiles",
     "llm_sim_ivf_topk",
+    "flagship_revenue_by_nation",
     "report_forecast_revenue_change",
     "report_local_supplier_volume",
     "report_market_share",
     "report_top_parts_per_brand",
-    # r04 evidence tier
-    "agg_approx_distinct",
+    # tier: round-4 evidence (alphabetical; 38 of 41 — the other
+    # three sit in the promoted slots above)
     "agg_collect_sorted",
     "agg_count_distinct",
     "agg_cube",
@@ -161,14 +108,12 @@ SWEEP_PRIORITY: list[str] = [
     "join_theta_range",
     "llm_corpus_stats",
     "llm_decontaminate",
-    "llm_dedup_semantic_clusters",
     "llm_quality_repetition",
     "llm_tfidf_top_terms",
     "project_array_join",
     "project_flatten_json",
     "project_rename_map",
     "scan_filter_prune",
-    "scan_parquet",
     "sink_partitioned_write",
     "source_rest_datasource",
     "win_first_last",
@@ -177,8 +122,10 @@ SWEEP_PRIORITY: list[str] = [
     "win_rank_dense_rownum",
     "win_sliding_rows_frame",
     "win_topk_per_group",
-    # r05 evidence tier (freshest)
-    "agg_approx_quantiles",
+    # ---- 50-slot window boundary ----
+    # round-8 lead: the one documented deferral
+    "scan_parquet",
+    # r05 evidence tier
     "agg_mode_per_group",
     "agg_percentile_cont",
     "agg_salted_skew",
@@ -227,6 +174,54 @@ SWEEP_PRIORITY: list[str] = [
     "win_running_distinct",
     "win_running_sum",
     "win_sessionize_gaps",
+    # r06 evidence tier (freshest)
+    "agg_exact_quantiles",
+    "agg_unpivot",
+    "filter_exists_subquery",
+    "filter_not_exists_subquery",
+    "filter_scalar_subquery",
+    "fn_array_suite",
+    "fn_conditional_suite",
+    "fn_date_suite",
+    "fn_map_json_suite",
+    "fn_math_suite",
+    "fn_string_suite",
+    "fn_time_of_day",
+    "llm_corpus_sample",
+    "llm_dedup_exact",
+    "llm_dedup_simhash",
+    "llm_lang_id",
+    "llm_sim_lsh_topk",
+    "llm_sim_topk",
+    "llm_stratified_sample",
+    "llm_text_quality",
+    "llm_text_stats",
+    "llm_text_tokens",
+    "llm_token_count_bpe",
+    "llm_train_val_test_split",
+    "mm_decode_features",
+    "report_returned_items",
+    "report_shipping_priority",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "sink_create_table",
+    "sink_upsert",
+    "sort_limit_topk",
+    "sort_multi_key",
+    "stream_dedup_keys",
+    "stream_foreachbatch_upsert",
+    "stream_session_window",
+    "stream_sliding_avg",
+    "stream_stateful_profile",
+    "stream_static_enrich",
+    "stream_tumbling_count",
+    "stream_watermark_late",
+    "udaf_grouped_agg",
+    "udf_pandas_vectorized",
+    "udf_python_scalar",
+    "udtf_explode_kv",
 ]
 
 

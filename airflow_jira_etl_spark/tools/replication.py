@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 def key_stride(df: DataFrame, key: str) -> int:
     """Replica offset derived from the data: 1 + max(key)."""
     mx = df.agg(F.max(key)).first()[0]
+    if mx is None:
+        raise ValueError(f"{key}: empty table, cannot derive stride")
     return int(mx) + 1
 
 

@@ -86,5 +86,73 @@ def main(argv: list[str]) -> int:
     return 0
 
 
+def probe_embeddings(spark, sf_dir: str, mults: list[int]) -> None:
+    """Hyperplane-LSH pairs probe: replicate the embeddings fixture N×
+    (each replica's vector ROTATED by r positions so replicas spread
+    across buckets like genuinely new vectors would) and measure the
+    candidate-pair count under the ADAPTIVE bucket geometry
+    (_hp_n_bits) vs the fixed 64-bucket geometry it replaced. The
+    adaptive design keeps mean bucket ≈ target, so candidates grow
+    ~n·target/2 (linear, up to the power-of-2 rounding ≤2×) where the
+    fixed geometry grows ~n²/128."""
+    from airflow_jira_etl_spark.queries.llm_ops import (
+        _HP_MIN_BITS,
+        _hp_n_bits,
+        _hyperplane_bucket_spark,
+    )
+
+    emb = catalog.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stride = key_stride(emb, "vec_id")
+    dim = 64  # declared contract (catalog.SCHEMAS embeddings)
+
+    def corpus(mult: int):
+        def rotate(df, r: int):
+            if r == 0:
+                return df
+            rot = F.concat(
+                F.slice("embedding", r + 1, dim - r), F.slice("embedding", 1, r)
+            )
+            return df.withColumn("embedding", rot)
+
+        return replicate_with_stride(emb, "vec_id", mult, stride, transform=rotate)
+
+    for mult in mults:
+        c = corpus(mult).repartition(32).cache()
+        n = c.count()
+        for label, bits in (
+            ("adaptive", _hp_n_bits(n)),
+            ("fixed64", _HP_MIN_BITS),
+        ):
+            sig = c.withColumn(
+                "bucket", _hyperplane_bucket_spark(bits)
+            ).cache()
+            sig.count()
+            a, b = sig.alias("a"), sig.alias("b")
+            t0 = time.time()
+            ncand = a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            ).count()
+            t = time.time() - t0
+            print(
+                f"RESULT emb mult={mult} n={n} geom={label} bits={bits} "
+                f"candidates={ncand} cand_per_row={ncand / max(n, 1):.1f} "
+                f"join_s={t:.1f}",
+                flush=True,
+            )
+            sig.unpersist()
+        spark.catalog.clearCache()
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--embeddings":
+        spark = get_spark("scale-probe")
+        sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+        ms = [
+            int(m)
+            for m in (sys.argv[3].split(",") if len(sys.argv) > 3 else ["1", "4", "10"])
+        ]
+        probe_embeddings(spark, sf, ms)
+        sys.exit(0)
     sys.exit(main(sys.argv))

@@ -226,15 +226,19 @@ def test_connected_components_distributed_path_matches_local(spark, monkeypatch)
 def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
     """Every approximate quartile must land within ±2% rank of the
     exact one (accuracy=10000 guarantees n/10000 rank error; 2% is a
-    generous envelope that still catches a broken sketch)."""
+    generous envelope that still catches a broken sketch). The query
+    itself now returns the boolean contract — this test re-derives the
+    raw sketch values and independently re-checks the bound, then
+    asserts the query's own claims agree."""
     from airflow_jira_etl_spark import registry
 
     registry.load_all_queries()
-    approx = {
-        r.o_orderstatus: (r.p25, r.p50, r.p75)
-        for r in registry.QUERIES["agg_approx_quantiles"](spark, sf_dir).collect()
-    }
     orders = catalog.load(spark, sf_dir, "orders")
+    q = F.expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
+    approx = {
+        r.o_orderstatus: (r.qv[0], r.qv[1], r.qv[2])
+        for r in orders.groupBy("o_orderstatus").agg(q.alias("qv")).collect()
+    }
     bounds = orders.groupBy("o_orderstatus").agg(
         F.expr("percentile(o_totalprice, array(0.23, 0.27))").alias("b25"),
         F.expr("percentile(o_totalprice, array(0.48, 0.52))").alias("b50"),
@@ -244,6 +248,8 @@ def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
         got = approx[r.o_orderstatus]
         for v, (lo, hi) in zip(got, (r.b25, r.b50, r.b75)):
             assert lo <= v <= hi, (r.o_orderstatus, v, lo, hi)
+    for r in registry.QUERIES["agg_approx_quantiles"](spark, sf_dir).collect():
+        assert r.p25_ok and r.p50_ok and r.p75_ok, r
 
 
 def test_minhash_portable_short_and_empty_docs(spark):

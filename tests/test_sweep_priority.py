@@ -41,27 +41,26 @@ def test_red_rows_lead_the_window():
     assert not missing, f"red-evidence queries outside the window: {missing}"
 
 
-# Round-6 window plan: 57 must-prove candidates for 50 slots; these 6
-# are the documented deferrals (weakest info gain — see the derivation
-# comment above registry.SWEEP_PRIORITY). Everything else with r01/r02
-# evidence, the red row, and the 4 promoted sink/mm queries must be
-# inside the window.
+# Round-7 window plan: 51 must-prove candidates for 50 slots; this one
+# is the documented deferral (weakest info gain — see the derivation
+# comment above registry.SWEEP_PRIORITY). Everything else — the two r06
+# reds, the 5 round-7 code/oracle changes, the 5 remaining r02-evidence
+# queries, and the r04 tier — must be inside the window.
 DEFERRED = {
-    "flagship_revenue_by_nation",  # driver's entry() smoke runs it anyway
-    "llm_sim_ivf_topk",  # rows-only by design: no hash evidence to gain
-    "report_forecast_revenue_change",
-    "report_local_supplier_volume",
-    "report_market_share",
-    "report_top_parts_per_brand",
+    "scan_parquet",  # bare SELECT *; scan path re-proved by every row
 }
 
 PROMOTED = {
-    # SQL oracles added in round 5; only rows-only r04 driver rows exist
-    "sink_create_table",
-    "mm_decode_features",
+    # the two r06 reds, both rewritten this round
+    "win_concurrency_sweep",
     "mm_sample_frames",
-    # merge path changed r4/r5 (bucketer fingerprint, vacuum manifest)
-    "sink_upsert",
+    # round-7 code/oracle changes: adaptive hyperplane geometry
+    "llm_sim_pairs_threshold",
+    "llm_dedup_semantic_clusters",
+    # round-7 rows-only -> boolean-contract oracle conversions
+    "agg_approx_distinct",
+    "agg_approx_quantiles",
+    "llm_sim_ivf_topk",
 }
 
 
