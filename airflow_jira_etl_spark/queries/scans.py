@@ -140,7 +140,21 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn("o_totalprice", F.round("o_totalprice", 4))
 
 
-@query("source_rest_datasource")  # rows-only: custom source, no table behind it
+@query(
+    "source_rest_datasource",
+    # Table-free oracle: the API emulator is deterministic
+    # (sources/fixture_fetchers.py — ids 0..136, priority 'high' for
+    # even ids, key 'PROJ-{id}'), so its contract restates exactly in
+    # SQL. A drifted page size, a broken pushdown, or a dropped page in
+    # the source all hash-diverge from this.
+    oracle="""
+    SELECT CAST(i AS VARCHAR) AS id,
+           'PROJ-' || CAST(i AS VARCHAR) AS "key",
+           'high' AS priority
+    FROM range(0, 137) t(i)
+    WHERE i % 2 = 0
+    """,
+)
 def source_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom paginated-REST DataSource as a first-class scan:
     ``spark.read.format('paged_rest')`` against the deterministic API

@@ -54,15 +54,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #    2 r06 red rows (win_concurrency_sweep — rewritten to pure BIGINT
 #      epoch-micros arithmetic this round; mm_sample_frames — now emits
 #      frame_hex instead of raw binary), pinned at slots 1-2;
-#    5 queries whose code/oracle changed in round 7 and whose older
+#    6 queries whose code/oracle changed in round 7 and whose older
 #      green rows therefore prove a superseded contract:
 #      llm_sim_pairs_threshold + llm_dedup_semantic_clusters (adaptive
 #      hyperplane bucket count), agg_approx_distinct +
 #      agg_approx_quantiles + llm_sim_ivf_topk (rows-only ->
-#      boolean-contract SQL oracles — first hash evidence possible);
+#      boolean-contract SQL oracles), source_rest_datasource (rows-only
+#      -> table-free emulator-contract oracle) — first hash evidence
+#      possible for the last four;
 #    5 r02-evidence deferrals from round 6 (flagship + 4 TPC-H
 #      reports) — the oldest rows in the registry;
-#   38 of the 41 round-4-evidence queries (alphabetical).
+#   37 of the 41 round-4-evidence queries (alphabetical).
 # Oversubscription: 51 candidates for 50 slots -> 1 documented deferral
 # to round 8, chosen for weakest info gain: scan_parquet (a bare SELECT *
 # whose scan path every other green row and the driver's entry() smoke
@@ -77,13 +79,14 @@ SWEEP_PRIORITY: list[str] = [
     "agg_approx_distinct",
     "agg_approx_quantiles",
     "llm_sim_ivf_topk",
+    "source_rest_datasource",
     "flagship_revenue_by_nation",
     "report_forecast_revenue_change",
     "report_local_supplier_volume",
     "report_market_share",
     "report_top_parts_per_brand",
-    # tier: round-4 evidence (alphabetical; 38 of 41 — the other
-    # three sit in the promoted slots above)
+    # tier: round-4 evidence (alphabetical; 37 of 41 — the other
+    # four sit in the promoted slots above)
     "agg_collect_sorted",
     "agg_count_distinct",
     "agg_cube",
@@ -115,7 +118,6 @@ SWEEP_PRIORITY: list[str] = [
     "project_rename_map",
     "scan_filter_prune",
     "sink_partitioned_write",
-    "source_rest_datasource",
     "win_first_last",
     "win_ntile_percent",
     "win_range_frame",

@@ -61,6 +61,10 @@ def main(argv: list[str]) -> int:
                 rec["err"] = "no_oracle"
         except Exception as exc:  # noqa: BLE001
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+        # a few queries eager-cache their self-join inputs; without a
+        # per-query clear the cached relations accumulate across the
+        # 140+-query sweep (bench.py clears the same way)
+        spark.catalog.clearCache()
         if rec["err"] not in (None, "no_oracle") or rec["hash_match"] is False:
             n_bad += 1
         out[name] = rec

@@ -220,3 +220,34 @@ def test_scanner_properties_on_generated_sql():
                 assert s.startswith("--")
 
     check()
+
+
+def test_fixture_table_reused_as_alias_raises():
+    """The registration-time guard: drift_proof renames every bare
+    fixture-table word, so an oracle aliasing something AS a fixture
+    name must fail loudly instead of being silently rewritten."""
+    import pytest
+
+    with pytest.raises(ValueError, match="alias or"):
+        drift_proof("SELECT o.o_orderkey FROM orders AS part")
+    with pytest.raises(ValueError, match="alias or"):
+        drift_proof(
+            "WITH events AS (SELECT 1 AS x) "
+            "SELECT e.x FROM events e JOIN orders o ON o.o_orderkey = e.x"
+        )
+    # comma-separated second CTE reusing a referenced table name
+    with pytest.raises(ValueError, match="alias or"):
+        drift_proof(
+            "WITH base AS (SELECT * FROM lineitem), "
+            "part AS (SELECT 1) SELECT * FROM base, part"
+        )
+
+
+def test_alias_guard_ignores_literals_and_near_misses():
+    # table word inside a string literal: not code, no guard, no rename
+    sql = "SELECT 'AS part' AS label, count(*) AS part_cnt FROM lineitem"
+    out = drift_proof(sql)
+    assert "'AS part'" in out and "part_cnt" in out
+    # CAST target and underscore-joined identifiers are not bare words
+    out2 = drift_proof("SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem")
+    assert "lineitem__t" in out2

@@ -57,10 +57,11 @@ PROMOTED = {
     # round-7 code/oracle changes: adaptive hyperplane geometry
     "llm_sim_pairs_threshold",
     "llm_dedup_semantic_clusters",
-    # round-7 rows-only -> boolean-contract oracle conversions
+    # round-7 rows-only -> hash-checkable oracle conversions
     "agg_approx_distinct",
     "agg_approx_quantiles",
     "llm_sim_ivf_topk",
+    "source_rest_datasource",
 }
 
 
