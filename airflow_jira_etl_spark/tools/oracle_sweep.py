@@ -50,6 +50,11 @@ def main(argv: list[str]) -> int:
                 ok, msg = n_rows >= 0, f"rows_only n={n_rows}"
         except Exception as exc:  # noqa: BLE001
             ok, msg = False, f"EXC {type(exc).__name__}: {exc}"[:300]
+        finally:
+            # a few builders cache+eagerly fill shared self-join inputs;
+            # across 146 queries those relations would otherwise pile up
+            # until LRU eviction (same hygiene as correctness_local/bench)
+            spark.catalog.clearCache()
         bad += 0 if ok else 1
         print(
             f"{'OK ' if ok else 'BAD'} {time.time() - t0:6.2f}s {name} {msg}",

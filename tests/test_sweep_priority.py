@@ -94,3 +94,14 @@ def test_advisor_covers_registry():
     # CURRENT query either has evidence or is queued in the window
     # (checked above). Sanity: the advisor parses every artifact row.
     assert len(ev) >= 50
+
+
+def test_every_registered_query_has_an_oracle():
+    """Round 7 converted the last rows-only queries to hash-checkable
+    oracles; the driver has no rows-only mode (records err=no_oracle),
+    so a new oracle-less registration would silently forfeit its
+    correctness evidence. Engine-specific outputs belong behind a
+    boolean-contract oracle (see agg_approx_distinct /
+    llm_sim_ivf_topk), not behind a missing one."""
+    missing = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+    assert not missing, f"queries without a SQL oracle: {missing}"
