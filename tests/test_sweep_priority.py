@@ -41,38 +41,36 @@ def test_red_rows_lead_the_window():
     assert not missing, f"red-evidence queries outside the window: {missing}"
 
 
-# Round-7 window plan: 51 must-prove candidates for 50 slots; this one
-# is the documented deferral (weakest info gain — see the derivation
-# comment above registry.SWEEP_PRIORITY). Everything else — the two r06
-# reds, the 5 round-7 code/oracle changes, the 5 remaining r02-evidence
-# queries, and the r04 tier — must be inside the window.
+# Round-8 window plan: 51 must-prove candidates (48 r05-evidence + the
+# 2 confirmation pins + the r04 deferral) for 50 slots; this one is the
+# documented deferral (weakest info gain — see the derivation comment
+# above registry.SWEEP_PRIORITY). Everything else — the confirmation
+# pins and the full r05 tier — must be inside the window.
 DEFERRED = {
     "scan_parquet",  # bare SELECT *; scan path re-proved by every row
 }
 
+# Evidence-age threshold for "must re-prove this round": after the
+# fully-green r07, the oldest tier is r05 (plus the r04 deferral).
+STALE_ROUND = 5
+
 PROMOTED = {
-    # the two r06 reds, both rewritten this round
+    # confirmation pins: red driver-side in r05+r06, green once in r07
+    # under rewritten contracts — one more round before closure
     "win_concurrency_sweep",
     "mm_sample_frames",
-    # round-7 code/oracle changes: adaptive hyperplane geometry
-    "llm_sim_pairs_threshold",
-    "llm_dedup_semantic_clusters",
-    # round-7 rows-only -> hash-checkable oracle conversions
-    "agg_approx_distinct",
-    "agg_approx_quantiles",
-    "llm_sim_ivf_topk",
-    "source_rest_datasource",
 }
 
 
 def test_stale_evidence_queries_fill_the_window():
-    """Every query whose latest driver evidence is r01/r02 must be in
-    the sweep window, except the explicitly documented deferrals — and
-    ONLY those may be deferred (no silent displacement)."""
+    """Every query whose latest driver evidence is at or below the
+    stale threshold must be in the sweep window, except the explicitly
+    documented deferrals — and ONLY those may be deferred (no silent
+    displacement)."""
     ev = evidence_by_query(REPO)
     order = list(registry.QUERIES)
     window = set(order[:SWEEP_WINDOW])
-    stale = {n for n in order if n in ev and ev[n][0] <= 2}
+    stale = {n for n in order if n in ev and ev[n][0] <= STALE_ROUND}
     deferred_out = stale - window
     assert deferred_out == (DEFERRED & stale), (
         f"undocumented stale-evidence deferrals: {deferred_out - DEFERRED}"
