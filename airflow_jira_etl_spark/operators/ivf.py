@@ -96,15 +96,19 @@ def build_index(
     ``partitionBy("cluster_id")`` (one directory per cluster) plus the
     centroid table. A meta file keys the layout on (k, iters, tag) so
     repeated calls — every search, every bench run — reuse the files
-    instead of re-training. Returns (indexed, centroids) READ BACK from
-    disk, so downstream cluster filters prune directories."""
-    meta = {"k": k_clusters, "iters": N_ITERS, "tag": tag}
+    instead of re-training; it also records the per-cluster row counts
+    OF THE FILES AS WRITTEN (counted from the read-back, not the
+    in-memory frame), so a search can verify the probed directories'
+    integrity without ever scanning the unprobed ones. Returns
+    (indexed, centroids) READ BACK from disk, so downstream cluster
+    filters prune directories."""
+    key = {"k": k_clusters, "iters": N_ITERS, "tag": tag}
     meta_path = os.path.join(path, "_IVF_META.json")
     fresh = True
     try:
         with open(meta_path) as f:
-            fresh = json.load(f) != meta
-    except (FileNotFoundError, json.JSONDecodeError):
+            fresh = json.load(f).get("key") != key
+    except (FileNotFoundError, json.JSONDecodeError, AttributeError):
         pass
     vectors_dir = os.path.join(path, "vectors")
     centroids_dir = os.path.join(path, "centroids")
@@ -122,9 +126,22 @@ def build_index(
             centroids.write.mode("overwrite").parquet(centroids_dir)
             centroids.unpersist()
             emb_c.unpersist()
+        counts = {
+            str(r["cluster_id"]): r["n"]
+            for r in spark.read.parquet(vectors_dir)
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
         with open(meta_path, "w") as f:
-            json.dump(meta, f)
+            json.dump({"key": key, "counts": counts}, f)
     return spark.read.parquet(vectors_dir), spark.read.parquet(centroids_dir)
+
+
+def read_meta(path: str) -> dict:
+    """Load an index's meta file ({"key": ..., "counts": {cluster: n}})."""
+    with open(os.path.join(path, "_IVF_META.json")) as f:
+        return json.load(f)
 
 
 def rank_probe_clusters(
