@@ -377,11 +377,17 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_quantiles",
     # Boolean-contract oracle: sketch internals are engine-specific, so
     # the hashed surface is per-group booleans claiming each
-    # approximate quartile lands inside the exact CONTINUOUS percentile
-    # envelope at q ± 0.01 (100× the configured n/10000 rank-error
-    # bound — generous, but still a real rank-tolerance contract).
-    # Spark computes sketch + exact envelope in one pass; the oracle
-    # expects every claim to hold.
+    # approximate quartile satisfies the sketch's actual guarantee —
+    # ITS RANK INTERVAL [#(x<v)+1, #(x<=v)] intersects the target rank
+    # window ceil((q±0.01)·n) ∓1 (0.01 = 100× the configured n/10000
+    # rank error; the ±1 rank absorbs engine-definitional off-by-ones).
+    # The r07 formulation bounded the discrete sketch VALUE by the
+    # CONTINUOUS percentile envelope, which is unsatisfiable for groups
+    # under ~76 rows (n=2: approx p25 = a but lo = a+0.24·(b−a)) — a
+    # latent red had a fixture regen ever produced a small group. Rank
+    # arithmetic is exact-integer, never interpolated, so it holds for
+    # ANY group size. Spark computes sketch + rank counts in two scans;
+    # the oracle expects every claim to hold.
     oracle="""
     SELECT o_orderstatus,
            TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
@@ -397,31 +403,55 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-size partial aggregate — one map-side pass, |groups|
     sketches across the exchange — where the exact rank-selection
     needs the full value multiset per group. The differential surface
-    is the rank-tolerance boolean contract (see oracle); the named
-    tolerance test
+    is the rank-interval boolean contract (see oracle): scan 1 builds
+    the sketches, scan 2 broadcast-joins the |groups|-row result back
+    and counts each value's <-rank and <=-rank — both scans are
+    partial/final aggregates, no per-group multiset ever shuffles. The
+    named tolerance test
     (tests/test_operators.py::test_approx_quantiles_within_rank_tolerance)
     additionally bounds the raw values."""
     orders = catalog.load(spark, sf_dir, "orders")
     q = F.expr(
         "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)"
     )
-    lo = F.expr(
-        "percentile(o_totalprice, array(0.24, 0.49, 0.74))"
-    )
-    hi = F.expr(
-        "percentile(o_totalprice, array(0.26, 0.51, 0.76))"
-    )
     agged = orders.groupBy("o_orderstatus").agg(
-        q.alias("qv"), lo.alias("lov"), hi.alias("hiv")
+        q.alias("qv"), F.count("o_totalprice").alias("n")
     )
-    def ok(i: int) -> F.Column:
-        v = F.element_at("qv", i)
-        return (v >= F.element_at("lov", i)) & (v <= F.element_at("hiv", i))
-    return agged.select(
+    joined = orders.select("o_orderstatus", "o_totalprice").join(
+        F.broadcast(agged), "o_orderstatus"
+    )
+    ranked = joined.groupBy("o_orderstatus").agg(
+        F.first("n").alias("n"),
+        *[
+            agg
+            for i in (1, 2, 3)
+            for agg in (
+                F.sum(
+                    (F.col("o_totalprice") < F.element_at("qv", i)).cast("long")
+                ).alias(f"lt{i}"),
+                F.sum(
+                    (F.col("o_totalprice") <= F.element_at("qv", i)).cast("long")
+                ).alias(f"le{i}"),
+            )
+        ],
+    )
+
+    def ok(i: int, qq: float) -> F.Column:
+        # the value's rank interval must touch the target rank window,
+        # clamped to [1, n] so q·n margins stay meaningful at the ends
+        target_lo = F.greatest(
+            F.lit(1), F.ceil(F.lit(qq - 0.01) * F.col("n")) - 1
+        )
+        target_hi = F.least(
+            F.col("n"), F.ceil(F.lit(qq + 0.01) * F.col("n")) + 1
+        )
+        return (F.col(f"le{i}") >= target_lo) & (F.col(f"lt{i}") < target_hi)
+
+    return ranked.select(
         "o_orderstatus",
-        ok(1).alias("p25_ok"),
-        ok(2).alias("p50_ok"),
-        ok(3).alias("p75_ok"),
+        ok(1, 0.25).alias("p25_ok"),
+        ok(2, 0.50).alias("p50_ok"),
+        ok(3, 0.75).alias("p75_ok"),
     )
 
 

@@ -106,3 +106,54 @@ def test_entire_registry_survives_compound_drift(spark, compound_fixture):
     assert not failures, (
         f"{len(failures)} oracle(s) diverge under compound drift: {failures}"
     )
+
+
+# The r07 rows-only -> oracle conversions made four queries' hashed
+# surface a BOOLEAN CONTRACT (the oracle side emits literal TRUEs).
+# The registry sweep above proves Spark == oracle — but that indirect
+# route would go silent if an oracle ever stopped being literal. These
+# assertions pin the contracts themselves, directly on the Spark
+# result, under compound drift.
+_BOOLEAN_CONTRACTS = {
+    "agg_approx_distinct": ("within_tol",),
+    "agg_approx_quantiles": ("p25_ok", "p50_ok", "p75_ok"),
+    "llm_sim_ivf_topk": (
+        "k_exhausted",
+        "subset_exact",
+        "assign_parity",
+        "count_parity",
+    ),
+}
+
+
+def test_boolean_contracts_hold_under_compound_drift(spark, compound_fixture):
+    """Every contract boolean is TRUE on every row of the drifted run
+    (not merely hash-stable against its oracle)."""
+    bad = {}
+    for name, cols in _BOOLEAN_CONTRACTS.items():
+        rows = registry.QUERIES[name](spark, compound_fixture).collect()
+        assert rows, f"{name}: empty result under compound drift"
+        flips = [
+            (r, c) for r in rows for c in cols if r[c] is not True
+        ]
+        if flips:
+            bad[name] = flips[:3]
+    assert not bad, f"contract booleans flipped under compound drift: {bad}"
+
+
+def test_rest_datasource_contract_is_fixture_independent(
+    spark, compound_fixture
+):
+    """source_rest_datasource reads the deterministic API emulator, not
+    the parquet fixtures — its fully-hashed contract (69 even ids with
+    pushed-down priority filter) must be identical no matter how the
+    fixture dir drifts. The fourth r07 oracle conversion, armored here
+    without DuckDB in the loop."""
+    rows = registry.QUERIES["source_rest_datasource"](
+        spark, compound_fixture
+    ).collect()
+    got = sorted((r["id"], r["key"], r["priority"]) for r in rows)
+    want = sorted(
+        (str(i), f"PROJ-{i}", "high") for i in range(0, 137) if i % 2 == 0
+    )
+    assert got == want

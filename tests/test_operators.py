@@ -252,6 +252,33 @@ def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
         assert r.p25_ok and r.p50_ok and r.p75_ok, r
 
 
+def test_approx_quantiles_contract_holds_on_tiny_groups(spark, tmp_path):
+    """Groups of 1/2/5 rows: the r07 continuous-envelope formulation was
+    UNSATISFIABLE below ~76 rows per group (n=2: approx p25 returns the
+    lower element but the 0.24-interpolated bound sits above it), so a
+    fixture regen with a rare o_orderstatus would have gone driver-red.
+    The rank-interval contract must hold for any group size."""
+    import pyarrow.parquet as pq
+
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    t = pq.read_table(catalog.table_path("/root/testdata/sf0.001", "orders"))
+    statuses = t.column("o_orderstatus").to_pylist()
+    sizes, seen, keep = {"O": 1, "F": 2, "P": 5}, {}, []
+    for i, s in enumerate(statuses):
+        if seen.get(s, 0) < sizes.get(s, 3):
+            keep.append(i)
+            seen[s] = seen.get(s, 0) + 1
+    pq.write_table(t.take(keep), str(tmp_path / "orders.parquet"))
+    rows = registry.QUERIES["agg_approx_quantiles"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == len(seen)
+    for r in rows:
+        assert r.p25_ok and r.p50_ok and r.p75_ok, r
+
+
 def test_minhash_portable_short_and_empty_docs(spark):
     """The Rabin-Karp word-shingle combine pads with zeros so docs with
     fewer than 3 words still hash totally: identical short docs must
