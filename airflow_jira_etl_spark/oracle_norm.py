@@ -161,16 +161,31 @@ def drift_proof(sql: str) -> str:
         return sql
     # Registration-time guard: the rewrite below renames EVERY bare
     # occurrence of a fixture-table word, so an oracle that reuses one
-    # as its own alias ("AS part") or CTE name ("WITH events AS (")
-    # would be silently rewritten into nonsense and surface only as a
+    # as its own alias ("AS part", "AS part(c1, ...)", the implicit
+    # form "FROM orders part") or CTE name ("WITH events AS (") would
+    # be silently rewritten into nonsense and surface only as a
     # confusing hash mismatch. Fail loudly at import instead.
     joined = " ".join(code)
     for t in referenced:
-        if re.search(rf"\bAS\s+{t}\b\s*(?!\()", joined, re.IGNORECASE) or re.search(
-            rf"(?:\bWITH\b|,)\s*(?:RECURSIVE\s+)?{t}\s+AS\s*\(",
-            joined,
-            re.IGNORECASE,
-        ):
+        reused = (
+            # explicit alias, with or without a column list
+            re.search(rf"\bAS\s+{t}\b", joined, re.IGNORECASE)
+            # CTE name
+            or re.search(
+                rf"(?:\bWITH\b|,)\s*(?:RECURSIVE\s+)?{t}\s+AS\s*\(",
+                joined,
+                re.IGNORECASE,
+            )
+            # implicit alias: identifier position right after a
+            # FROM/JOIN table reference or a comma-join item
+            or re.search(
+                rf"\b(?:FROM|JOIN)\s+[A-Za-z_]\w*\s+{t}\b",
+                joined,
+                re.IGNORECASE,
+            )
+            or re.search(rf",\s*[A-Za-z_]\w*\s+{t}\b", joined, re.IGNORECASE)
+        )
+        if reused:
             raise ValueError(
                 f"oracle reuses fixture-table name {t!r} as an alias or "
                 "CTE name; rename it (drift_proof would rewrite it)"

@@ -241,6 +241,23 @@ def test_fixture_table_reused_as_alias_raises():
             "WITH base AS (SELECT * FROM lineitem), "
             "part AS (SELECT 1) SELECT * FROM base, part"
         )
+    # implicit alias (no AS) right after a FROM table reference
+    with pytest.raises(ValueError, match="alias or"):
+        drift_proof("SELECT part.o_orderkey FROM orders part")
+    # implicit alias after a JOIN
+    with pytest.raises(ValueError, match="alias or"):
+        drift_proof(
+            "SELECT 1 FROM lineitem l JOIN orders part "
+            "ON part.o_orderkey = l.l_orderkey"
+        )
+    # implicit alias on a comma-join item
+    with pytest.raises(ValueError, match="alias or"):
+        drift_proof("SELECT 1 FROM lineitem l, orders part")
+    # column-list alias form "AS part(c1, ...)" is a reuse too
+    with pytest.raises(ValueError, match="alias or"):
+        drift_proof(
+            "SELECT part.i FROM lineitem, (VALUES (1)) AS part(i)"
+        )
 
 
 def test_alias_guard_ignores_literals_and_near_misses():
