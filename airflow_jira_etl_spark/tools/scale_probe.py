@@ -107,12 +107,22 @@ def probe_embeddings(spark, sf_dir: str, mults: list[int]) -> None:
 
     def corpus(mult: int):
         def rotate(df, r: int):
+            # r can exceed dim at large mults: rotate by r % dim and
+            # sign-flip every second dim-block so replica r >= dim is
+            # still a genuinely new vector (not an exact copy of
+            # replica r - dim, which would fake near-dup candidates)
             if r == 0:
                 return df
-            rot = F.concat(
-                F.slice("embedding", r + 1, dim - r), F.slice("embedding", 1, r)
-            )
-            return df.withColumn("embedding", rot)
+            k = r % dim
+            col = F.col("embedding")
+            if k:
+                col = F.concat(
+                    F.slice("embedding", k + 1, dim - k),
+                    F.slice("embedding", 1, k),
+                )
+            if (r // dim) % 2:
+                col = F.transform(col, lambda x: -x)
+            return df.withColumn("embedding", col)
 
         return replicate_with_stride(emb, "vec_id", mult, stride, transform=rotate)
 
