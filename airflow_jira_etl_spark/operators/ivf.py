@@ -101,41 +101,71 @@ def build_index(
     in-memory frame), so a search can verify the probed directories'
     integrity without ever scanning the unprobed ones. Returns
     (indexed, centroids) READ BACK from disk, so downstream cluster
-    filters prune directories."""
+    filters prune directories.
+
+    Builders are serialized across PROCESSES with an exclusive flock
+    (same hazard class as the streaming page cache): two concurrent
+    sessions otherwise race the check-rebuild sequence — one overwrites
+    directories the other's pruned scan is mid-read. The loser of the
+    lock re-validates the meta and reuses the winner's files."""
     key = {"k": k_clusters, "iters": N_ITERS, "tag": tag}
     meta_path = os.path.join(path, "_IVF_META.json")
-    fresh = True
-    try:
-        with open(meta_path) as f:
-            fresh = json.load(f).get("key") != key
-    except (FileNotFoundError, json.JSONDecodeError, AttributeError):
-        pass
     vectors_dir = os.path.join(path, "vectors")
     centroids_dir = os.path.join(path, "centroids")
-    if fresh:
-        from airflow_jira_etl_spark.session import scoped_shuffle_partitions
 
-        # small-key shuffles throughout (k clusters × dims scalars);
-        # repartition by cluster so each directory gets ONE file
-        with scoped_shuffle_partitions(spark, max(8, k_clusters)):
-            emb_c = emb.cache()  # read the source once across Lloyd's passes
-            centroids = train_quantizer(emb_c, k_clusters).cache()
-            assign_clusters(emb_c, centroids).repartition(
-                k_clusters, "cluster_id"
-            ).write.mode("overwrite").partitionBy("cluster_id").parquet(vectors_dir)
-            centroids.write.mode("overwrite").parquet(centroids_dir)
-            centroids.unpersist()
-            emb_c.unpersist()
-        counts = {
-            str(r["cluster_id"]): r["n"]
-            for r in spark.read.parquet(vectors_dir)
-            .groupBy("cluster_id")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        with open(meta_path, "w") as f:
-            json.dump({"key": key, "counts": counts}, f)
+    def _meta_current() -> bool:
+        try:
+            with open(meta_path) as f:
+                return json.load(f).get("key") == key
+        except (FileNotFoundError, json.JSONDecodeError, AttributeError):
+            return False
+
+    if not _meta_current():  # fast path: no lock traffic in steady state
+        import fcntl
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, ".lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if not _meta_current():  # still stale: we are the builder
+                _build_index_files(
+                    spark, emb, k_clusters, key, meta_path,
+                    vectors_dir, centroids_dir,
+                )
     return spark.read.parquet(vectors_dir), spark.read.parquet(centroids_dir)
+
+
+def _build_index_files(
+    spark: SparkSession,
+    emb: DataFrame,
+    k_clusters: int,
+    key: dict,
+    meta_path: str,
+    vectors_dir: str,
+    centroids_dir: str,
+) -> None:
+    """The rebuild body of build_index — caller holds the flock."""
+    from airflow_jira_etl_spark.session import scoped_shuffle_partitions
+
+    # small-key shuffles throughout (k clusters × dims scalars);
+    # repartition by cluster so each directory gets ONE file
+    with scoped_shuffle_partitions(spark, max(8, k_clusters)):
+        emb_c = emb.cache()  # read the source once across Lloyd's passes
+        centroids = train_quantizer(emb_c, k_clusters).cache()
+        assign_clusters(emb_c, centroids).repartition(
+            k_clusters, "cluster_id"
+        ).write.mode("overwrite").partitionBy("cluster_id").parquet(vectors_dir)
+        centroids.write.mode("overwrite").parquet(centroids_dir)
+        centroids.unpersist()
+        emb_c.unpersist()
+    counts = {
+        str(r["cluster_id"]): r["n"]
+        for r in spark.read.parquet(vectors_dir)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    with open(meta_path, "w") as f:
+        json.dump({"key": key, "counts": counts}, f)
 
 
 def read_meta(path: str) -> dict:
