@@ -331,13 +331,22 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("int").alias("stored_cluster"),
         fresh_cluster.alias("fresh_cluster"),
     )
+    # sums are coalesced to 0: an aggregate over a degenerate empty
+    # frame yields NULL sums, and a NULL comparison below would turn a
+    # contract boolean NULL — a latent hash red on a pathological
+    # fixture rather than an honest TRUE/FALSE
     stats = checked.agg(
         F.count("*").alias("n_disk"),
-        F.sum((F.col("vec_id") != 0).cast("long")).alias("n_sub"),
-        F.sum(
-            (~F.col("fresh_cluster").eqNullSafe(F.col("stored_cluster"))).cast(
-                "long"
-            )
+        F.coalesce(
+            F.sum((F.col("vec_id") != 0).cast("long")), F.lit(0)
+        ).alias("n_sub"),
+        F.coalesce(
+            F.sum(
+                (
+                    ~F.col("fresh_cluster").eqNullSafe(F.col("stored_cluster"))
+                ).cast("long")
+            ),
+            F.lit(0),
         ).alias("n_assign_bad"),
     )
     exact_subset = (
@@ -354,13 +363,18 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(exact_subset, "vec_id", "full")
     return (
         cmp.agg(
-            F.sum(F.col("ivf_cs").isNotNull().cast("long")).alias("n_results"),
-            F.sum(
-                (
-                    F.col("ivf_cs").isNull()
-                    | F.col("ex_cs").isNull()
-                    | (F.col("ivf_cs") != F.col("ex_cs"))
-                ).cast("long")
+            F.coalesce(
+                F.sum(F.col("ivf_cs").isNotNull().cast("long")), F.lit(0)
+            ).alias("n_results"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("ivf_cs").isNull()
+                        | F.col("ex_cs").isNull()
+                        | (F.col("ivf_cs") != F.col("ex_cs"))
+                    ).cast("long")
+                ),
+                F.lit(0),
             ).alias("n_bad"),
         )
         .crossJoin(stats)
