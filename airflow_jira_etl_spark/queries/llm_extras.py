@@ -239,8 +239,12 @@ def _py_cos(a: list, b: list) -> float:
     #                   clusters (the old least(10, corpus-1) pin was
     #                   a latent fixture hazard).
     # Source-data staleness is caught upstream by the mtime+size tag.
+    # The probe is min(vec_id) rather than a hard-coded 0: a renumbered
+    # fixture regen would have crashed the head() lookup (an err row,
+    # unlike the sibling probes' symmetric-empty degradation); both
+    # engines derive the same id, so the column still hash-checks.
     oracle="""
-    SELECT CAST(0 AS BIGINT) AS probe_id,
+    SELECT CAST((SELECT min(vec_id) FROM embeddings) AS BIGINT) AS probe_id,
            10 AS k,
            TRUE AS k_exhausted,
            TRUE AS subset_exact,
@@ -289,10 +293,9 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
         for r in centroids.collect()
     )
-    pvec = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    prow = emb.orderBy("vec_id").select("vec_id", "embedding").head()
+    pid = int(prow["vec_id"])
+    pvec = [float(x) for x in prow["embedding"]]
     probe = spark.createDataFrame([(pvec,)], "p array<double>")
     # probe-cluster ranking over the collected directory — identical
     # semantics to operators.ivf.rank_probe_clusters (argmax cosine,
@@ -301,7 +304,7 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_scale_patterns.py
     pc = [cid for cid, _ in sorted(cent, key=lambda kc: (-_py_cos(kc[1], pvec), kc[0]))[:2]]
     hits = search_index(
-        indexed, centroids, probe, probe_id=0, top_k=10, n_probe=2,
+        indexed, centroids, probe, probe_id=pid, top_k=10, n_probe=2,
         probe_clusters=pc,
     )
     # bounded comparator: read ONLY the probed directories (pruned
@@ -338,7 +341,7 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = checked.agg(
         F.count("*").alias("n_disk"),
         F.coalesce(
-            F.sum((F.col("vec_id") != 0).cast("long")), F.lit(0)
+            F.sum((F.col("vec_id") != pid).cast("long")), F.lit(0)
         ).alias("n_sub"),
         F.coalesce(
             F.sum(
@@ -351,7 +354,7 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact_subset = (
         checked.where(
-            (F.col("vec_id") != 0)
+            (F.col("vec_id") != pid)
             & F.col("fresh_cluster").eqNullSafe(F.col("stored_cluster"))
         )
         .select("vec_id", fround(cosine(F.col("embedding"), plit)).alias("ex_cs"))
@@ -379,7 +382,7 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(stats)
         .select(
-            F.lit(0).cast("long").alias("probe_id"),
+            F.lit(pid).cast("long").alias("probe_id"),
             F.lit(10).alias("k"),
             (F.col("n_results") == F.least(F.lit(10), F.col("n_sub"))).alias(
                 "k_exhausted"

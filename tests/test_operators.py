@@ -279,6 +279,50 @@ def test_approx_quantiles_contract_holds_on_tiny_groups(spark, tmp_path):
         assert r.p25_ok and r.p50_ok and r.p75_ok, r
 
 
+def test_ivf_probe_survives_renumbered_vec_ids(spark, tmp_path):
+    """A fixture regen that renumbers vec_ids (no 0) used to CRASH the
+    registered IVF query's probe lookup (head()[0] on None — an err
+    row, unlike the sibling probes' symmetric-empty degradation). The
+    probe is now min(vec_id) on BOTH engines, so the query must stay
+    oracle-green on a shifted-id corpus."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from airflow_jira_etl_spark import registry
+    from tests.oracle_check import compare, duckdb_conn
+
+    registry.load_all_queries()
+    src = "/root/testdata/sf0.001"
+    t = pq.read_table(catalog.table_path(src, "embeddings"))
+    t = t.set_column(
+        t.schema.get_field_index("vec_id"),
+        "vec_id",
+        pc.add(t.column("vec_id"), 1000),
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    for name in catalog.TABLES:
+        if name != "embeddings":
+            os.symlink(
+                catalog.table_path(src, name),
+                str(tmp_path / f"{name}.parquet"),
+            )
+    rows = registry.QUERIES["llm_sim_ivf_topk"](spark, str(tmp_path)).collect()
+    assert rows[0]["probe_id"] == 1000
+    assert all(
+        rows[0][c] is True
+        for c in ("k_exhausted", "subset_exact", "assign_parity", "count_parity")
+    ), rows
+    r = compare(
+        registry.QUERIES["llm_sim_ivf_topk"](spark, str(tmp_path)),
+        duckdb_conn(str(tmp_path)),
+        registry.ORACLES["llm_sim_ivf_topk"],
+    )
+    assert not r["errors"], r["errors"]
+
+
 def test_minhash_portable_short_and_empty_docs(spark):
     """The Rabin-Karp word-shingle combine pads with zeros so docs with
     fewer than 3 words still hash totally: identical short docs must
