@@ -154,7 +154,8 @@ def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
                + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END AS bucket
         FROM embeddings
     ),
-    probe AS (SELECT e AS p, bucket AS pb FROM sig WHERE vec_id = 0)
+    probe AS (SELECT vec_id AS pid, e AS p, bucket AS pb FROM sig
+              WHERE vec_id = (SELECT min(vec_id) FROM sig))
     SELECT vec_id, label, bucket,
            -- zero-norm guard: engine convention is cs = 0.0 (DuckDB's
            -- list_cosine_similarity returns -1.0 on a zero vector)
@@ -164,7 +165,7 @@ def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE list_cosine_similarity(e, probe.p)
                  END + 1e-9, 4) AS cos_sim
     FROM sig, probe
-    WHERE vec_id <> 0 AND bucket = probe.pb
+    WHERE vec_id <> probe.pid AND bucket = probe.pb
     ORDER BY cos_sim DESC, vec_id
     LIMIT 10
     """,
@@ -176,7 +177,10 @@ def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gaussian planes, same plan). Only the probe's bucket is scanned —
     the scan shrinks ~16× and, crucially, the bucket is a partition key
     at scale: the probe routes to ONE partition instead of
-    broadcasting to all. The exact-baseline twin is llm_sim_topk."""
+    broadcasting to all. The exact-baseline twin is llm_sim_topk.
+    The probe is min(vec_id), not a hard-coded 0 — a renumbered
+    fixture regen would have degraded the old probe to a vacuous
+    0-row green on both engines."""
     from airflow_jira_etl_spark.functions.similarity import cosine
 
     emb = catalog.load(spark, sf_dir, "embeddings")
@@ -187,12 +191,20 @@ def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.element_at("embedding", 4) > 0, 8).otherwise(0)
     )
     sig = emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
-    probe = sig.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("p"), F.col("bucket").alias("pb")
+    probe = (
+        sig.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("pid"),
+            F.col("embedding").alias("p"),
+            F.col("bucket").alias("pb"),
+        )
     )
     return (
-        sig.where(F.col("vec_id") != 0)
-        .join(F.broadcast(probe), F.col("bucket") == F.col("pb"))
+        sig.join(
+            F.broadcast(probe),
+            (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("pid")),
+        )
         .select(
             "vec_id",
             "label",

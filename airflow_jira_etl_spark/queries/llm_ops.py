@@ -591,7 +591,9 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_sim_topk",
     oracle="""
     WITH probe AS (
-        SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0
+        SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS p
+        FROM embeddings
+        WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
     )
     SELECT vec_id, label,
            -- zero-norm guard: engine convention is cs = 0.0 (DuckDB's
@@ -603,7 +605,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE list_cosine_similarity(CAST(embedding AS DOUBLE[]), probe.p)
                  END + 1e-9, 4) AS cos_sim
     FROM embeddings, probe
-    WHERE vec_id <> 0
+    WHERE vec_id <> probe.pid
     ORDER BY cos_sim DESC, vec_id
     LIMIT 10
     """,
@@ -612,12 +614,21 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against a probe vector: one broadcast
     of the probe, one codegen'd map over the table, TakeOrdered top-k —
     the exact-baseline ANN. Only k rows reach the driver at any scale.
-    (The bucketed/IVF variant is llm_sim_ivf_topk.)"""
+    (The bucketed/IVF variant is llm_sim_ivf_topk.) The probe is
+    min(vec_id), not a hard-coded 0: a renumbered fixture regen would
+    have silently degraded the old `vec_id = 0` probe to a vacuous
+    0-row green on both engines (the crash-prone sibling was fixed the
+    same way — see llm_sim_ivf_topk)."""
     emb = catalog.load(spark, sf_dir, "embeddings")
-    probe = emb.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("p")
+    probe = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("pid"), F.col("embedding").alias("p"))
     )
-    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+    joined = (
+        emb.crossJoin(F.broadcast(probe))
+        .where(F.col("vec_id") != F.col("pid"))
+    )
     scored = joined.select(
         "vec_id",
         "label",

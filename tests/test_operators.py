@@ -3,6 +3,7 @@ approx-distinct error bound, similarity sanity."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -319,6 +320,47 @@ def test_ivf_probe_survives_renumbered_vec_ids(spark, tmp_path):
         registry.QUERIES["llm_sim_ivf_topk"](spark, str(tmp_path)),
         duckdb_conn(str(tmp_path)),
         registry.ORACLES["llm_sim_ivf_topk"],
+    )
+    assert not r["errors"], r["errors"]
+
+
+@pytest.mark.parametrize("name", ["llm_sim_topk", "llm_sim_lsh_topk"])
+def test_sim_probes_survive_renumbered_vec_ids(spark, tmp_path, name):
+    """The brute-force and LSH top-k probes used to hard-code
+    `vec_id = 0` on BOTH engines; a renumbered fixture regen would
+    have degraded them to a vacuous 0-row green (symmetric-empty, so
+    the oracle compare could not catch it). The probe is now
+    min(vec_id) on both sides — the queries must stay oracle-green AND
+    non-empty on a shifted-id corpus."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from airflow_jira_etl_spark import registry
+    from tests.oracle_check import compare, duckdb_conn
+
+    registry.load_all_queries()
+    src = "/root/testdata/sf0.001"
+    t = pq.read_table(catalog.table_path(src, "embeddings"))
+    t = t.set_column(
+        t.schema.get_field_index("vec_id"),
+        "vec_id",
+        pc.add(t.column("vec_id"), 1000),
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    for other in catalog.TABLES:
+        if other != "embeddings":
+            os.symlink(
+                catalog.table_path(src, other),
+                str(tmp_path / f"{other}.parquet"),
+            )
+    out = registry.QUERIES[name](spark, str(tmp_path))
+    assert out.count() > 0, "probe degraded to a vacuous empty result"
+    r = compare(
+        registry.QUERIES[name](spark, str(tmp_path)),
+        duckdb_conn(str(tmp_path)),
+        registry.ORACLES[name],
     )
     assert not r["errors"], r["errors"]
 
