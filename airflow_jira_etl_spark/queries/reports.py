@@ -336,21 +336,33 @@ def filter_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH avg_bal AS (
         SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    ),
+    top_prio AS (
+        SELECT min(o_orderpriority) AS p FROM orders
     )
     SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
            round(sum(c_acctbal) + 1e-9, 4) AS total_balance
     FROM customer, avg_bal
     WHERE c_acctbal > avg_bal.a
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders, top_prio
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = top_prio.p)
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
 )
 def filter_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers with NO orders
-    — an uncorrelated scalar subquery (broadcast one averaged row) plus
-    a correlated NOT EXISTS that Catalyst rewrites to a LEFT ANTI
-    join. The two classic subquery decorrelations in one query."""
+    """TPC-H Q22 shape: above-average-balance customers with no
+    top-priority order — an uncorrelated scalar subquery (broadcast
+    one averaged row) plus a correlated NOT EXISTS that Catalyst
+    rewrites to a LEFT ANTI join. The two classic subquery
+    decorrelations in one query. The anti-join side is orders AT the
+    top priority, not all orders: this fixture's generator gives every
+    customer at least one order, so the plain "no orders" Q22
+    predicate was vacuously empty at every SF — an always-0-row
+    symmetric green the oracle compare cannot distinguish from a real
+    check. The priority literal is derived (min over orders), not
+    hard-coded, so a relabeled fixture regen cannot re-empty it."""
     catalog.load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     catalog.load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
@@ -359,7 +371,10 @@ def filter_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(c_acctbal) + 1e-9, 4) AS total_balance
         FROM customer
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority =
+                                (SELECT min(o_orderpriority) FROM orders))
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
         """
