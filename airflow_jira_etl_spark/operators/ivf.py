@@ -108,7 +108,11 @@ def build_index(
     sessions otherwise race the check-rebuild sequence — one overwrites
     directories the other's pruned scan is mid-read. The loser of the
     lock re-validates the meta and reuses the winner's files."""
-    key = {"k": k_clusters, "iters": N_ITERS, "tag": tag}
+    # meta_layout 2: the meta file also carries the quantizer itself
+    # (k centroid vectors) and an anchor row (the min-vec_id vector) —
+    # driver-resident index assets in the FAISS sense, so a cache-hit
+    # search needs ZERO Spark jobs before the pruned scan itself
+    key = {"k": k_clusters, "iters": N_ITERS, "tag": tag, "meta_layout": 2}
     meta_path = os.path.join(path, "_IVF_META.json")
     vectors_dir = os.path.join(path, "vectors")
     centroids_dir = os.path.join(path, "centroids")
@@ -157,19 +161,39 @@ def _build_index_files(
         centroids.write.mode("overwrite").parquet(centroids_dir)
         centroids.unpersist()
         emb_c.unpersist()
+    # every meta stat is computed from the READ-BACK files, not the
+    # in-memory frames: the meta must describe the bytes a later
+    # session will scan, bit-for-bit (JSON round-trips doubles exactly)
+    on_disk = spark.read.parquet(vectors_dir)
     counts = {
         str(r["cluster_id"]): r["n"]
-        for r in spark.read.parquet(vectors_dir)
-        .groupBy("cluster_id")
+        for r in on_disk.groupBy("cluster_id")
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    cent = sorted(
+        (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(centroids_dir).collect()
+    )
+    arow = on_disk.orderBy("vec_id").select("vec_id", "embedding").head()
+    anchor = {
+        "vec_id": int(arow["vec_id"]),
+        "embedding": [float(x) for x in arow["embedding"]],
+    }
     with open(meta_path, "w") as f:
-        json.dump({"key": key, "counts": counts}, f)
+        json.dump(
+            {"key": key, "counts": counts, "centroids": cent, "anchor": anchor},
+            f,
+        )
 
 
 def read_meta(path: str) -> dict:
-    """Load an index's meta file ({"key": ..., "counts": {cluster: n}})."""
+    """Load an index's meta file: ``key`` (layout identity), ``counts``
+    (per-cluster row counts of the files as written), ``centroids``
+    (the quantizer — sorted [cluster_id, vector] pairs) and ``anchor``
+    (the min-vec_id row). Centroids/anchor are driver-resident index
+    assets: searches and self-checks read them here instead of running
+    Spark jobs against the centroid table."""
     with open(os.path.join(path, "_IVF_META.json")) as f:
         return json.load(f)
 

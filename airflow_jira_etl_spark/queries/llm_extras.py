@@ -297,19 +297,20 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = f"{sf_name}:{st.st_mtime_ns}:{st.st_size}"
     index_dir = os.path.join(SCRATCH, "ivf_index", sf_name + "_k8")
     indexed, centroids = build_index(spark, emb, 8, index_dir, tag)
-    # the IVF "directory" is coordinator-resident by design — k rows,
-    # a constant, never data-scaled (same class as rank_probe_clusters'
-    # k-row collect). Driver-side centroids let the comparator's fresh
-    # argmax be a pure codegen expression: no shuffle, no second pass.
-    cent = sorted(
-        (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
-        for r in centroids.collect()
-    )
-    prow = emb.orderBy("vec_id").select("vec_id", "embedding").head()
-    pid = int(prow["vec_id"])
-    pvec = [float(x) for x in prow["embedding"]]
+    # the IVF "directory" is coordinator-resident by design — the meta
+    # file carries the quantizer (k centroid vectors, a constant, never
+    # data-scaled) and the min-vec_id anchor row, both recorded from
+    # the read-back files at build time. Loading them here instead of
+    # collect()/head() Spark jobs means a warm-index search launches
+    # exactly ONE job: the pruned scan itself. Driver-side centroids
+    # also let the comparator's fresh argmax be a pure codegen
+    # expression: no shuffle, no second pass.
+    meta = read_meta(index_dir)
+    cent = [(int(cid), [float(x) for x in v]) for cid, v in meta["centroids"]]
+    pid = int(meta["anchor"]["vec_id"])
+    pvec = [float(x) for x in meta["anchor"]["embedding"]]
     probe = spark.createDataFrame([(pvec,)], "p array<double>")
-    # probe-cluster ranking over the collected directory — identical
+    # probe-cluster ranking over the meta-resident directory — identical
     # semantics to operators.ivf.rank_probe_clusters (argmax cosine,
     # ties to lowest cluster_id) without its extra Spark job; the
     # product API itself stays covered by ivf_topk and
@@ -326,8 +327,7 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same double-accumulation fold as assign_clusters used at build
     # time, so a healthy index reproduces its argmax bit-for-bit;
     # first-position ties == assign_clusters' lowest-cluster_id break.
-    meta_counts = read_meta(index_dir)["counts"]
-    expected_disk = sum(meta_counts.get(str(c), 0) for c in pc)
+    expected_disk = sum(meta["counts"].get(str(c), 0) for c in pc)
     # single nested-array literals (ONE Literal node each, not k·dims
     # of them) keep the analysis/codegen cost of this expression flat —
     # per-column F.lit trees made Catalyst's optimizer passes the
