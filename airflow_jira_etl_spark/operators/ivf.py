@@ -108,11 +108,13 @@ def build_index(
     sessions otherwise race the check-rebuild sequence — one overwrites
     directories the other's pruned scan is mid-read. The loser of the
     lock re-validates the meta and reuses the winner's files."""
-    # meta_layout 2: the meta file also carries the quantizer itself
-    # (k centroid vectors) and an anchor row (the min-vec_id vector) —
-    # driver-resident index assets in the FAISS sense, so a cache-hit
-    # search needs ZERO Spark jobs before the pruned scan itself
-    key = {"k": k_clusters, "iters": N_ITERS, "tag": tag, "meta_layout": 2}
+    # meta_layout 3: the meta file also carries the quantizer itself
+    # (k centroid vectors), an anchor row (the min-vec_id vector) and
+    # the read-back schemas — driver-resident index assets in the FAISS
+    # sense, so a cache-hit open/search needs ZERO Spark jobs (no
+    # centroid collect, no probe head, no footer-inference job) before
+    # the pruned scan itself
+    key = {"k": k_clusters, "iters": N_ITERS, "tag": tag, "meta_layout": 3}
     meta_path = os.path.join(path, "_IVF_META.json")
     vectors_dir = os.path.join(path, "vectors")
     centroids_dir = os.path.join(path, "centroids")
@@ -135,7 +137,20 @@ def build_index(
                     spark, emb, k_clusters, key, meta_path,
                     vectors_dir, centroids_dir,
                 )
-    return spark.read.parquet(vectors_dir), spark.read.parquet(centroids_dir)
+    # read back under the schemas RECORDED AT BUILD TIME: without an
+    # explicit schema every warm open pays a distributed footer-
+    # inference job before the first real scan
+    meta = read_meta(path)
+    from pyspark.sql import types as T
+
+    return (
+        spark.read.schema(T.StructType.fromJson(meta["vectors_schema"])).parquet(
+            vectors_dir
+        ),
+        spark.read.schema(
+            T.StructType.fromJson(meta["centroids_schema"])
+        ).parquet(centroids_dir),
+    )
 
 
 def _build_index_files(
@@ -182,7 +197,15 @@ def _build_index_files(
     }
     with open(meta_path, "w") as f:
         json.dump(
-            {"key": key, "counts": counts, "centroids": cent, "anchor": anchor},
+            {
+                "key": key,
+                "counts": counts,
+                "centroids": cent,
+                "anchor": anchor,
+                "vectors_schema": on_disk.schema.jsonValue(),
+                "centroids_schema": spark.read.parquet(centroids_dir)
+                .schema.jsonValue(),
+            },
             f,
         )
 

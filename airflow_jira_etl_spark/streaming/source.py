@@ -15,6 +15,7 @@ micro-batch — a faithful, testable stand-in for the cursor loop.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 
@@ -213,17 +214,49 @@ STREAM_STATE_PARTITIONS = "4"
 
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextlib.contextmanager
 def scoped_shuffle_partitions(spark, n: str = STREAM_STATE_PARTITIONS):
     """Stateful streaming shard count = shuffle partitions at query
     start, and every shard costs a state directory + task per
     micro-batch. Scope it to the state size (keys/windows — hundreds
     to thousands here), not CPU count. Delegates to the generic helper
-    in session.py."""
+    in session.py.
+
+    Also the engine's state-store selection point (every streaming
+    start site passes through here): ``SPARK_GRAFT_STATE_STORE=rocksdb``
+    swaps the default heap-backed provider — which keeps each shard's
+    ENTIRE state in executor memory — for RocksDB, which spills state
+    to executor-local disk. The default is right for the test fixtures;
+    RocksDB is the 100 TB path, where per-shard keyed state (billions of
+    keys × windows) cannot live on-heap. Both providers are exercised
+    against the same oracles (tests/test_streaming.py)."""
     from airflow_jira_etl_spark.session import (
         scoped_shuffle_partitions as generic,
     )
 
-    return generic(spark, n)
+    want = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
+    with generic(spark, n):
+        if want != "rocksdb":
+            yield
+            return
+        try:
+            old = spark.conf.get(_PROVIDER_KEY)
+        except Exception:
+            old = None
+        spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+        try:
+            yield
+        finally:
+            if old:
+                spark.conf.set(_PROVIDER_KEY, old)
+            else:
+                spark.conf.unset(_PROVIDER_KEY)
 
 
 def run_available_now(stream_df: DataFrame, checkpoint: str, name: str) -> DataFrame:

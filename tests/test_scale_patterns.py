@@ -147,6 +147,60 @@ def test_ivf_materialized_index_prunes_cluster_dirs(spark, sf_dir, tmp_path):
     assert "cluster_id" in seg and " IN " in seg
 
 
+def test_ivf_meta_carries_quantizer_and_anchor(spark, sf_dir, tmp_path):
+    """The index meta must hold driver-resident copies of the quantizer
+    (centroid vectors) and the min-vec_id anchor row, BIT-EXACT with the
+    read-back parquet — the warm search path trusts the meta instead of
+    launching collect()/head() jobs, so any build/meta divergence would
+    silently corrupt the self-verification contract."""
+    import json
+
+    from airflow_jira_etl_spark.operators.ivf import build_index, read_meta
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    indexed, centroids = build_index(spark, emb, 8, path, tag="t")
+    meta = read_meta(path)
+    disk_cent = sorted(
+        (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    )
+    assert [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]] == disk_cent
+    arow = indexed.orderBy("vec_id").select("vec_id", "embedding").head()
+    assert int(meta["anchor"]["vec_id"]) == int(arow["vec_id"])
+    assert [float(x) for x in meta["anchor"]["embedding"]] == [
+        float(x) for x in arow["embedding"]
+    ]
+    # and the JSON on disk round-trips those doubles exactly
+    with open(tmp_path / "ivf" / "_IVF_META.json") as f:
+        again = json.load(f)
+    assert again["centroids"] == meta["centroids"]
+
+
+def test_ivf_warm_search_runs_no_bookkeeping_jobs(spark, sf_dir):
+    """A warm-index run of the registered IVF query must spend Spark
+    jobs ONLY on the search/comparator action itself (AQE materializes
+    its shuffle stages as ~4 jobs on this plan) — the pre-r09 shape
+    added 3 bookkeeping jobs per run (centroid collect, probe head,
+    footer schema inference), which at scale is 3 extra cluster
+    round-trips per search. Bound: ≤5 jobs total."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    fn = registry.QUERIES["llm_sim_ivf_topk"]
+    fn(spark, sf_dir).collect()  # ensure the index is built and warm
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf-warm-probe", "count jobs in a warm IVF search")
+    try:
+        fn(spark, sf_dir).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+        "ivf-warm-probe"
+    )
+    assert len(jobs) <= 5, f"warm IVF search ran {len(jobs)} jobs: {jobs}"
+
+
 def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     """The eval gram set must broadcast — a sort-merge join here would
     shuffle every training gram."""
