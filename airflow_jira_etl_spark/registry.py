@@ -65,6 +65,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # SELECT * whose scan path every other green row and the driver's
 # entry() smoke exercise every round).  It leads the post-window tail so
 # it tops the r09 order automatically.
+# Round-9 note: the r08 driver sweep never ran (no CORRECTNESS_r08 /
+# BENCH_r08 artifacts exist), so every query's evidence age is unchanged
+# and this window — derived as least-recently-checked-first — is still
+# the information-maximizing order. It carries into round 9 verbatim.
 # tests/test_sweep_priority.py pins the window invariants.
 SWEEP_PRIORITY: list[str] = [
     # confirmation pins (r05+r06 driver reds, r07 green once)
