@@ -1,0 +1,125 @@
+"""Distributed global ranking — total-order row numbers without a
+single-task window.
+
+An un-partitioned ``Window.orderBy(...)`` is correct but serializes the
+ENTIRE input into one task (Spark warns: "No Partition Defined for
+Window operation"). Fine for output-sized frames (a months table);
+a scale-killer on fact tables. This operator computes the same global
+``row_number`` in two distributed phases, the classic parallel ranking
+scheme (TeraSort-style range partition + prefix-sum offsets):
+
+1. **Range shuffle**: ``repartitionByRange`` on the ordering
+   expressions, then ``sortWithinPartitions`` — partition *i* holds a
+   contiguous, internally-sorted slice of the global order. The
+   explicit partition count opts the exchange out of AQE coalescing,
+   so partition ids are stable across the two passes.
+2. **Offsets**: per-partition row counts (one k-row aggregate, k =
+   #partitions) become an exclusive prefix sum, broadcast back as an
+   array literal indexed by ``spark_partition_id``. The local index
+   within a partition is read from ``monotonically_increasing_id``'s
+   documented layout (partition id in the upper 31 bits, consecutive
+   record number in the lower 33), so assigning ranks adds ZERO
+   further shuffles and no Window node at all.
+
+The frame is persisted between the counts pass and the rank pass —
+both must observe the identical partitioning. At cluster scale pass
+``storage_level=DISK_ONLY`` (or a pre-sorted bucketed table) rather
+than memory-caching 100 TB; the shape is unchanged.
+
+With a total (tie-free) ordering — callers append a unique key as the
+last sort expression — ``row_number == rank == dense_rank``, and every
+order statistic derives from (rn, n) as pure expressions: see
+``ntile_expr`` / ``percent_rank_expr`` / ``cume_dist_expr``.
+
+Derives from the survey's ranked-report surface (SURVEY.md §2B
+win_ntile_percent, sort_multi_key); the reference itself has no
+ranking operator (its Airflow DAGs end at keyed upserts —
+``/root/reference/dags/jira/db_ops.py``), so the scale design here is
+Spark-first by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+_LOCAL_IDX_MASK = (1 << 33) - 1
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> tuple[DataFrame, int]:
+    """Attach a 1-based global row number over a total ordering.
+
+    ``order_cols`` are Column expressions, optionally with sort order
+    (``.desc_nulls_first()`` etc.); they must define a UNIQUE total
+    order (append a key column) or ranks across ties are partition-
+    placement-dependent. Returns ``(frame, total_count)`` — the count
+    rides along for free from the offsets pass, so callers computing
+    order statistics (ntile / percent_rank / cume_dist) don't pay a
+    second ``count()`` job.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    tagged = ranged.select(
+        "*",
+        F.spark_partition_id().alias("_gr_pid"),
+        F.monotonically_increasing_id()
+        .bitwiseAND(F.lit(_LOCAL_IDX_MASK))
+        .alias("_gr_idx"),
+    ).persist(storage_level)
+    counts = dict(
+        tagged.groupBy("_gr_pid").count().collect()
+    )  # k-bounded: one row per shuffle partition
+    offsets: list[int] = [0] * (max(counts, default=-1) + 1)
+    cum = 0
+    for pid in sorted(counts):
+        offsets[pid] = cum
+        cum += counts[pid]
+    # element_at on a literal array: the broadcast-side of a prefix-sum
+    # join without the join (k longs ship inside the plan itself)
+    off = F.element_at(
+        F.array(*[F.lit(o) for o in (offsets or [0])]),
+        F.col("_gr_pid") + 1,
+    )
+    out = tagged.withColumn(
+        rn_col, (off + F.col("_gr_idx") + 1).cast("long")
+    ).drop("_gr_pid", "_gr_idx")
+    return out, cum
+
+
+def ntile_expr(rn: Column, n: int, buckets: int) -> Column:
+    """SQL ``ntile(buckets)`` from a global row number: the first
+    ``n % buckets`` buckets take ``n div buckets + 1`` rows, the rest
+    ``n div buckets`` — identical fill rule to Spark/DuckDB."""
+    base, extra = divmod(n, buckets)
+    boundary = extra * (base + 1)
+    big = ((rn - 1) / F.lit(base + 1)).cast("long") + 1
+    if base == 0:
+        # n < buckets: every row is its own bucket
+        return rn
+    small = F.lit(extra) + ((rn - boundary - 1) / F.lit(base)).cast("long") + 1
+    return F.when(rn <= boundary, big).otherwise(small)
+
+
+def percent_rank_expr(rn: Column, n: int) -> Column:
+    """``percent_rank()`` under a unique total order: (rank-1)/(n-1)."""
+    if n <= 1:
+        return F.lit(0.0)
+    return (rn - 1).cast("double") / F.lit(float(n - 1))
+
+
+def cume_dist_expr(rn: Column, n: int) -> Column:
+    """``cume_dist()`` under a unique total order: rows ≤ current are
+    exactly rn."""
+    return rn.cast("double") / F.lit(float(max(n, 1)))

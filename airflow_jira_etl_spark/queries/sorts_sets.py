@@ -8,7 +8,7 @@ ordering itself is asserted by the order-insensitive oracle compare.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
@@ -29,9 +29,13 @@ from airflow_jira_etl_spark.registry import query
 def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key ORDER BY with desc + NULLS FIRST. The oracle compare is
     order-insensitive, so the global rank is materialized as ``pos`` —
-    the sort's correctness is in the values. (A global sort is a range
-    shuffle; the single-task rank here is a final-report op, not a
-    fact-scale one.)"""
+    the sort's correctness is in the values. The rank comes from the
+    distributed two-phase ranker (operators/ranking.py: range shuffle +
+    prefix-sum offsets), NOT an un-partitioned window — this runs on the
+    full fact table, where a single-task WindowExec would serialize the
+    whole input through one core."""
+    from airflow_jira_etl_spark.operators.ranking import global_row_number
+
     orders = catalog.load(spark, sf_dir, "orders")
     t = orders.select(
         "o_orderkey",
@@ -39,17 +43,21 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
     )
-    w = Window.orderBy(
-        F.col("status_or_null").desc_nulls_first(),
-        F.col("o_totalprice").desc(),
-        F.col("o_orderkey"),
+    ranked, _ = global_row_number(
+        t,
+        [
+            F.col("status_or_null").desc_nulls_first(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        ],
+        rn_col="pos",
     )
-    return t.select(
+    return ranked.select(
         "o_orderkey",
         "o_orderstatus",
         "status_or_null",
         "o_totalprice",
-        F.row_number().over(w).cast("long").alias("pos"),
+        "pos",
     )
 
 

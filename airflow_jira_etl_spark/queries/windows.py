@@ -185,18 +185,34 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) / percent_rank / cume_dist over a global ordering.
-    NOTE: an un-partitioned window serializes into one task — fine for
-    a final ranked report (output-sized data), never for fact-scale
-    input; fact-scale ranking goes through the partitioned forms above."""
+    """ntile(4) / percent_rank / cume_dist over a global ordering —
+    computed DISTRIBUTED. An un-partitioned window serializes the whole
+    table into one task; instead the two-phase ranker
+    (operators/ranking.py) range-shuffles on (c_acctbal, c_custkey) and
+    derives every order statistic from (row_number, n) as pure
+    expressions — the ordering is tie-free (key appended), so
+    rank == row_number and the closed forms match SQL exactly
+    (tests/test_operators.py checks them against Spark's own window
+    functions, the oracle checks them against DuckDB's)."""
+    from airflow_jira_etl_spark.operators.ranking import (
+        cume_dist_expr,
+        global_row_number,
+        ntile_expr,
+        percent_rank_expr,
+    )
+
     customer = catalog.load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return customer.select(
+    ranked, n = global_row_number(
+        customer.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+    )
+    rn = F.col("rn")
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        fround(F.percent_rank().over(w)).alias("pct_rank"),
-        fround(F.cume_dist().over(w)).alias("cdist"),
+        ntile_expr(rn, n, 4).cast("int").alias("quartile"),
+        fround(percent_rank_expr(rn, n)).alias("pct_rank"),
+        fround(cume_dist_expr(rn, n)).alias("cdist"),
     )
 
 

@@ -385,3 +385,68 @@ def test_minhash_portable_short_and_empty_docs(spark):
     assert pairs.get((1, 2)) == 1.0
     # the distinct short/empty docs must not pair with anything
     assert set(pairs) == {(1, 2)}
+
+
+def test_global_row_number_matches_window_semantics(spark):
+    """The two-phase distributed ranker (operators/ranking.py) must
+    reproduce un-partitioned-window row_number/ntile/percent_rank/
+    cume_dist EXACTLY — including desc + NULLS FIRST orderings, ties on
+    the leading key broken by the appended unique key, and the
+    n < buckets ntile fill rule — while its plan contains no Window
+    node (the whole point: no single-task serialization)."""
+    from pyspark.sql import Window
+
+    from airflow_jira_etl_spark.operators.ranking import (
+        cume_dist_expr,
+        global_row_number,
+        ntile_expr,
+        percent_rank_expr,
+    )
+
+    rows = [
+        (1, 5.0), (2, None), (3, 5.0), (4, 1.0), (5, 9.0),
+        (6, None), (7, 3.0), (8, 5.0), (9, 0.0), (10, 7.5),
+    ]
+    for n_rows in (1, 3, 10):  # 1 and 3 exercise ntile's n<buckets path
+        df = spark.createDataFrame(
+            rows[:n_rows], "k long, v double"
+        )
+        order = [F.col("v").desc_nulls_first(), F.col("k")]
+        ranked, n = global_row_number(df, order, num_partitions=4)
+        assert n == n_rows
+        rn = F.col("rn")
+        got = {
+            r.k: (r.rn, r.q, round(r.pr, 6), round(r.cd, 6))
+            for r in ranked.select(
+                "k",
+                "rn",
+                ntile_expr(rn, n, 4).cast("int").alias("q"),
+                percent_rank_expr(rn, n).alias("pr"),
+                cume_dist_expr(rn, n).alias("cd"),
+            ).collect()
+        }
+        w = Window.orderBy(*order)
+        want = {
+            r.k: (r.rn, r.q, round(r.pr, 6), round(r.cd, 6))
+            for r in df.select(
+                "k",
+                F.row_number().over(w).cast("long").alias("rn"),
+                F.ntile(4).over(w).cast("int").alias("q"),
+                F.percent_rank().over(w).alias("pr"),
+                F.cume_dist().over(w).alias("cd"),
+            ).collect()
+        }
+        assert got == want, f"n_rows={n_rows}"
+        plan = ranked._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "rangepartitioning" in plan.lower()
+
+
+def test_global_row_number_empty_input(spark):
+    """Empty input: rank pass must not crash on the empty offsets
+    array; returns (empty frame, 0)."""
+    from airflow_jira_etl_spark.operators.ranking import global_row_number
+
+    df = spark.createDataFrame([], "k long, v double")
+    ranked, n = global_row_number(df, [F.col("v"), F.col("k")])
+    assert n == 0 and ranked.count() == 0
