@@ -135,3 +135,18 @@ def test_stateful_streams_green_under_rocksdb_state_store(
         assert not r["errors"], (name, r["errors"])
         # restored to the pre-run effective provider, not left on rocksdb
         assert "RocksDB" not in (spark.conf.get(_PROVIDER_KEY, "") or ""), name
+
+
+def test_stream_cost_probe_decomposition_smoke(spark, tmp_path):
+    """The cost-decomposition probe (tools/stream_cost_probe) must run
+    end-to-end at sf0.001 and return a wall for every variant, with
+    the floor variant present — it is the denominator every PLANS.md
+    streaming claim divides by."""
+    from airflow_jira_etl_spark.tools.stream_cost_probe import run_probe
+
+    steady = run_probe(
+        "/root/testdata/sf0.001", runs=1, scratch=str(tmp_path)
+    )
+    assert "floor" in steady
+    assert set(steady) >= {"floor", "pystate_profile", "window_tumbling", "dedup_keys"}
+    assert all(w > 0 for w in steady.values())
