@@ -2,7 +2,7 @@
 appear in ANY registered query's executed plan, not just the few with
 hand-written plan guards.
 
-Two anti-patterns are linted:
+Three anti-patterns are linted:
 
 - ``CartesianProduct`` — an unbroadcast cross join shuffles |A|x|B|
   at cluster scale; every deliberate no-equi-key join in the engine is
@@ -11,6 +11,14 @@ Two anti-patterns are linted:
   API-parity surface (udf_python_scalar, udtf_explode_kv's UDTF) may
   pay the per-row Python round-trip; everything else must stay JVM or
   Arrow-batched.
+- un-partitioned ``Window`` — a Window node with an empty partition
+  spec serializes its entire input through ONE task. Since round 9 the
+  fact-scale global ranks go through the distributed two-phase ranker
+  (operators/ranking.py); the only surviving un-partitioned window runs
+  on a provably output-sized frame (report_monthly_growth's |months|
+  rows) and is allowlisted by name. Node format: ``Window [funcs],
+  [partSpec], [orderSpec]`` — two top-level bracket groups instead of
+  three means no partition spec.
 
 Sink/stream/source queries are excluded: building their DataFrame runs
 real side effects (streams, table writes), and the returned batch
@@ -28,6 +36,39 @@ registry.load_all_queries()
 
 _EXCLUDED_PREFIXES = ("stream_", "sink_", "source_", "mv_", "cdc_")
 _ROW_UDF_ALLOWED = {"udf_python_scalar", "udtf_explode_kv"}
+# queries whose un-partitioned window runs over an aggregate whose
+# cardinality is bounded by the domain (months), not the input
+_GLOBAL_WINDOW_ALLOWED = {"report_monthly_growth"}
+
+
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    """Window plan lines with only two top-level bracket groups —
+    [funcs], [order] — i.e. no partition spec."""
+    bad = []
+    for line in plan.splitlines():
+        body = line.lstrip(" +-:*()0123456789")
+        if not body.startswith("Window ["):
+            continue
+        depth = 0
+        groups: list[str] = []
+        for ch in line:
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            elif depth > 0:
+                groups[-1] += ch
+        # [funcs], [partSpec], [orderSpec] = partitioned+ordered;
+        # [funcs], [partSpec] (no ASC/DESC) = partition-only full-frame
+        # agg — both fine. Two groups where the SECOND is an order spec
+        # means the partition spec is empty: single-task.
+        if len(groups) < 3 and (
+            " ASC" in groups[-1] or " DESC" in groups[-1]
+        ):
+            bad.append(line.strip())
+    return bad
 
 LINTED = [
     n
@@ -45,4 +86,9 @@ def test_no_scale_antipatterns_in_plan(name, spark, sf_dir):
         assert "BatchEvalPython" not in plan, (
             f"{name}: row-at-a-time Python UDF outside the deliberate "
             f"API-parity surface\n{plan}"
+        )
+    if name not in _GLOBAL_WINDOW_ALLOWED:
+        bad = _unpartitioned_window_lines(plan)
+        assert not bad, (
+            f"{name}: un-partitioned Window (single-task at scale): {bad}"
         )
