@@ -42,6 +42,7 @@ PROBES = (
     "report_waiting_suppliers",  # fact window over join partitioning
     "agg_group_sum",  # wide hash aggregate
     "win_topk_per_group",  # windowed top-k per customer
+    "sort_multi_key",  # distributed global rank (operators/ranking.py)
 )
 
 
