@@ -98,6 +98,98 @@ def global_row_number(
     return out, cum
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    rn_col: str = "rn",
+    n_col: str = "n",
+    num_partitions: int | None = None,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """Per-group row_number + group size for LOW-cardinality groups —
+    the skew-proof alternative to ``Window.partitionBy(group)`` when
+    |groups| ≪ cluster parallelism.
+
+    A partitioned window caps parallelism at |groups|: ranking lineitem
+    by a 3-value flag runs the ENTIRE table through 3 tasks, and AQE
+    does not split window partitions (its skew handling is join-only).
+    Here the range shuffle keys on ``(group, order...)`` so one group
+    spans MANY partitions; within a partition a group's rows are
+    contiguous and sorted, so its local index is
+    ``local_idx - first_idx(partition, group)`` and the global per-group
+    rank adds the prefix sum of that group's counts in earlier
+    partitions. The bookkeeping pass collects one row per
+    (partition, group) — bounded by ``n_parts × |groups|``, which is
+    the operator's applicability condition (a high-cardinality group
+    column should use the plain partitioned window: |groups| is already
+    the parallelism). The group's total size rides along as ``n_col``,
+    replacing the full-frame ``count() over (partition by group)``
+    window the naive form needs.
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    sort_exprs = [F.col(g) for g in group_cols] + list(order_cols)
+    ranged = df.repartitionByRange(n_parts, *sort_exprs).sortWithinPartitions(
+        *sort_exprs
+    )
+    tagged = ranged.select(
+        "*",
+        F.spark_partition_id().alias("_gr_pid"),
+        F.monotonically_increasing_id()
+        .bitwiseAND(F.lit(_LOCAL_IDX_MASK))
+        .alias("_gr_idx"),
+    ).persist(storage_level)
+    per = (
+        tagged.groupBy("_gr_pid", *group_cols)
+        .agg(
+            F.count("*").alias("_gr_cnt"),
+            F.min("_gr_idx").alias("_gr_first"),
+        )
+        .collect()
+    )
+    # exclusive prefix sum of each group's counts in pid order
+    per.sort(key=lambda r: r["_gr_pid"])
+    seen: dict[tuple, int] = {}
+    meta_rows = []
+    for r in per:
+        gkey = tuple(r[g] for g in group_cols)
+        off = seen.get(gkey, 0)
+        seen[gkey] = off + r["_gr_cnt"]
+        meta_rows.append((r["_gr_pid"], *gkey, int(r["_gr_first"]), off))
+    meta_schema = T.StructType(
+        [T.StructField("_gr_pid", T.IntegerType())]
+        + [tagged.schema[g] for g in group_cols]
+        + [
+            T.StructField("_gr_first", T.LongType()),
+            T.StructField("_gr_off", T.LongType()),
+        ]
+    )
+    totals_schema = T.StructType(
+        [tagged.schema[g] for g in group_cols]
+        + [T.StructField(n_col, T.LongType())]
+    )
+    meta = spark.createDataFrame(meta_rows, meta_schema)
+    totals = spark.createDataFrame(
+        [(*k, int(v)) for k, v in seen.items()], totals_schema
+    )
+    return (
+        tagged.join(F.broadcast(meta), ["_gr_pid", *group_cols])
+        .join(F.broadcast(totals), group_cols)
+        .withColumn(
+            rn_col,
+            (
+                F.col("_gr_off") + F.col("_gr_idx") - F.col("_gr_first") + 1
+            ).cast("long"),
+        )
+        .drop("_gr_pid", "_gr_idx", "_gr_first", "_gr_off")
+    )
+
+
 def ntile_expr(rn: Column, n: int, buckets: int) -> Column:
     """SQL ``ntile(buckets)`` from a global row number: the first
     ``n % buckets`` buckets take ``n div buckets + 1`` rows, the rest

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.functions.textgrams import char_gram_sql
+from airflow_jira_etl_spark.operators.ranking import grouped_row_number
 from airflow_jira_etl_spark.operators.multimodal import (
     attach_media,
     decode_features,
@@ -949,20 +950,17 @@ def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT median length. The median is computed distributedly via the
     rank-selection identity (row_number ordered by (len, doc_id), pick
     rn = (n+1) div 2 — the lower median) rather than approx_percentile:
-    exact integer semantics both engines reproduce, and one window pass
-    instead of a sketch. At 100 TB the same plan holds — one shuffle by
-    lang, one window sort per partition."""
-    from pyspark.sql import Window
-
+    exact integer semantics both engines reproduce. The rank comes from
+    operators/ranking.grouped_row_number (round 9): |langs| is a small
+    constant, so a Window.partitionBy(lang) would cap parallelism at
+    |langs| tasks at any corpus size — the grouped ranker
+    range-shuffles on (lang, len, doc_id), spreading each language
+    across the cluster, with group sizes riding along instead of a
+    full-frame count window."""
     docs = catalog.load(spark, sf_dir, "documents")
     lens = docs.select("lang", "doc_id", F.length("text").alias("len"))
-    w = Window.partitionBy("lang").orderBy("len", "doc_id")
-    wp = Window.partitionBy("lang")
-    ranked = lens.select(
-        "lang",
-        "len",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wp).alias("n"),
+    ranked = grouped_row_number(
+        lens, ["lang"], [F.col("len"), F.col("doc_id")]
     )
     return (
         ranked.groupBy("lang")

@@ -411,20 +411,23 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality matters: one window sort per group keyed by (value, unique
     tiebreak), pick ranks floor(p·(n-1))+1 (the LOWER-quantile
     convention, identical in both engines' integer division) as
-    conditional aggregates. One shuffle + one sort; at 100 TB the same plan holds
-    per group, and a skewed group is handled by AQE or pre-salting the
-    sort — still cheaper than two passes of an exact-percentile
-    algorithm."""
+    conditional aggregates. The rank comes from
+    operators/ranking.grouped_row_number (round 9): l_returnflag has
+    THREE values, so a Window.partitionBy(flag) would sort the whole
+    table through 3 tasks at any scale (AQE does not split window
+    partitions) — the grouped two-phase ranker range-shuffles on
+    (flag, value, keys) instead, spreading every group across the full
+    cluster, and the group sizes ride along without a full-frame count
+    window."""
+    from airflow_jira_etl_spark.operators.ranking import grouped_row_number
+
     lineitem = catalog.load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    wp = Window.partitionBy("l_returnflag")
-    ranked = lineitem.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wp).alias("n"),
+    ranked = grouped_row_number(
+        lineitem.select(
+            "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+        ),
+        ["l_returnflag"],
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
     )
 
     def _pick(rank_expr: str):

@@ -42,3 +42,38 @@ def test_global_row_number_is_window_row_number(spark, vals, n_parts, desc):
         ).collect()
     }
     assert got == want
+
+
+values_grouped = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-4, 4)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=values_grouped, n_parts=st.integers(1, 8))
+def test_grouped_row_number_matches_partitioned_window(spark, rows, n_parts):
+    """grouped_row_number must equal Window.partitionBy(g).orderBy(v,k)
+    row_number AND carry the exact per-group count, on any mix of group
+    skew, duplicate values and partition counts — including groups
+    split across many range partitions and partitions holding several
+    groups."""
+    from airflow_jira_etl_spark.operators.ranking import grouped_row_number
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, g string, v long")
+    order = [F.col("v"), F.col("k")]
+    ranked = grouped_row_number(df, ["g"], order, num_partitions=n_parts)
+    got = {r.k: (r.rn, r.n) for r in ranked.collect()}
+    w = Window.partitionBy("g").orderBy(*order)
+    wp = Window.partitionBy("g")
+    want = {
+        r.k: (r.rn, r.n)
+        for r in df.select(
+            "k",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count("*").over(wp).alias("n"),
+        ).collect()
+    }
+    assert got == want
