@@ -152,7 +152,9 @@ def grouped_row_number(
         )
         .collect()
     )
-    # exclusive prefix sum of each group's counts in pid order
+    # exclusive prefix sum of each group's counts in pid order; group
+    # totals fold into the same (pid, group) meta rows so the rank pass
+    # pays ONE broadcast join, not two
     per.sort(key=lambda r: r["_gr_pid"])
     seen: dict[tuple, int] = {}
     meta_rows = []
@@ -160,26 +162,23 @@ def grouped_row_number(
         gkey = tuple(r[g] for g in group_cols)
         off = seen.get(gkey, 0)
         seen[gkey] = off + r["_gr_cnt"]
-        meta_rows.append((r["_gr_pid"], *gkey, int(r["_gr_first"]), off))
+        meta_rows.append([r["_gr_pid"], *gkey, int(r["_gr_first"]), off])
     meta_schema = T.StructType(
         [T.StructField("_gr_pid", T.IntegerType())]
         + [tagged.schema[g] for g in group_cols]
         + [
             T.StructField("_gr_first", T.LongType()),
             T.StructField("_gr_off", T.LongType()),
+            T.StructField(n_col, T.LongType()),
         ]
     )
-    totals_schema = T.StructType(
-        [tagged.schema[g] for g in group_cols]
-        + [T.StructField(n_col, T.LongType())]
-    )
-    meta = spark.createDataFrame(meta_rows, meta_schema)
-    totals = spark.createDataFrame(
-        [(*k, int(v)) for k, v in seen.items()], totals_schema
+    for row in meta_rows:
+        row.append(int(seen[tuple(row[1 : 1 + len(group_cols)])]))
+    meta = spark.createDataFrame(
+        [tuple(r) for r in meta_rows], meta_schema
     )
     return (
         tagged.join(F.broadcast(meta), ["_gr_pid", *group_cols])
-        .join(F.broadcast(totals), group_cols)
         .withColumn(
             rn_col,
             (
