@@ -177,8 +177,15 @@ def grouped_row_number(
     meta = spark.createDataFrame(
         [tuple(r) for r in meta_rows], meta_schema
     )
+    # null-safe equality on the group columns: SQL groups NULL keys
+    # together (groupBy above did), but a plain equi-join would DROP
+    # null-group rows (null == null is never true) — rank them instead
+    cond = tagged["_gr_pid"] == meta["_gr_pid"]
+    for g in group_cols:
+        cond = cond & tagged[g].eqNullSafe(meta[g])
     return (
-        tagged.join(F.broadcast(meta), ["_gr_pid", *group_cols])
+        tagged.join(F.broadcast(meta), cond)
+        .drop(meta["_gr_pid"], *[meta[g] for g in group_cols])
         .withColumn(
             rn_col,
             (

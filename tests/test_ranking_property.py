@@ -45,7 +45,10 @@ def test_global_row_number_is_window_row_number(spark, vals, n_parts, desc):
 
 
 values_grouped = st.lists(
-    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-4, 4)),
+    st.tuples(
+        st.sampled_from(["a", "b", "c", None]),  # None: NULL group keys
+        st.integers(-4, 4),
+    ),
     min_size=1,
     max_size=40,
 )
@@ -56,9 +59,10 @@ values_grouped = st.lists(
 def test_grouped_row_number_matches_partitioned_window(spark, rows, n_parts):
     """grouped_row_number must equal Window.partitionBy(g).orderBy(v,k)
     row_number AND carry the exact per-group count, on any mix of group
-    skew, duplicate values and partition counts — including groups
-    split across many range partitions and partitions holding several
-    groups."""
+    skew, duplicate values, NULL group keys (SQL windows group NULLs
+    together — a plain equi-join back would silently DROP those rows)
+    and partition counts — including groups split across many range
+    partitions and partitions holding several groups."""
     from airflow_jira_etl_spark.operators.ranking import grouped_row_number
 
     data = [(i, g, v) for i, (g, v) in enumerate(rows)]
