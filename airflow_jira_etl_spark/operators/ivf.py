@@ -186,16 +186,22 @@ def _build_index_files(
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    cent_disk = spark.read.parquet(centroids_dir)
     cent = sorted(
         (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(centroids_dir).collect()
+        for r in cent_disk.collect()
     )
     arow = on_disk.orderBy("vec_id").select("vec_id", "embedding").head()
     anchor = {
         "vec_id": int(arow["vec_id"]),
         "embedding": [float(x) for x in arow["embedding"]],
     }
-    with open(meta_path, "w") as f:
+    # ATOMIC publish (temp + rename): the warm path reads this file
+    # OUTSIDE the flock (that is the whole point of meta_layout 3 —
+    # zero coordination on a cache hit), so a truncate-in-place write
+    # here would expose concurrent warm opens to a partial file
+    tmp_path = meta_path + ".tmp"
+    with open(tmp_path, "w") as f:
         json.dump(
             {
                 "key": key,
@@ -203,11 +209,11 @@ def _build_index_files(
                 "centroids": cent,
                 "anchor": anchor,
                 "vectors_schema": on_disk.schema.jsonValue(),
-                "centroids_schema": spark.read.parquet(centroids_dir)
-                .schema.jsonValue(),
+                "centroids_schema": cent_disk.schema.jsonValue(),
             },
             f,
         )
+    os.replace(tmp_path, meta_path)
 
 
 def read_meta(path: str) -> dict:

@@ -22,9 +22,17 @@ scheme (TeraSort-style range partition + prefix-sum offsets):
    further shuffles and no Window node at all.
 
 The frame is persisted between the counts pass and the rank pass —
-both must observe the identical partitioning. At cluster scale pass
-``storage_level=DISK_ONLY`` (or a pre-sorted bucketed table) rather
-than memory-caching 100 TB; the shape is unchanged.
+both must observe the identical partitioning, and the cache is
+LOAD-BEARING, not an optimization: ``repartitionByRange`` samples its
+boundaries per execution, so an evicted/unpersisted frame re-executed
+for the rank pass could land rows in different partitions than the
+counts pass measured, silently corrupting every rank. That is also why
+the operator never unpersists — the returned (lazy) frame depends on
+the cached partitioning for correctness; the cache lives until the
+session clears it (bench/sweep harnesses clearCache between queries).
+At cluster scale pass ``storage_level=DISK_ONLY`` (or rank off a
+pre-sorted bucketed table) rather than memory-caching 100 TB; the
+shape is unchanged.
 
 With a total (tie-free) ordering — callers append a unique key as the
 last sort expression — ``row_number == rank == dense_rank``, and every
@@ -45,6 +53,19 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 _LOCAL_IDX_MASK = (1 << 33) - 1
+_HELPER_COLS = ("_gr_pid", "_gr_idx", "_gr_first", "_gr_off", "_gr_cnt")
+
+
+def _check_names(df: DataFrame, out_names: tuple[str, ...]) -> None:
+    """Helper/output column names must not collide with input columns —
+    a collision would produce ambiguous references or silently shadowed
+    data downstream; fail loudly instead."""
+    clash = (set(_HELPER_COLS) | set(out_names)) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"ranking: input columns collide with helper/output names: "
+            f"{sorted(clash)} — rename them or pass different rn_col/n_col"
+        )
 
 
 def global_row_number(
@@ -64,6 +85,7 @@ def global_row_number(
     order statistics (ntile / percent_rank / cume_dist) don't pay a
     second ``count()`` job.
     """
+    _check_names(df, (rn_col,))
     spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -129,6 +151,7 @@ def grouped_row_number(
     """
     from pyspark.sql import types as T
 
+    _check_names(df, (rn_col, n_col))
     spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")

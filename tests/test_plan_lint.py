@@ -24,6 +24,13 @@ Sink/stream/source queries are excluded: building their DataFrame runs
 real side effects (streams, table writes), and the returned batch
 DataFrame's plan is a trivial read of the result, not the interesting
 pipeline (their plan shapes are asserted by dedicated tests).
+
+Note: the ranking-backed queries (sort_multi_key, win_ntile_percent,
+agg_exact_quantiles, llm_corpus_stats) are NOT side-effect-free to
+build — operators/ranking.py runs its counts pass (a shuffle + a
+k-bounded collect) eagerly so the offsets can ship as plan literals.
+That is compute, not state mutation, so they stay linted; it just
+makes this sweep cost a few real jobs.
 """
 
 from __future__ import annotations

@@ -81,3 +81,21 @@ def test_grouped_row_number_matches_partitioned_window(spark, rows, n_parts):
         ).collect()
     }
     assert got == want
+
+
+def test_ranking_rejects_colliding_column_names(spark):
+    """Input columns named like the helpers or outputs must fail loudly
+    (ambiguous references / silent shadowing otherwise)."""
+    import pytest
+
+    from airflow_jira_etl_spark.operators.ranking import (
+        global_row_number,
+        grouped_row_number,
+    )
+
+    df = spark.createDataFrame([(1, "a", 2)], "rn long, g string, v long")
+    with pytest.raises(ValueError, match="collide"):
+        global_row_number(df, [F.col("v")])
+    df2 = spark.createDataFrame([(1, "a", 2)], "n long, g string, v long")
+    with pytest.raises(ValueError, match="collide"):
+        grouped_row_number(df2, ["g"], [F.col("v")])
