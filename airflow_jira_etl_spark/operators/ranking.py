@@ -48,12 +48,20 @@ Spark-first by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 _LOCAL_IDX_MASK = (1 << 33) - 1
-_HELPER_COLS = ("_gr_pid", "_gr_idx", "_gr_first", "_gr_off", "_gr_cnt")
+_HELPER_COLS = (
+    "_gr_pid",
+    "_gr_idx",
+    "_gr_first",
+    "_gr_off",
+    "_gr_cnt",
+    "_gr_val",
+    "_gr_lsum",
+)
 
 
 def _check_names(df: DataFrame, out_names: tuple[str, ...]) -> None:
@@ -216,6 +224,130 @@ def grouped_row_number(
             ).cast("long"),
         )
         .drop("_gr_pid", "_gr_idx", "_gr_first", "_gr_off")
+    )
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    value: Column,
+    sum_col: str = "rsum",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """Per-group running sum (``sum(value) OVER (PARTITION BY group
+    ORDER BY order ROWS UNBOUNDED PRECEDING..CURRENT ROW)``) for
+    LOW-cardinality groups — the two-phase ranking scheme generalized
+    from counts to prefix SUMS.
+
+    A ``Window.partitionBy(group)`` running sum caps parallelism at
+    |groups| (a per-day sweep over years of data runs in |days| tasks,
+    a per-flag sum in 3). Here the range shuffle keys on
+    ``(group, order...)`` so one group spans MANY partitions; the
+    bookkeeping pass aggregates one SUM row per (partition, group) —
+    bounded by ``n_parts × |groups|`` — whose per-group exclusive
+    prefix sums broadcast back as offsets, and the within-partition
+    running sum runs under a window partitioned by the
+    HIGH-cardinality ``(partition, group)`` composite, so every stage
+    parallelizes to the full cluster width.
+
+    Semantics are the ROWS frame under *some* linearization of the
+    given ordering: rows tied on the full ``(group, order...)`` key may
+    land either side of a range-partition boundary, so per-row values
+    on ties are placement-dependent — exactly as they are for any
+    ROWS-frame window over a non-total order. Pass a unique final
+    order column for per-row determinism, or consume only
+    tie-permutation-invariant aggregates of the result (a sweep-line's
+    per-day ``max(live)`` qualifies: ties there carry equal summands).
+
+    NULL summands follow SQL window-sum semantics (sum over an
+    all-NULL prefix is NULL, otherwise NULLs are skipped): the offset
+    is NULL only when every earlier slice of the group is all-NULL,
+    and the two parts combine with null-aware addition. The same
+    load-bearing persist as the other phases applies (see module
+    docstring): both passes must observe one materialization of the
+    sampled range partitioning.
+    """
+    from pyspark.sql import types as T
+
+    out_names = (sum_col,) + ((total_col,) if total_col else ())
+    _check_names(df, out_names)
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    sort_exprs = [F.col(g) for g in group_cols] + list(order_cols)
+    ranged = df.repartitionByRange(n_parts, *sort_exprs).sortWithinPartitions(
+        *sort_exprs
+    )
+    tagged = ranged.select(
+        "*",
+        F.spark_partition_id().alias("_gr_pid"),
+        F.monotonically_increasing_id()
+        .bitwiseAND(F.lit(_LOCAL_IDX_MASK))
+        .alias("_gr_idx"),
+        value.alias("_gr_val"),
+    ).persist(storage_level)
+    per_df = tagged.groupBy("_gr_pid", *group_cols).agg(
+        F.sum("_gr_val").alias("_gr_cnt")
+    )
+    sum_type = per_df.schema["_gr_cnt"].dataType
+    per = per_df.collect()  # bounded: one row per (partition, group)
+    # per-group EXCLUSIVE prefix sum of the slice sums in pid order;
+    # None tracks the all-NULL-so-far state so offset NULLity matches
+    # window-sum semantics exactly
+    per.sort(key=lambda r: r["_gr_pid"])
+    seen: dict[tuple, object] = {}
+    meta_rows = []
+    for r in per:
+        gkey = tuple(r[g] for g in group_cols)
+        off = seen.get(gkey)
+        meta_rows.append([r["_gr_pid"], *gkey, off])
+        s = r["_gr_cnt"]
+        if s is not None:
+            seen[gkey] = s if off is None else off + s
+    meta_fields = (
+        [T.StructField("_gr_pid", T.IntegerType())]
+        + [tagged.schema[g] for g in group_cols]
+        + [T.StructField("_gr_off", sum_type)]
+    )
+    if total_col:
+        meta_fields.append(T.StructField(total_col, sum_type))
+        for row in meta_rows:
+            row.append(seen.get(tuple(row[1 : 1 + len(group_cols)])))
+    meta = spark.createDataFrame(
+        [tuple(r) for r in meta_rows], T.StructType(meta_fields)
+    )
+    # high-cardinality (partition, group) window: the local running sum
+    # re-sorts by the pre-shuffle local index, reconstructing the range
+    # partition's order inside each hash partition
+    w = (
+        Window.partitionBy("_gr_pid", *group_cols)
+        .orderBy("_gr_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cond = tagged["_gr_pid"] == meta["_gr_pid"]
+    for g in group_cols:
+        cond = cond & tagged[g].eqNullSafe(meta[g])
+    local = tagged.withColumn("_gr_lsum", F.sum("_gr_val").over(w))
+    return (
+        local.join(F.broadcast(meta), cond)
+        .drop(meta["_gr_pid"], *[meta[g] for g in group_cols])
+        .withColumn(
+            sum_col,
+            F.when(
+                F.col("_gr_off").isNull() & F.col("_gr_lsum").isNull(),
+                F.lit(None),
+            )
+            .otherwise(
+                F.coalesce(F.col("_gr_off"), F.lit(0))
+                + F.coalesce(F.col("_gr_lsum"), F.lit(0))
+            )
+            .cast(sum_type),
+        )
+        .drop("_gr_pid", "_gr_idx", "_gr_val", "_gr_lsum", "_gr_off")
     )
 
 

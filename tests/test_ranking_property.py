@@ -83,6 +83,131 @@ def test_grouped_row_number_matches_partitioned_window(spark, rows, n_parts):
     assert got == want
 
 
+rsum_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", None]),  # None: NULL group keys
+        st.integers(-4, 4),  # order key with heavy ties
+        st.one_of(st.none(), st.integers(-5, 5)),  # NULL summands
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rsum_rows, n_parts=st.integers(1, 8), with_total=st.booleans())
+def test_grouped_running_sum_matches_partitioned_window(
+    spark, rows, n_parts, with_total
+):
+    """grouped_running_sum under a UNIQUE total order (key tiebreak)
+    must equal the ROWS-frame Window.partitionBy(g).orderBy(v,k) sum on
+    any mix of group skew, NULL group keys, NULL summands (all-NULL
+    prefix stays NULL — the offset/local split must not coalesce it to
+    0), negative values, and partition counts that split one group
+    across many range partitions."""
+    from airflow_jira_etl_spark.operators.ranking import grouped_running_sum
+
+    data = [(i, g, v, x) for i, (g, v, x) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, g string, v long, x long")
+    order = [F.col("v"), F.col("k")]
+    total = "gtot" if with_total else None
+    got_df = grouped_running_sum(
+        df, ["g"], order, F.col("x"), total_col=total, num_partitions=n_parts
+    )
+    got = {
+        r.k: (r.rsum, r.gtot if with_total else None)
+        for r in got_df.collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("g")
+    want = {
+        r.k: (r.rsum, r.gtot if with_total else None)
+        for r in df.select(
+            "k",
+            F.sum("x").over(w).alias("rsum"),
+            F.sum("x").over(wp).alias("gtot"),
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 3)),
+        min_size=1,
+        max_size=40,
+    ),
+    n_parts=st.integers(1, 8),
+)
+def test_grouped_running_sum_tie_invariant_aggregates(spark, rows, n_parts):
+    """The sweep-line consumption pattern: a NON-unique order whose ties
+    carry equal summands (+1 for every row tied on (g, v) here via
+    delta = v % 2). Per-row values may differ from the window's under
+    tie reshuffling across range-partition boundaries, but the
+    per-group (max, min, count) of the running sum — what the
+    concurrency sweep consumes — must be identical."""
+    from airflow_jira_etl_spark.operators.ranking import grouped_running_sum
+
+    data = [(g, v, 1 if v % 2 else -1) for g, v in rows]
+    df = spark.createDataFrame(data, "g string, v long, delta long")
+    # ties on the FULL ordering (g, v, delta) share the same delta by
+    # construction, so the prefix-sum multiset is linearization-proof
+    order = [F.col("v"), F.col("delta")]
+    got_df = grouped_running_sum(
+        df, ["g"], order, F.col("delta"), num_partitions=n_parts
+    )
+    agg = lambda frame: {
+        r.g: (r.mx, r.mn, r.c)
+        for r in frame.groupBy("g")
+        .agg(
+            F.max("rsum").alias("mx"),
+            F.min("rsum").alias("mn"),
+            F.count("*").alias("c"),
+        )
+        .collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want_df = df.select("g", F.sum("delta").over(w).alias("rsum"))
+    assert agg(got_df) == agg(want_df)
+
+
+def test_grouped_running_sum_global_form(spark):
+    """Empty group list degenerates to a GLOBAL running sum (one
+    implicit group): matches the un-partitioned window form."""
+    from airflow_jira_etl_spark.operators.ranking import grouped_running_sum
+
+    data = [(i, (i * 7) % 5, i - 3) for i in range(23)]
+    df = spark.createDataFrame(data, "k long, v long, x long")
+    order = [F.col("v"), F.col("k")]
+    got = {
+        r.k: (r.rsum, r.tot)
+        for r in grouped_running_sum(
+            df, [], order, F.col("x"), total_col="tot", num_partitions=4
+        ).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.k: (r.rsum, r.tot)
+        for r in df.select(
+            "k",
+            F.sum("x").over(w).alias("rsum"),
+            F.sum("x").over(Window.partitionBy()).alias("tot"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_ranking_rejects_colliding_column_names(spark):
     """Input columns named like the helpers or outputs must fail loudly
     (ambiguous references / silent shadowing otherwise)."""
@@ -91,6 +216,7 @@ def test_ranking_rejects_colliding_column_names(spark):
     from airflow_jira_etl_spark.operators.ranking import (
         global_row_number,
         grouped_row_number,
+        grouped_running_sum,
     )
 
     df = spark.createDataFrame([(1, "a", 2)], "rn long, g string, v long")
@@ -99,3 +225,71 @@ def test_ranking_rejects_colliding_column_names(spark):
     df2 = spark.createDataFrame([(1, "a", 2)], "n long, g string, v long")
     with pytest.raises(ValueError, match="collide"):
         grouped_row_number(df2, ["g"], [F.col("v")])
+    df3 = spark.createDataFrame([(1, "a", 2)], "rsum long, g string, v long")
+    with pytest.raises(ValueError, match="collide"):
+        grouped_running_sum(df3, ["g"], [F.col("v")], F.col("v"))
+
+
+def test_concurrency_sweep_rehearsal_on_running_sum(spark, sf_dir):
+    """Round-10 adoption rehearsal: win_concurrency_sweep's per-day
+    sweep-line prefix sum, re-expressed over grouped_running_sum (the
+    distributed form that removes the |days|-cardinality window
+    partition — PLANS.md 'Known single-task spots'), must produce the
+    REGISTERED query's exact output on the real events fixture. The
+    registered plan itself is pinned in the r09 driver sweep and must
+    not change this round; this test proves the swap is a pure plan
+    substitution when the pin lifts."""
+    from airflow_jira_etl_spark import catalog
+    from airflow_jira_etl_spark.operators.ranking import grouped_running_sum
+    from airflow_jira_etl_spark.queries.windows import win_concurrency_sweep
+
+    events = catalog.load(spark, sf_dir, "events")
+    day_us = F.lit(86_400_000_000)
+    ev = events.select(F.unix_micros(F.col("ts")).alias("us"))
+    fm = ((F.col("us") % day_us) + day_us) % day_us
+    iv2 = ev.select(
+        F.col("us").alias("s_us"), (F.col("us") - fm).alias("day_start_us")
+    ).select(
+        "s_us",
+        F.least(
+            F.col("s_us") + F.lit(300_000_000), F.col("day_start_us") + day_us
+        ).alias("e_us"),
+        F.expr("day_start_us div 86400000000").alias("day_idx"),
+    )
+    pts = iv2.select(
+        "day_idx", F.col("s_us").alias("pt_us"), F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        iv2.select(
+            "day_idx",
+            F.col("e_us").alias("pt_us"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    # ties on the full (day_idx, pt_us, delta) ordering carry equal
+    # summands, so the per-day max/count/min/max are linearization-proof
+    run = grouped_running_sum(
+        pts,
+        ["day_idx"],
+        [F.col("pt_us"), F.col("delta")],
+        F.col("delta"),
+        sum_col="live",
+    )
+    got = run.groupBy("day_idx").agg(
+        F.max("live").alias("max_concurrent"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("pt_us").alias("min_pt_us"),
+        F.max("pt_us").alias("max_pt_us"),
+    ).select(
+        F.date_add(
+            F.to_date(F.lit("1970-01-01")), F.col("day_idx").cast("int")
+        ).alias("day"),
+        "max_concurrent",
+        "n_points",
+        "min_pt_us",
+        "max_pt_us",
+    )
+    want = win_concurrency_sweep(spark, sf_dir)
+    key = lambda r: str(r["day"])
+    got_rows = {key(r): tuple(r) for r in got.collect()}
+    want_rows = {key(r): tuple(r) for r in want.collect()}
+    assert got_rows == want_rows and len(got_rows) > 0
