@@ -230,6 +230,16 @@ def test_ranking_rejects_colliding_column_names(spark):
         grouped_running_sum(df3, ["g"], [F.col("v")], F.col("v"))
 
 
+def test_rsum_scale_probe_smoke(spark, sf_dir):
+    """The running-sum scale probe (tools/rsum_scale_probe) must run
+    end-to-end at sf0.001: its two forms (registered window shape vs
+    grouped_running_sum) are equality-asserted per multiple inside
+    main(), so a green exit IS the at-scale equivalence check."""
+    from airflow_jira_etl_spark.tools.rsum_scale_probe import main
+
+    assert main(["rsum_scale_probe", sf_dir, "1,2"]) == 0
+
+
 def test_concurrency_sweep_rehearsal_on_running_sum(spark, sf_dir):
     """Round-10 adoption rehearsal: win_concurrency_sweep's per-day
     sweep-line prefix sum, re-expressed over grouped_running_sum (the
