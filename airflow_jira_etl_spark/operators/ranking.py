@@ -65,15 +65,77 @@ _HELPER_COLS = (
 
 
 def _check_names(df: DataFrame, out_names: tuple[str, ...]) -> None:
-    """Helper/output column names must not collide with input columns —
-    a collision would produce ambiguous references or silently shadowed
-    data downstream; fail loudly instead."""
+    """Helper/output column names must not collide with input columns,
+    with each other, or (outputs) with the helper names — any of those
+    would produce ambiguous references, silently shadowed data, or an
+    output column eaten by the final helper drop; fail loudly instead."""
     clash = (set(_HELPER_COLS) | set(out_names)) & set(df.columns)
     if clash:
         raise ValueError(
             f"ranking: input columns collide with helper/output names: "
             f"{sorted(clash)} — rename them or pass different rn_col/n_col"
         )
+    bad_out = set(out_names) & set(_HELPER_COLS)
+    if bad_out:
+        raise ValueError(
+            f"ranking: output names {sorted(bad_out)} are reserved helper "
+            f"names — pick different output column names"
+        )
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(
+            f"ranking: output column names must be distinct, got {out_names}"
+        )
+
+
+def _group_key(row, group_cols: list[str]) -> tuple:
+    """Driver-side dict key for a group: NaN float keys are mapped to a
+    sentinel because NaN != NaN makes them unfindable in a Python dict,
+    while Spark's groupBy/range-sort/eqNullSafe all treat NaN as ONE
+    group — without this, a NaN group split across range partitions
+    would silently restart its prefix at every partition."""
+    return tuple(
+        ("__nan__",) if isinstance(v, float) and v != v else v
+        for v in (row[g] for g in group_cols)
+    )
+
+
+def _range_tag(
+    df: DataFrame,
+    sort_exprs: list[Column],
+    n_parts: int,
+    storage_level: StorageLevel,
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Phase 1 shared by every two-phase form: range shuffle on the
+    full sort key, sort within partitions, tag each row with its
+    partition id and partition-local index (monotonically_increasing_id
+    layout: pid in the upper 31 bits, consecutive record number in the
+    lower 33), persist — the bookkeeping and output passes must observe
+    ONE materialization of the sampled range partitioning."""
+    ranged = df.repartitionByRange(n_parts, *sort_exprs).sortWithinPartitions(
+        *sort_exprs
+    )
+    cols = [
+        F.spark_partition_id().alias("_gr_pid"),
+        F.monotonically_increasing_id()
+        .bitwiseAND(F.lit(_LOCAL_IDX_MASK))
+        .alias("_gr_idx"),
+    ] + [c.alias(n) for n, c in (extra or {}).items()]
+    return ranged.select("*", *cols).persist(storage_level)
+
+
+def _null_safe_meta_join(
+    tagged: DataFrame, meta: DataFrame, group_cols: list[str]
+):
+    """Join condition back onto the broadcast meta rows: plain equality
+    on the partition id, NULL-SAFE equality on the group keys (SQL
+    groups NULL keys together — a plain equi-join would silently DROP
+    null-group rows; Spark's <=> also matches NaN to NaN, consistent
+    with _group_key)."""
+    cond = tagged["_gr_pid"] == meta["_gr_pid"]
+    for g in group_cols:
+        cond = cond & tagged[g].eqNullSafe(meta[g])
+    return cond
 
 
 def global_row_number(
@@ -98,16 +160,7 @@ def global_row_number(
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    ranged = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
-        *order_cols
-    )
-    tagged = ranged.select(
-        "*",
-        F.spark_partition_id().alias("_gr_pid"),
-        F.monotonically_increasing_id()
-        .bitwiseAND(F.lit(_LOCAL_IDX_MASK))
-        .alias("_gr_idx"),
-    ).persist(storage_level)
+    tagged = _range_tag(df, list(order_cols), n_parts, storage_level)
     counts = dict(
         tagged.groupBy("_gr_pid").count().collect()
     )  # k-bounded: one row per shuffle partition
@@ -165,16 +218,7 @@ def grouped_row_number(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     sort_exprs = [F.col(g) for g in group_cols] + list(order_cols)
-    ranged = df.repartitionByRange(n_parts, *sort_exprs).sortWithinPartitions(
-        *sort_exprs
-    )
-    tagged = ranged.select(
-        "*",
-        F.spark_partition_id().alias("_gr_pid"),
-        F.monotonically_increasing_id()
-        .bitwiseAND(F.lit(_LOCAL_IDX_MASK))
-        .alias("_gr_idx"),
-    ).persist(storage_level)
+    tagged = _range_tag(df, sort_exprs, n_parts, storage_level)
     per = (
         tagged.groupBy("_gr_pid", *group_cols)
         .agg(
@@ -189,11 +233,15 @@ def grouped_row_number(
     per.sort(key=lambda r: r["_gr_pid"])
     seen: dict[tuple, int] = {}
     meta_rows = []
+    meta_keys = []
     for r in per:
-        gkey = tuple(r[g] for g in group_cols)
+        gkey = _group_key(r, group_cols)
         off = seen.get(gkey, 0)
         seen[gkey] = off + r["_gr_cnt"]
-        meta_rows.append([r["_gr_pid"], *gkey, int(r["_gr_first"]), off])
+        meta_rows.append(
+            [r["_gr_pid"], *(r[g] for g in group_cols), int(r["_gr_first"]), off]
+        )
+        meta_keys.append(gkey)
     meta_schema = T.StructType(
         [T.StructField("_gr_pid", T.IntegerType())]
         + [tagged.schema[g] for g in group_cols]
@@ -203,19 +251,15 @@ def grouped_row_number(
             T.StructField(n_col, T.LongType()),
         ]
     )
-    for row in meta_rows:
-        row.append(int(seen[tuple(row[1 : 1 + len(group_cols)])]))
+    for row, gkey in zip(meta_rows, meta_keys):
+        row.append(int(seen[gkey]))
     meta = spark.createDataFrame(
         [tuple(r) for r in meta_rows], meta_schema
     )
-    # null-safe equality on the group columns: SQL groups NULL keys
-    # together (groupBy above did), but a plain equi-join would DROP
-    # null-group rows (null == null is never true) — rank them instead
-    cond = tagged["_gr_pid"] == meta["_gr_pid"]
-    for g in group_cols:
-        cond = cond & tagged[g].eqNullSafe(meta[g])
     return (
-        tagged.join(F.broadcast(meta), cond)
+        tagged.join(
+            F.broadcast(meta), _null_safe_meta_join(tagged, meta, group_cols)
+        )
         .drop(meta["_gr_pid"], *[meta[g] for g in group_cols])
         .withColumn(
             rn_col,
@@ -279,17 +323,9 @@ def grouped_running_sum(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     sort_exprs = [F.col(g) for g in group_cols] + list(order_cols)
-    ranged = df.repartitionByRange(n_parts, *sort_exprs).sortWithinPartitions(
-        *sort_exprs
+    tagged = _range_tag(
+        df, sort_exprs, n_parts, storage_level, extra={"_gr_val": value}
     )
-    tagged = ranged.select(
-        "*",
-        F.spark_partition_id().alias("_gr_pid"),
-        F.monotonically_increasing_id()
-        .bitwiseAND(F.lit(_LOCAL_IDX_MASK))
-        .alias("_gr_idx"),
-        value.alias("_gr_val"),
-    ).persist(storage_level)
     per_df = tagged.groupBy("_gr_pid", *group_cols).agg(
         F.sum("_gr_val").alias("_gr_cnt")
     )
@@ -297,14 +333,20 @@ def grouped_running_sum(
     per = per_df.collect()  # bounded: one row per (partition, group)
     # per-group EXCLUSIVE prefix sum of the slice sums in pid order;
     # None tracks the all-NULL-so-far state so offset NULLity matches
-    # window-sum semantics exactly
+    # window-sum semantics exactly. The accumulation runs in Python's
+    # arbitrary precision: a prefix that exceeds int64 raises at
+    # createDataFrame (LongType verification) where the partitioned
+    # window would silently WRAP under non-ANSI mode — failing loudly
+    # on overflow is the deliberate divergence.
     per.sort(key=lambda r: r["_gr_pid"])
     seen: dict[tuple, object] = {}
     meta_rows = []
+    meta_keys = []
     for r in per:
-        gkey = tuple(r[g] for g in group_cols)
+        gkey = _group_key(r, group_cols)
         off = seen.get(gkey)
-        meta_rows.append([r["_gr_pid"], *gkey, off])
+        meta_rows.append([r["_gr_pid"], *(r[g] for g in group_cols), off])
+        meta_keys.append(gkey)
         s = r["_gr_cnt"]
         if s is not None:
             seen[gkey] = s if off is None else off + s
@@ -315,8 +357,8 @@ def grouped_running_sum(
     )
     if total_col:
         meta_fields.append(T.StructField(total_col, sum_type))
-        for row in meta_rows:
-            row.append(seen.get(tuple(row[1 : 1 + len(group_cols)])))
+        for row, gkey in zip(meta_rows, meta_keys):
+            row.append(seen.get(gkey))
     meta = spark.createDataFrame(
         [tuple(r) for r in meta_rows], T.StructType(meta_fields)
     )
@@ -328,12 +370,11 @@ def grouped_running_sum(
         .orderBy("_gr_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cond = tagged["_gr_pid"] == meta["_gr_pid"]
-    for g in group_cols:
-        cond = cond & tagged[g].eqNullSafe(meta[g])
     local = tagged.withColumn("_gr_lsum", F.sum("_gr_val").over(w))
     return (
-        local.join(F.broadcast(meta), cond)
+        local.join(
+            F.broadcast(meta), _null_safe_meta_join(local, meta, group_cols)
+        )
         .drop(meta["_gr_pid"], *[meta[g] for g in group_cols])
         .withColumn(
             sum_col,

@@ -470,6 +470,33 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def concurrency_points(events: DataFrame) -> DataFrame:
+    """The sweep-line point-set: each event's 5-minute half-open
+    interval (clipped at its day's end) as +1/-1 endpoint rows in pure
+    BIGINT epoch-micros — the SINGLE construction shared by the
+    registered query, the rehearsal test, and tools/rsum_scale_probe,
+    so the three cannot drift apart. Columns: (day_idx, pt_us, delta)."""
+    day_us = F.lit(86_400_000_000)
+    us = F.unix_micros(F.col("ts"))
+    ev = events.select(us.alias("us"))
+    fm = ((F.col("us") % day_us) + day_us) % day_us
+    iv = ev.select(
+        F.col("us").alias("s_us"), (F.col("us") - fm).alias("day_start_us")
+    )
+    iv2 = iv.select(
+        "s_us",
+        F.least(
+            F.col("s_us") + F.lit(300_000_000), F.col("day_start_us") + day_us
+        ).alias("e_us"),
+        F.expr("day_start_us div 86400000000").alias("day_idx"),
+    )
+    return iv2.select(
+        "day_idx", F.col("s_us").alias("pt_us"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv2.select("day_idx", F.col("e_us").alias("pt_us"), F.lit(-1).alias("delta"))
+    )
+
+
 @query(
     "win_concurrency_sweep",
     oracle="""
@@ -536,25 +563,7 @@ def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_pt_us / max_pt_us diagnostics localize any future mismatch to
     point-set vs running-sum."""
     events = catalog.load(spark, sf_dir, "events")
-    day_us = F.lit(86_400_000_000)
-    us = F.unix_micros(F.col("ts"))
-    ev = events.select(us.alias("us"))
-    fm = ((F.col("us") % day_us) + day_us) % day_us
-    iv = ev.select(
-        F.col("us").alias("s_us"), (F.col("us") - fm).alias("day_start_us")
-    )
-    iv2 = iv.select(
-        "s_us",
-        F.least(
-            F.col("s_us") + F.lit(300_000_000), F.col("day_start_us") + day_us
-        ).alias("e_us"),
-        F.expr("day_start_us div 86400000000").alias("day_idx"),
-    )
-    pts = iv2.select(
-        "day_idx", F.col("s_us").alias("pt_us"), F.lit(1).alias("delta")
-    ).unionByName(
-        iv2.select("day_idx", F.col("e_us").alias("pt_us"), F.lit(-1).alias("delta"))
-    )
+    pts = concurrency_points(events)
     w = (
         Window.partitionBy("day_idx")
         .orderBy("pt_us", "delta")

@@ -36,38 +36,20 @@ from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.operators.ranking import grouped_running_sum
+from airflow_jira_etl_spark.queries.windows import concurrency_points
 from airflow_jira_etl_spark.session import get_spark
-
-DAY_US = 86_400_000_000
 
 
 def sweep_points(events: DataFrame, mult: int) -> DataFrame:
-    """The registered query's point-set construction (windows.py
-    win_concurrency_sweep), replicated mult× at identical timestamps —
-    same |days|, mult× endpoints per day."""
-    ev = events.crossJoin(
+    """The registered query's point-set construction (the SHARED
+    windows.concurrency_points builder — this probe must measure the
+    real shape, not a copy that can drift), over events replicated
+    mult× at identical timestamps — same |days|, mult× endpoints per
+    day."""
+    rep = events.crossJoin(
         events.sparkSession.range(mult).select(F.col("id").alias("_rep"))
-    ).select(F.unix_micros(F.col("ts")).alias("us"))
-    fm = ((F.col("us") % F.lit(DAY_US)) + F.lit(DAY_US)) % F.lit(DAY_US)
-    iv2 = ev.select(
-        F.col("us").alias("s_us"), (F.col("us") - fm).alias("day_start_us")
-    ).select(
-        "s_us",
-        F.least(
-            F.col("s_us") + F.lit(300_000_000),
-            F.col("day_start_us") + F.lit(DAY_US),
-        ).alias("e_us"),
-        F.expr("day_start_us div 86400000000").alias("day_idx"),
     )
-    return iv2.select(
-        "day_idx", F.col("s_us").alias("pt_us"), F.lit(1).cast("long").alias("delta")
-    ).unionByName(
-        iv2.select(
-            "day_idx",
-            F.col("e_us").alias("pt_us"),
-            F.lit(-1).cast("long").alias("delta"),
-        )
-    )
+    return concurrency_points(rep)
 
 
 def daily_max_window(pts: DataFrame) -> DataFrame:

@@ -228,6 +228,62 @@ def test_ranking_rejects_colliding_column_names(spark):
     df3 = spark.createDataFrame([(1, "a", 2)], "rsum long, g string, v long")
     with pytest.raises(ValueError, match="collide"):
         grouped_running_sum(df3, ["g"], [F.col("v")], F.col("v"))
+    ok = spark.createDataFrame([(1, "a", 2)], "k long, g string, v long")
+    # a helper-named OUTPUT would be eaten by the final helper drop
+    with pytest.raises(ValueError, match="reserved"):
+        grouped_running_sum(ok, ["g"], [F.col("v")], F.col("v"), sum_col="_gr_lsum")
+    with pytest.raises(ValueError, match="distinct"):
+        grouped_running_sum(
+            ok, ["g"], [F.col("v")], F.col("v"), sum_col="s", total_col="s"
+        )
+
+
+def test_grouped_forms_handle_nan_group_keys(spark):
+    """NaN group keys: Spark's groupBy/range-sort/eqNullSafe all treat
+    NaN as ONE group, but NaN != NaN makes a plain Python dict lookup
+    miss — without sentinel normalization the driver-side prefix would
+    silently restart at every range-partition boundary. Forcing many
+    partitions over a NaN-heavy group makes the group span partitions."""
+    from airflow_jira_etl_spark.operators.ranking import (
+        grouped_row_number,
+        grouped_running_sum,
+    )
+
+    nan = float("nan")
+    data = [(i, nan if i % 3 else 1.5, 1) for i in range(30)]
+    df = spark.createDataFrame(data, "k long, g double, x long")
+    ranked = grouped_row_number(
+        df, ["g"], [F.col("k")], num_partitions=7
+    )
+    got = {r.k: (r.rn, r.n) for r in ranked.collect()}
+    w = Window.partitionBy("g").orderBy("k")
+    want = {
+        r.k: (r.rn, r.n)
+        for r in df.select(
+            "k",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count("*").over(Window.partitionBy("g")).alias("n"),
+        ).collect()
+    }
+    assert got == want
+    summed = grouped_running_sum(
+        df, ["g"], [F.col("k")], F.col("x"), total_col="t", num_partitions=7
+    )
+    got_s = {r.k: (r.rsum, r.t) for r in summed.collect()}
+    ws = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want_s = {
+        r.k: (r.rsum, r.t)
+        for r in df.select(
+            "k",
+            F.sum("x").over(ws).alias("rsum"),
+            F.sum("x").over(Window.partitionBy("g")).alias("t"),
+        ).collect()
+    }
+    assert got_s == want_s
 
 
 def test_rsum_scale_probe_smoke(spark, sf_dir):
@@ -251,30 +307,13 @@ def test_concurrency_sweep_rehearsal_on_running_sum(spark, sf_dir):
     substitution when the pin lifts."""
     from airflow_jira_etl_spark import catalog
     from airflow_jira_etl_spark.operators.ranking import grouped_running_sum
-    from airflow_jira_etl_spark.queries.windows import win_concurrency_sweep
+    from airflow_jira_etl_spark.queries.windows import (
+        concurrency_points,
+        win_concurrency_sweep,
+    )
 
     events = catalog.load(spark, sf_dir, "events")
-    day_us = F.lit(86_400_000_000)
-    ev = events.select(F.unix_micros(F.col("ts")).alias("us"))
-    fm = ((F.col("us") % day_us) + day_us) % day_us
-    iv2 = ev.select(
-        F.col("us").alias("s_us"), (F.col("us") - fm).alias("day_start_us")
-    ).select(
-        "s_us",
-        F.least(
-            F.col("s_us") + F.lit(300_000_000), F.col("day_start_us") + day_us
-        ).alias("e_us"),
-        F.expr("day_start_us div 86400000000").alias("day_idx"),
-    )
-    pts = iv2.select(
-        "day_idx", F.col("s_us").alias("pt_us"), F.lit(1).cast("long").alias("delta")
-    ).unionByName(
-        iv2.select(
-            "day_idx",
-            F.col("e_us").alias("pt_us"),
-            F.lit(-1).cast("long").alias("delta"),
-        )
-    )
+    pts = concurrency_points(events)
     # ties on the full (day_idx, pt_us, delta) ordering carry equal
     # summands, so the per-day max/count/min/max are linearization-proof
     run = grouped_running_sum(
