@@ -286,6 +286,16 @@ def test_grouped_forms_handle_nan_group_keys(spark):
     assert got_s == want_s
 
 
+def test_ivf_scale_probe_smoke(spark, sf_dir):
+    """The IVF scale probe (tools/ivf_scale_probe) must run end-to-end
+    at sf0.001 — it is the evidence artifact behind the PLANS.md claim
+    that warm search cost tracks the probed directories, not the
+    corpus."""
+    from airflow_jira_etl_spark.tools.ivf_scale_probe import main
+
+    assert main(["ivf_scale_probe", sf_dir, "1"]) == 0
+
+
 def test_rsum_scale_probe_smoke(spark, sf_dir):
     """The running-sum scale probe (tools/rsum_scale_probe) must run
     end-to-end at sf0.001: its two forms (registered window shape vs
