@@ -97,6 +97,7 @@ def merge_aggregate(
     key: str | list[str],
     combine: dict[str, str],
     cluster_cols: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Combining MERGE — ``WHEN MATCHED THEN UPDATE SET c = f(old, new)``
     with an associative-commutative ``f`` per column (``sum``/``min``/
@@ -114,11 +115,30 @@ def merge_aggregate(
     recorded page cursor) — same contract as any incremental MV.
     ``cluster_cols`` as in :func:`upsert`: key-derived columns prepended
     to the grouping so the merge's one shuffle also clusters the output
-    for a partitioned write.
+    for a partitioned write. ``evolve_schema`` as in :func:`upsert`:
+    when True a column present on only one side is backfilled NULL on
+    the other, which every supported combiner simply ignores — a
+    freshly-added metric's running aggregate starts from the batches
+    that carry it, the only meaningful ADD COLUMN semantics for an
+    incremental MV.
     """
     keys = [key] if isinstance(key, str) else list(key)
     group = [*(cluster_cols or []), *keys]
-    missing = set(base.columns) - set(group) - set(combine)
+    all_cols = set(base.columns) | set(updates.columns)
+    grouped = set(combine) & set(group)
+    if grouped:
+        raise ValueError(
+            f"combine entries {sorted(grouped)} name key/cluster columns "
+            f"— grouping columns cannot also be aggregated (the output "
+            f"would carry duplicate column names)"
+        )
+    absent = set(combine) - all_cols
+    if absent:
+        raise ValueError(
+            f"combine entries {sorted(absent)} name columns absent from "
+            f"both frames"
+        )
+    missing = all_cols - set(group) - set(combine)
     if missing:
         raise ValueError(
             f"columns {sorted(missing)} have no combiner: every non-key "
@@ -129,6 +149,6 @@ def merge_aggregate(
         raise ValueError(
             f"unsupported combiners {bad}: pick from {sorted(_COMBINE_FNS)}"
         )
-    union = base.unionByName(updates)
+    union = base.unionByName(updates, allowMissingColumns=evolve_schema)
     aggs = [_COMBINE_FNS[f](c).alias(c) for c, f in combine.items()]
     return union.groupBy(*group).agg(*aggs)

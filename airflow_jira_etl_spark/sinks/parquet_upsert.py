@@ -88,8 +88,29 @@ def range_bucketer(width: int) -> Bucketer:
 def _bucketer_fingerprint(bucketer: Bucketer) -> str:
     """Identity string persisted in the manifest so a table can never be
     reopened with a different bucketer (which would silently route keys
-    away from their existing rows, breaking the upsert invariant)."""
-    return getattr(bucketer, "fingerprint", getattr(bucketer, "__name__", repr(bucketer)))
+    away from their existing rows, breaking the upsert invariant).
+
+    An EXPLICIT ``.fingerprint`` is required: the tempting fallbacks are
+    each worse than failing — ``repr()`` embeds a per-run memory address
+    (every process restart would false-positive the mismatch guard) and
+    ``__name__`` is typically a generic ``bucketer``/``<lambda>`` that
+    would let two genuinely different functions PASS the guard, which is
+    precisely the key-misrouting bug it exists to prevent."""
+    fp = getattr(bucketer, "fingerprint", None)
+    if not fp:
+        raise ValueError(
+            "bucketer has no .fingerprint: custom bucketers must set a "
+            "stable identity string (e.g. bucketer.fingerprint = "
+            "'mykey:v2') so the manifest can detect layout changes"
+        )
+    return fp
+
+
+def _gen_number(gen: str | None) -> int:
+    """Generation ordinal from a ``gen_NNNNNN`` dir name or path; -1 for
+    an empty table. The ONE parse — read(), _next_generation() and
+    vacuum() must agree on it or their committedness checks drift."""
+    return int(os.path.basename(gen).split("_")[1]) if gen else -1
 
 
 class ParquetUpsertTable:
@@ -157,7 +178,7 @@ class ParquetUpsertTable:
             # committed = at or before the pointer: a manifest file can
             # exist for a generation whose pointer flip never happened
             # (crash mid-apply) — that state must not be served
-            cur_n = int(os.path.basename(cur).split("_")[1]) if cur else -1
+            cur_n = _gen_number(cur)
             if generation > cur_n:
                 raise ValueError(
                     f"generation {generation} is not committed "
@@ -248,40 +269,69 @@ class ParquetUpsertTable:
             ]
         else:
             merged_schema = upd_fields
+        # persisted, not just lazily tagged: the batch is evaluated for
+        # the dirty-bucket set AND again for the merge write — without
+        # one materialization, a nondeterministic source (API read,
+        # sampled/limited upstream) could land rows in a bucket absent
+        # from the collected dirty set, whose files the manifest loop
+        # below would then never re-point (committed but invisible)
         upd = updates.withColumn(
             _BUCKET, self.bucketer(updates, self.keys, n_buckets)
-        )
-        # the dirty-bucket set is <= n_buckets small ints — a scalar
-        # collect, same class as a COUNT, not a data collect
-        dirty = sorted(r[0] for r in upd.select(_BUCKET).distinct().collect())
-        if manifest is not None:
-            base_paths = self._bucket_paths(manifest, dirty)
-        else:
-            base_paths = []
-        if base_paths:
-            base = self._read_paths(manifest, base_paths)
-            base = base.withColumn(_BUCKET, self.bucketer(base, self.keys, n_buckets))
-        else:
-            # first write (or all-new buckets): dedup within the batch
-            base = upd.limit(0)
-        # clustering the merge by bucket makes its one shuffle also the
-        # write clustering -> no extra repartition shuffle
-        if combine is not None:
-            merged = merge_aggregate(
-                base, upd, self.keys, combine, cluster_cols=[_BUCKET]
-            )
-        else:
-            merged = upsert(
-                base,
-                upd,
-                self.keys,
-                ordinal_col=ordinal_col,
-                cluster_cols=[_BUCKET],
-                evolve_schema=self.evolve_schema,
-            )
+        ).persist()
+        try:
+            # the dirty-bucket set is <= n_buckets small ints — a scalar
+            # collect, same class as a COUNT, not a data collect
+            raw = [r[0] for r in upd.select(_BUCKET).distinct().collect()]
+            if any(b is None for b in raw):
+                # a NULL bucket (range_bucketer on a NULL or non-numeric
+                # key: CAST AS BIGINT yields NULL silently) would write
+                # to __HIVE_DEFAULT_PARTITION__ while the manifest
+                # records ".../__bucket=None" — a dir that never exists,
+                # wedging every subsequent read of the table
+                raise ValueError(
+                    "bucketer produced NULL bucket ids — upsert keys "
+                    "must be non-null and bucket to integers (a "
+                    "range_bucketer over a non-numeric key CASTs to "
+                    "NULL silently)"
+                )
+            dirty = sorted(raw)
+            if manifest is not None:
+                base_paths = self._bucket_paths(manifest, dirty)
+            else:
+                base_paths = []
+            if base_paths:
+                base = self._read_paths(manifest, base_paths)
+                base = base.withColumn(
+                    _BUCKET, self.bucketer(base, self.keys, n_buckets)
+                )
+            else:
+                # first write (or all-new buckets): dedup within the batch
+                base = upd.limit(0)
+            # clustering the merge by bucket makes its one shuffle also
+            # the write clustering -> no extra repartition shuffle
+            if combine is not None:
+                merged = merge_aggregate(
+                    base,
+                    upd,
+                    self.keys,
+                    combine,
+                    cluster_cols=[_BUCKET],
+                    evolve_schema=self.evolve_schema,
+                )
+            else:
+                merged = upsert(
+                    base,
+                    upd,
+                    self.keys,
+                    ordinal_col=ordinal_col,
+                    cluster_cols=[_BUCKET],
+                    evolve_schema=self.evolve_schema,
+                )
 
-        gen_name, staging = self._next_generation()
-        merged.write.partitionBy(_BUCKET).mode("overwrite").parquet(staging)
+            gen_name, staging = self._next_generation()
+            merged.write.partitionBy(_BUCKET).mode("overwrite").parquet(staging)
+        finally:
+            upd.unpersist()
         new_buckets = dict(manifest["buckets"]) if manifest else {}
         for b in dirty:
             new_buckets[str(b)] = f"{gen_name}/{_BUCKET}={b}"
@@ -310,8 +360,7 @@ class ParquetUpsertTable:
         import uuid
 
         cur = self.current_generation()
-        cur_n = int(os.path.basename(cur).split("_")[1]) if cur else -1
-        gen_name = f"gen_{cur_n + 1:06d}"
+        gen_name = f"gen_{_gen_number(cur) + 1:06d}"
         staging = os.path.join(
             self.root, f".staging_{gen_name}_{uuid.uuid4().hex[:8]}"
         )
@@ -335,40 +384,49 @@ class ParquetUpsertTable:
         between, publishing would silently drop their changes (a lost
         update) — detect and refuse instead, leaving the winner's
         files untouched (the loser only ever wrote its own staging
-        dir, which is cleaned up here). The residual check-then-rename
-        window is microseconds; true multi-writer needs a
-        compare-and-swap commit service, the same constraint every
-        object-store table format has."""
+        dir, which is cleaned up here). The whole publish sequence runs
+        under an exclusive flock on ``_COMMIT.lock`` (same cross-process
+        hazard class as the IVF index builder), which closes the old
+        check-then-rename race AND makes crash recovery sound: inside
+        the lock, a ``gen_N`` dir BEYOND the pointer cannot be a
+        concurrent writer mid-publish, so it is by the pointer's own
+        definition of committedness (read()/vacuum() judge the same
+        way) crash garbage from a writer that died before its pointer
+        flip — replaced here instead of wedging every future merge with
+        an unresolvable 'already published' error. On filesystems
+        without advisory locks (some object-store mounts), flock
+        degrades to the optimistic checks alone."""
+        import fcntl
+
         out = os.path.join(self.root, gen_name)
-        try:
-            current = self.current_generation()
-            if current != expected_base:
-                raise RuntimeError(
-                    f"concurrent modification: merge computed from "
-                    f"{expected_base!r} but the table is now at "
-                    f"{current!r} — rerun the merge on the current state"
-                )
-            if os.path.exists(out):
-                if os.path.exists(os.path.join(out, _MANIFEST)):
-                    # a manifest means another writer published this
-                    # generation between our check and rename
+        with open(os.path.join(self.root, "_COMMIT.lock"), "w") as lk:
+            try:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+            except OSError:
+                pass  # lock unsupported: optimistic checks still apply
+            try:
+                current = self.current_generation()
+                if current != expected_base:
                     raise RuntimeError(
-                        f"concurrent modification: {gen_name} already "
-                        f"published — rerun the merge on the current state"
+                        f"concurrent modification: merge computed from "
+                        f"{expected_base!r} but the table is now at "
+                        f"{current!r} — rerun the merge on the current state"
                     )
-                # manifest-less gen dir = crash garbage from a writer
-                # that died between rename and manifest write; safe to
-                # replace (nothing ever referenced it)
-                shutil.rmtree(out)
-            os.rename(staging, out)
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
-        with open(os.path.join(out, _MANIFEST), "w") as f:
-            json.dump(manifest, f)
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(gen_name)
-        os.replace(tmp, self._pointer_path())
+                if os.path.exists(out):
+                    # gen_name is always pointer+1, so anything already
+                    # at `out` — manifest or not — is uncommitted crash
+                    # garbage (a writer that died between rename and
+                    # pointer flip); nothing committed references it
+                    shutil.rmtree(out)
+                os.rename(staging, out)
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+            with open(os.path.join(out, _MANIFEST), "w") as f:
+                json.dump(manifest, f)
+            tmp = self._pointer_path() + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(gen_name)
+            os.replace(tmp, self._pointer_path())
 
     # -------------------------------------------------------- compaction
 
@@ -407,6 +465,16 @@ class ParquetUpsertTable:
 
         gen_name, staging = self._next_generation()
         df.write.partitionBy(_BUCKET).mode("overwrite").parquet(staging)
+        if os.path.exists(
+            os.path.join(staging, f"{_BUCKET}=__HIVE_DEFAULT_PARTITION__")
+        ):
+            # NULL bucket ids (see apply()'s guard) — those rows would
+            # silently vanish from the manifest's written set below
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError(
+                "compaction bucketer produced NULL bucket ids — see "
+                "apply(): keys must be non-null and bucket to integers"
+            )
         written = {
             int(d.split("=")[1])
             for d in os.listdir(staging)
@@ -468,11 +536,11 @@ class ParquetUpsertTable:
         cur = self.current_generation()
         if cur is None:
             return []
-        cur_n = int(os.path.basename(cur).split("_")[1])
+        cur_n = _gen_number(cur)
         with_manifest = [
             g
             for g in gens
-            if int(g.split("_")[1]) <= cur_n
+            if _gen_number(g) <= cur_n
             and os.path.exists(os.path.join(self.root, g, _MANIFEST))
         ]
         keep_manifests = with_manifest[-retain_last:]

@@ -408,3 +408,108 @@ def test_concurrent_writer_lost_update_detected(spark, tmp_path):
     t1.apply(spark.createDataFrame([(3, "c")], "k long, v string"))
     got = {r.k: r.v for r in t1.read().collect()}
     assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_apply_recovers_from_crash_orphan_generation(spark, tmp_path):
+    """A crash between manifest write and pointer flip leaves a
+    manifest-bearing gen dir BEYOND the pointer. The next apply()
+    derives the same generation number; the commit must treat the
+    orphan as crash garbage (committed = at-or-before the pointer, the
+    same definition read()/vacuum() use) and replace it — not wedge
+    every future merge with an unresolvable 'already published'
+    error."""
+    import json as _json
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
+    t.apply(spark.createDataFrame([(1, "a")], "k long, v string"))
+
+    # simulate the crash: gen_000001 fully staged WITH manifest, but
+    # _CURRENT still points at gen_000000
+    orphan = os.path.join(t.root, "gen_000001")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "_MANIFEST.json"), "w") as f:
+        _json.dump({"n_buckets": 4, "buckets": {}, "schema": []}, f)
+
+    t.apply(spark.createDataFrame([(2, "b")], "k long, v string"))
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: "a", 2: "b"}
+    assert os.path.basename(t.current_generation()) == "gen_000001"
+
+
+def test_null_bucket_ids_fail_loudly(spark, tmp_path):
+    """A NULL bucket id (a NULL key under range_bucketer — CAST of NULL
+    is NULL even under ANSI; non-numeric strings already raise at the
+    ANSI CAST) must refuse the merge up front: committing would write
+    rows to __HIVE_DEFAULT_PARTITION__ while the manifest records a
+    __bucket=None path that never exists, wedging every later read.
+    Compaction must refuse the same corruption."""
+    # mixed null/non-null long keys (previously a TypeError from
+    # sorted([None, 0]) at best, the manifest corruption at worst)
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "t"), key="k", bucketer=range_bucketer(100)
+    )
+    with pytest.raises(ValueError, match="NULL bucket"):
+        t.apply(spark.createDataFrame([(None, 1), (7, 2)], "k long, v long"))
+    assert t.read() is None  # nothing was committed
+
+    # compact() with a bucketer that NULLs keys refuses too
+    def null_bucketer(df, keys, n):
+        return F.lit(None).cast("int")
+
+    null_bucketer.fingerprint = "null:test"
+    t3 = ParquetUpsertTable(spark, str(tmp_path / "t3"), key="k")
+    t3.apply(spark.createDataFrame([("x", 1)], "k string, v long"))
+    with pytest.raises(ValueError, match="NULL bucket"):
+        t3.compact(bucketer=null_bucketer)
+
+
+def test_custom_bucketer_requires_explicit_fingerprint(spark, tmp_path):
+    """A custom bucketer without .fingerprint must be rejected: the
+    __name__/repr fallbacks either collide (two different functions
+    both named 'bucketer' pass the mismatch guard — the key-misrouting
+    bug it exists to prevent) or embed a per-run memory address (false
+    mismatch on every restart)."""
+    def bucketer(df, keys, n):
+        return F.lit(0)
+
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "t"), key="k", bucketer=bucketer
+    )
+    with pytest.raises(ValueError, match="fingerprint"):
+        t.apply(spark.createDataFrame([(1, "a")], "k long, v string"))
+    bucketer.fingerprint = "const:0"
+    t.apply(spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert {r.k: r.v for r in t.read().collect()} == {1: "a"}
+
+
+def test_combine_merge_evolves_schema(spark, tmp_path):
+    """combine mode + evolve_schema: a batch adding a new metric column
+    must fold, with the new metric's running aggregate starting from
+    the batches that carry it (old rows contribute NULL, which every
+    combiner ignores)."""
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "t"), key="k", evolve_schema=True
+    )
+    t.apply(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, views long"),
+        combine={"views": "sum"},
+    )
+    t.apply(
+        spark.createDataFrame([(1, 5, 7)], "k long, views long, clicks long"),
+        combine={"views": "sum", "clicks": "sum"},
+    )
+    got = {r.k: (r.views, r.clicks) for r in t.read().collect()}
+    assert got == {1: (15, 7), 2: (20, None)}
+
+
+def test_merge_aggregate_validation(spark):
+    """combine entries naming grouping columns (duplicate output
+    columns downstream) or columns absent from both frames must raise
+    the semantic error, not a late analysis exception."""
+    from airflow_jira_etl_spark.operators.upsert import merge_aggregate
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="key/cluster"):
+        merge_aggregate(df, df, "k", {"k": "max", "v": "sum"})
+    with pytest.raises(ValueError, match="absent"):
+        merge_aggregate(df, df, "k", {"v": "sum", "ghost": "sum"})
