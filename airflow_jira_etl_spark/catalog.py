@@ -139,7 +139,14 @@ _FILE_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
 
 
 def file_schema(spark: SparkSession, path: str) -> T.StructType:
-    """The file's OWN schema as Spark reads it (footer only)."""
+    """The file's OWN schema as Spark reads it (footer only). Ensures
+    the engine's runtime confs first — without nanosAsLong an
+    externally-built session CRASHES on a TIMESTAMP(NANOS) footer
+    instead of sniffing it, and a conf-dependent sniff result must
+    never enter the (conf-blind) cache."""
+    from airflow_jira_etl_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     st = os.stat(path)
     key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
     if key not in _FILE_SCHEMA_CACHE:
@@ -192,8 +199,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def conform(raw: DataFrame, declared: T.StructType) -> DataFrame:
     """Project a frame read under its file's own schema onto the
     declared contract: column selection by name + logical casts. Shared
-    by the batch loader and the streaming source."""
+    by the batch loader and the streaming source — so the
+    missing-column check lives HERE, where every caller passes (a
+    drifted fixture lacking a declared column must fail with this
+    message, not a KeyError or an unresolved-column exception)."""
     actual_types = {f.name: f.dataType for f in raw.schema.fields}
+    missing = [f.name for f in declared.fields if f.name not in actual_types]
+    if missing:
+        raise ValueError(
+            f"frame lacks declared columns {missing}; "
+            f"it has {sorted(actual_types)}"
+        )
 
     def conv(f: T.StructField):
         # TIMESTAMP(NANOS) surfaces as long under nanosAsLong: a plain

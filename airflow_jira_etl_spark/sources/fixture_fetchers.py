@@ -50,3 +50,52 @@ def synthetic_issues_fetcher(options: dict):
         }
 
     return fetch
+
+
+def typed_issues_fetcher(options: dict):
+    """Factory: records carry RAW TYPED values (int id, bool flag, dict
+    payload) — the emulator for non-string DDLs, where typed cells must
+    pass through to Spark's verification and only STRING fields
+    JSON-encode structured values."""
+
+    def fetch(url: str, params: dict | None = None) -> dict:
+        params = params or {}
+        start = int(params.get("startAt", 0))
+        records = [
+            {
+                "id": i,
+                "key": f"PROJ-{i}",
+                "flagged": i % 2 == 0,
+                "fields": {"rank": i * 10},
+            }
+            for i in range(TOTAL)
+        ]
+        page = records[start : start + STRIDE]
+        return {
+            "startAt": start,
+            "maxResults": STRIDE,
+            "total": TOTAL,
+            "issues": page,
+        }
+
+    return fetch
+
+
+SINGLE_PAGE_N = 7
+
+
+def totalless_fetcher(options: dict):
+    """Factory: an endpoint that reports NO ``total`` (the A4
+    single-page shape) — all records live in page 0, later offsets
+    return empty pages. The batch reader must emit one partition; the
+    stream reader must ingest page 0 exactly once, not stay empty
+    forever (nor loop)."""
+
+    def fetch(url: str, params: dict | None = None) -> dict:
+        start = int((params or {}).get("startAt", 0))
+        records = (
+            [_record(i) for i in range(SINGLE_PAGE_N)] if start == 0 else []
+        )
+        return {"startAt": start, "maxResults": STRIDE, "issues": records}
+
+    return fetch

@@ -75,6 +75,18 @@ def with_retry(
     raise last  # type: ignore[misc]
 
 
+def page_plan(page: dict) -> tuple[int | None, int]:
+    """The offset-pagination facts of one response: (total, stride).
+    ``total`` is None when the endpoint does not report one (the A4
+    single-page shape) — callers must not conflate that with an empty
+    result set. ONE parse shared by every offset scanner (batch
+    DataSource, stream reader, the fan-out scan below); the total=0
+    guard diverged between two hand-rolled copies once already."""
+    total = page.get("total")
+    stride = int(page.get("maxResults", 100) or 100)
+    return (int(total) if total is not None else None, stride)
+
+
 def http_fetcher(auth_scheme: str, token_env: str) -> Fetcher:
     """A1: GET url+params with an auth header, parse JSON, raise on
     HTTP error. ``requests`` is optional in this environment — the
@@ -100,6 +112,18 @@ def http_fetcher(auth_scheme: str, token_env: str) -> Fetcher:
         return resp.json()
 
     return fetch
+
+
+def http_fetcher_factory(options: dict) -> Fetcher:
+    """Factory with the custom-DataSource ``(options) -> fetch`` shape
+    (rest_datasource's ``fetcher`` option is a dotted path to one of
+    these): reads ``auth_scheme``/``token_env`` from the source options
+    with the reference's defaults (Bearer auth, token from env —
+    jira_fetcher.py:14-16)."""
+    return http_fetcher(
+        options.get("auth_scheme", "Bearer"),
+        options.get("token_env", "API_TOKEN"),
+    )
 
 
 # --------------------------------------------------------------- scans
@@ -139,9 +163,17 @@ def offset_scan_parallel(
 
     At 100 TB-scale ingest the fetch cost dominates; this turns an
     O(pages) serial wall-clock into O(pages / executors)."""
+    if params and "startAt" in params:
+        # the offset range below assumes coverage begins at 0; a caller-
+        # supplied startAt would skip [0, startAt) and double-fetch the
+        # page the range re-derives — refuse rather than silently do so
+        raise ValueError(
+            "offset_scan_parallel owns the startAt parameter (pages fan "
+            "out from offset 0); pass only filter params"
+        )
     first = with_retry(lambda: fetcher(url, params))
-    total = int(first.get("total", 0))  # type: ignore[union-attr]
-    stride = int(first.get("maxResults", 100)) or 100  # type: ignore[union-attr]
+    total, stride = page_plan(first)  # type: ignore[arg-type]
+    total = total or 0
     first_records = [json.dumps(r) for r in first.get(records_key, [])]  # type: ignore[union-attr]
 
     offsets = list(range(stride, total, stride))  # page 0 already fetched
@@ -177,6 +209,15 @@ def single_page_scan(fetcher: Fetcher, url: str, params: dict | None = None) -> 
     """A4: one GET whose response is a bare JSON list
     (``users_processor.py:71,82``)."""
     page = with_retry(lambda: fetcher(url, params))
+    if isinstance(page, dict):
+        # list(dict) would silently yield the KEY STRINGS (e.g. Jira's
+        # {"errorMessages": ..., "errors": ...} error body under HTTP
+        # 200), which flatten downstream into all-NULL rows
+        raise TypeError(
+            f"single-page endpoint returned an object, not a list "
+            f"(keys {sorted(page)[:5]}) — wrong endpoint shape or an "
+            f"API error body"
+        )
     return list(page)  # type: ignore[arg-type]
 
 

@@ -13,9 +13,10 @@
   the same way, ``fetch_jira_tempo_worklogs.py:60-63``), shrinking
   ``total`` — and therefore the partition count — at the source;
 * **pluggable fetch** — the ``fetcher`` option is a dotted path to a
-  factory ``(options) -> fetch(url, params)``; production wires an HTTP
-  fetcher (sources/paged_rest.http_fetcher), tests a deterministic
-  emulator (sources/fixture_fetchers).
+  factory ``(options) -> fetch(url, params)``; production wires
+  ``sources/paged_rest:http_fetcher_factory`` (reads auth_scheme/
+  token_env from the options), tests a deterministic emulator
+  (sources/fixture_fetchers).
 
 Options:
   url           endpoint URL (required)
@@ -30,7 +31,7 @@ from __future__ import annotations
 
 import importlib
 import json
-from collections.abc import Iterator, Sequence
+from collections.abc import Iterable, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -40,15 +41,38 @@ from pyspark.sql.datasource import (
     InputPartition,
     SimpleDataSourceStreamReader,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructType
 
-from airflow_jira_etl_spark.sources.paged_rest import with_retry
+from airflow_jira_etl_spark.sources.paged_rest import page_plan, with_retry
 
 
 def _load_fetcher(spec: str, options: dict):
     mod_name, _, fn_name = spec.partition(":")
     factory = getattr(importlib.import_module(mod_name), fn_name)
     return factory(options)
+
+
+def _row_encoder(schema: StructType):
+    """record dict -> row tuple under the declared schema: STRING fields
+    JSON-encode structured values (the flatten contract — a nested
+    object lands as its JSON text), while TYPED fields pass raw values
+    through for Spark's own verification. JSON-encoding a typed cell
+    (the old behavior) handed "5" to an IntegerType field — a
+    type-verification error at best, silent corruption at worst."""
+    names = schema.fieldNames()
+    is_str = [isinstance(f.dataType, StringType) for f in schema.fields]
+
+    def encode(rec: dict) -> tuple:
+        return tuple(
+            (
+                v
+                if v is None or not s or isinstance(v, str)
+                else json.dumps(v)
+            )
+            for v, s in zip((rec.get(n) for n in names), is_str)
+        )
+
+    return encode
 
 
 class _OffsetPartition(InputPartition):
@@ -93,9 +117,10 @@ class PagedRestReader(DataSourceReader):
         params = dict(self.api_params)
         params["startAt"] = 0
         first = with_retry(lambda: fetch(self.url, params))
-        total = int(first.get("total", 0))
-        stride = int(first.get("maxResults", 100)) or 100
-        offsets = list(range(0, max(total, 1), stride))
+        total, stride = page_plan(first)
+        # a total-less response is the A4 single-page shape: one
+        # partition carrying the prefetched page, never zero partitions
+        offsets = list(range(0, max(total or 0, 1), stride))
         return [
             _OffsetPartition(
                 o, prefetched=first.get(self.records_key, []) if o == 0 else None
@@ -113,15 +138,13 @@ class PagedRestReader(DataSourceReader):
             page = with_retry(lambda: fetch(self.url, params))
             records = page.get(self.records_key, [])
         names = self.schema.fieldNames()
-        from pyspark.sql.types import StringType
 
         if not all(isinstance(f.dataType, StringType) for f in self.schema.fields):
-            # generic fallback for non-string DDLs: row tuples
+            # generic fallback for non-string DDLs: row tuples, typed
+            # cells passed raw (see _row_encoder)
+            encode = _row_encoder(self.schema)
             for rec in records:
-                yield tuple(
-                    v if isinstance(v, str) or v is None else json.dumps(v)
-                    for v in (rec.get(n) for n in names)
-                )
+                yield encode(rec)
             return
         # One Arrow batch per page instead of per-row tuple yields: the
         # harness then ships the whole page through one Arrow transfer
@@ -177,36 +200,48 @@ class PagedRestStreamReader(SimpleDataSourceStreamReader):
         return with_retry(lambda: fetch(self.url, params))
 
     def _rows(self, page: dict):
-        names = self.schema.fieldNames()
+        encode = _row_encoder(self.schema)
         for rec in page.get(self.records_key, []):
-            yield tuple(
-                v if isinstance(v, str) or v is None else json.dumps(v)
-                for v in (rec.get(n) for n in names)
-            )
+            yield encode(rec)
 
     def read(self, start: dict):
         start_at = int(start["startAt"])
         rows: list[tuple] = []
+        stride = int(start.get("stride", 0))
         for _ in range(self.max_pages_per_batch):
             page = self._fetch_page(start_at)
-            total = int(page.get("total", 0))
-            stride = int(page.get("maxResults", 100)) or 100
+            total, stride = page_plan(page)
+            if total is None:
+                # A4 single-page shape (no reported total): page 0 is
+                # the whole dataset — ingest it once (matching the
+                # batch reader's one-partition behavior), advance the
+                # offset past it, and never trust a pathological server
+                # that keeps echoing records for later startAts
+                if start_at == 0:
+                    rows.extend(self._rows(page))
+                    start_at += stride
+                break
             if start_at >= total:
                 break
             rows.extend(self._rows(page))
             start_at += stride
-        return iter(rows), {"startAt": start_at}
+        # the stride rides in the offset so a recovery REPLAY of this
+        # batch re-pages with the stride the original read used, even if
+        # the server's maxResults changed in between
+        return iter(rows), {"startAt": start_at, "stride": stride}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
         # deterministic replay for recovery: re-fetch the page range
+        # under the ORIGINAL stride when the committed offset carries
+        # one (older checkpoints fall back to the live response's)
         start_at = int(start["startAt"])
         end_at = int(end["startAt"])
+        pinned = int(end.get("stride", 0))
         rows: list[tuple] = []
         while start_at < end_at:
             page = self._fetch_page(start_at)
-            stride = int(page.get("maxResults", 100)) or 100
             rows.extend(self._rows(page))
-            start_at += stride
+            start_at += pinned or page_plan(page)[1]
         return iter(rows)
 
     def commit(self, end: dict) -> None:

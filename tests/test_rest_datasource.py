@@ -90,3 +90,138 @@ def test_streaming_source_resumes_from_checkpoint(spark, tmp_path):
     assert sorted(ids) == list(range(fixture_fetchers.TOTAL))  # no dups, no gaps
     # it genuinely took multiple restarts (2 pages = 50 records per run)
     assert n_runs >= 3
+
+
+def test_typed_ddl_passes_raw_values_through(spark):
+    """Non-string DDLs: typed record values (int, bool) must reach Spark
+    RAW — the old encoder JSON-stringified every non-string value, so an
+    IntegerType field received "5" and the read crashed. STRING fields
+    still JSON-encode structured values (nested dicts)."""
+    df = (
+        spark.read.format("paged_rest")
+        .options(
+            url="https://api/search",
+            fetcher="airflow_jira_etl_spark.sources.fixture_fetchers:typed_issues_fetcher",
+            schema_ddl="id int, key string, flagged boolean, fields string",
+            records_key="issues",
+        )
+        .load()
+    )
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == fixture_fetchers.TOTAL
+    assert rows[5].id == 5 and rows[5].flagged is False
+    assert rows[4].flagged is True
+    import json
+
+    assert json.loads(rows[3].fields) == {"rank": 30}
+
+
+def test_totalless_endpoint_single_page(spark, tmp_path):
+    """An endpoint reporting no ``total`` (A4 single-page shape): the
+    batch read returns page 0 in one partition; the STREAM ingests page
+    0 exactly once — previously it computed total=0, broke before
+    emitting, and stayed empty forever."""
+    opts = {
+        "url": "https://api/users",
+        "fetcher": "airflow_jira_etl_spark.sources.fixture_fetchers:totalless_fetcher",
+        "schema_ddl": "id string, key string",
+        "records_key": "issues",
+    }
+    batch = spark.read.format("paged_rest").options(**opts).load()
+    assert batch.count() == fixture_fetchers.SINGLE_PAGE_N
+    assert batch.rdd.getNumPartitions() == 1
+
+    stream = spark.readStream.format("paged_rest").options(**opts).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("totalless_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT id FROM totalless_stream").collect()
+    ids = sorted(int(r.id) for r in got)
+    assert ids == list(range(fixture_fetchers.SINGLE_PAGE_N))  # once, no dup
+
+
+def test_stream_offsets_pin_the_page_stride(spark):
+    """read() must record the stride it paged with in the returned
+    offset, so a recovery replay re-pages under the ORIGINAL stride even
+    if the server's maxResults changed between read and replay."""
+    from pyspark.sql.types import StructType
+
+    from airflow_jira_etl_spark.sources.rest_datasource import (
+        PagedRestStreamReader,
+    )
+
+    schema = StructType.fromDDL("id string, key string")
+    r = PagedRestStreamReader(
+        schema,
+        {
+            "url": "https://api/search",
+            "fetcher": "airflow_jira_etl_spark.sources.fixture_fetchers:synthetic_issues_fetcher",
+        },
+    )
+    rows, off = r.read({"startAt": 0})
+    assert off == {"startAt": fixture_fetchers.STRIDE, "stride": fixture_fetchers.STRIDE}
+    assert len(list(rows)) == fixture_fetchers.STRIDE
+    # replay honors the pinned stride over the live response's
+    replay = list(r.readBetweenOffsets({"startAt": 0}, off))
+    assert len(replay) == fixture_fetchers.STRIDE
+
+
+def test_single_page_scan_rejects_object_response(spark):
+    """A dict response (an API error body under HTTP 200) must raise,
+    not silently become a list of key strings."""
+    from airflow_jira_etl_spark.sources.paged_rest import single_page_scan
+
+    err_body = {"errorMessages": ["boom"], "errors": {}}
+    with pytest.raises(TypeError, match="object, not a list"):
+        single_page_scan(lambda url, params=None: err_body, "https://api/x")
+
+
+def test_offset_scan_parallel_rejects_caller_start_at(spark):
+    """The fan-out scan owns startAt (pages cover from 0); a caller-
+    supplied offset would silently skip or double-fetch pages."""
+    from airflow_jira_etl_spark.sources.fixture_fetchers import (
+        synthetic_issues_fetcher,
+    )
+    from airflow_jira_etl_spark.sources.paged_rest import offset_scan_parallel
+
+    with pytest.raises(ValueError, match="startAt"):
+        offset_scan_parallel(
+            spark,
+            synthetic_issues_fetcher({}),
+            "https://api/search",
+            params={"startAt": 50},
+        )
+
+
+def test_http_fetcher_factory_has_datasource_shape():
+    """The documented production wiring is (options) -> fetch: the
+    factory must accept one options dict (the raw http_fetcher takes
+    two positional strings and crashed when wired as documented)."""
+    from airflow_jira_etl_spark.sources.paged_rest import http_fetcher_factory
+
+    fetch = http_fetcher_factory({"auth_scheme": "Basic", "token_env": "T"})
+    assert callable(fetch)
+
+
+def test_conform_rejects_missing_declared_column(spark):
+    """conform() is shared by the batch loader AND the streaming source
+    — a drifted frame lacking a declared column must raise the explicit
+    ValueError from conform itself, not a KeyError."""
+    from pyspark.sql import types as T
+
+    from airflow_jira_etl_spark.catalog import conform
+
+    declared = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    raw = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="lacks declared columns"):
+        conform(raw, declared)
