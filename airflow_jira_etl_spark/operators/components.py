@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-MAX_ITERS = 10
+# propagation + pointer jumping roughly doubles each label's reach per
+# round, so 50 rounds cover component diameters past 2^50 — far beyond
+# any physical graph; the cap exists only to bound a logic bug, and
+# EXHAUSTING it raises rather than silently returning split components
+MAX_ITERS = 50
 
 # Edge sets below this collect to the driver for union-find — the same
 # size rule as a broadcast join's small side. Dup-pair edges are a tiny
@@ -140,17 +144,30 @@ def _connected_components(pairs: DataFrame, max_iters: int) -> DataFrame:
             new_labels = jumped.localCheckpoint()
         else:
             new_labels = jumped.cache()
+        # full count, deliberately NOT limit(1): the count must drain
+        # every partition so new_labels is fully cached before the old
+        # generation is unpersisted — an early-exiting probe would leave
+        # later rounds recomputing uncached partitions through joins
+        # reaching back to the last checkpoint
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()  # also materializes new_labels before the unpersist
+            .count()
         )
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning non-converged labels would emit SPLIT
+        # clusters (multiple canonical rows per true duplicate group)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"rounds — with pointer jumping that implies a component "
+            f"diameter past 2^{max_iters} or a bug; raise max_iters "
+            f"explicitly if the former is real"
+        )
     edges.unpersist()
     return labels
 

@@ -56,18 +56,25 @@ def compile_mapping(
     cols: list[Column] = []
     fields = {f.name: f for f in schema.fields} if schema is not None else None
     for key, mapped in mapping.items():
-        child_path = f"{path}.{key}" if path else key
+        # raw API keys are arbitrary strings: backtick-quote every path
+        # segment so a key containing '.' (or '`') resolves as ONE field,
+        # not as extra nesting
+        child_path = f"{path}.{_quote(key)}" if path else _quote(key)
         field = fields.get(key) if fields is not None else None
         if isinstance(mapped, dict):
-            child_schema = None
-            if field is not None and isinstance(field.dataType, T.StructType):
-                child_schema = field.dataType
-            if fields is not None and field is None:
-                # whole nested branch missing from the data → NULL leaves
+            if fields is not None and (
+                field is None or not isinstance(field.dataType, T.StructType)
+            ):
+                # branch missing from the data, OR present but not a
+                # struct (API shape drift): the reference requires
+                # isinstance(value, dict) and otherwise SKIPS the key
+                # (jira_base_processor.py:94-96) — which surfaces as SQL
+                # NULLs, never as a crash on `a.b` over a non-struct
                 cols.extend(
                     _null_leaves(mapped, _chain(parent, key))
                 )
                 continue
+            child_schema = field.dataType if field is not None else None
             cols.extend(
                 compile_mapping(
                     mapped, child_schema, child_path, _chain(parent, key), join_char
@@ -80,10 +87,17 @@ def compile_mapping(
             elif field is not None and isinstance(field.dataType, T.ArrayType):
                 # concat_ws maps a NULL array to '' — but a missing
                 # path must stay NULL (the reference emits no column,
-                # which surfaces as SQL NULL; SURVEY.md §2A note)
+                # which surfaces as SQL NULL; SURVEY.md §2A note).
+                # NULL ELEMENTS render as 'None', exactly the
+                # reference's '//'.join(map(str, value)) — concat_ws
+                # alone would silently DROP them, losing positions
                 arr = F.col(child_path)
                 joined = F.concat_ws(
-                    join_char, F.transform(arr, lambda x: x.cast("string"))
+                    join_char,
+                    F.transform(
+                        arr,
+                        lambda x: F.coalesce(x.cast("string"), F.lit("None")),
+                    ),
                 )
                 cols.append(
                     F.when(arr.isNull(), F.lit(None)).otherwise(joined).alias(name)
@@ -91,6 +105,12 @@ def compile_mapping(
             else:
                 cols.append(F.col(child_path).alias(name))
     return cols
+
+
+def _quote(key: str) -> str:
+    """Backtick-quote one column-path segment (backticks double-escaped,
+    per Spark identifier quoting)."""
+    return "`" + key.replace("`", "``") + "`"
 
 
 def _chain(parent: str, key: str) -> str:
@@ -120,6 +140,14 @@ def mapping_to_schema(
     Leaf types default to StringType; override per flat output name via
     ``leaf_types``. Used to parse raw JSON page payloads with an explicit
     schema (never inference — see catalog.py).
+
+    CONTRACT: a leaf whose API values are LISTS must be declared
+    ``ArrayType`` via ``leaf_types`` to receive the reference's ``'//'``
+    join — under the StringType default, ``from_json`` surfaces a JSON
+    array as its raw text (``'["a","b"]'``), not as ``'a//b'``. The
+    mapping dict alone cannot know which fields are lists; the caller
+    owning the endpoint's shape declares them, the same way it owns
+    ``records_key``.
     """
     leaf_types = leaf_types or {}
 

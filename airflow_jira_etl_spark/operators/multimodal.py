@@ -53,6 +53,13 @@ def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _norm(payload) -> bytes:
+    """NULL payloads read as zero-length media (n_bytes 0, no frames)
+    instead of killing the whole task with a TypeError inside the
+    kernel — one undecodable row must not fail a 100 TB job."""
+    return payload if payload is not None else b""
+
+
 def decode_features(media_df: DataFrame) -> DataFrame:
     """'Decode' each payload and emit per-item features.
 
@@ -64,7 +71,7 @@ def decode_features(media_df: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
+            payloads = pdf["payload"].map(_norm)
             n_bytes = payloads.map(len)
             byte_sum = payloads.map(lambda b: sum(b) if len(b) else 0)
             first = payloads.map(lambda b: b[0] if len(b) else -1)
@@ -89,11 +96,14 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame-sample each payload: split the byte stream into
     ``n_frames`` evenly spaced chunks (a real kernel would seek keyframes
     with a video codec). One row out per (item, frame)."""
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_idx, out_bytes = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = _norm(payload)
                 n = len(payload)
                 step = max(n // n_frames, 1)
                 for i in range(n_frames):
@@ -118,11 +128,14 @@ def resize_media(media_df: DataFrame, target_bytes: int = 256) -> DataFrame:
     the output contract (bounded payload per row, stride recorded for
     provenance) stays the same. Emits byte-exact summary stats so the
     fake is differentially checkable."""
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nb, st, ob, osum = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = _norm(payload)
                 n = len(payload)
                 k = max(-(-n // target_bytes), 1)
                 resized = payload[::k]

@@ -97,3 +97,42 @@ def test_mapping_to_schema_roundtrip(spark):
     parsed = json.loads(schema.json())
     names = [f["name"] for f in parsed["fields"]]
     assert "issue" in names and "author" in names
+
+
+def test_nested_mapping_over_non_struct_yields_nulls(spark):
+    """API shape drift: the data carries a scalar where the mapping
+    expects a nested dict. The reference requires isinstance(value,
+    dict) and otherwise SKIPS the key (jira_base_processor.py:94-96) —
+    SQL NULLs, never a crash on `a.b` over a non-struct column."""
+    from airflow_jira_etl_spark.operators.mapping import flatten
+
+    df = spark.createDataFrame(
+        [("gone", "k1")], "author string, key string"
+    )
+    out = flatten(df, {"author": {"accountId": "id"}, "key": "issue_key"})
+    row = out.collect()[0]
+    assert row.author_id is None and row.issue_key == "k1"
+
+
+def test_array_join_renders_null_elements_as_None(spark):
+    """The reference's '//'.join(map(str, value)) renders a null
+    element as 'None' — concat_ws alone would silently DROP it, losing
+    element positions and count."""
+    from airflow_jira_etl_spark.operators.mapping import flatten
+
+    df = spark.createDataFrame(
+        [(["a", None, "b"],), (None,)], "labels array<string>"
+    )
+    out = flatten(df, {"labels": "labels_joined"})
+    got = [r.labels_joined for r in out.collect()]
+    assert got == ["a//None//b", None]
+
+
+def test_mapping_keys_with_dots_resolve_as_one_field(spark):
+    """Raw API keys are arbitrary strings: a key containing '.' must
+    resolve as ONE column, not be misparsed as extra nesting."""
+    from airflow_jira_etl_spark.operators.mapping import flatten
+
+    df = spark.createDataFrame([("s1", "x")], "`sprint.name` string, other string")
+    out = flatten(df, {"sprint.name": "sprint"})
+    assert out.collect()[0].sprint == "s1"

@@ -102,3 +102,47 @@ def test_resize_media_stride_and_sums(spark):
     assert got[2].out_sum == ord("x") + ord("y")
     # empty payload: zero bytes out, zero sum, stride floor of 1
     assert got[3].stride == 1 and got[3].out_bytes == 0 and got[3].out_sum == 0
+
+
+def test_kernels_survive_null_payloads(spark):
+    """A NULL payload row must not kill the task: it reads as
+    zero-length media (n_bytes 0, no frames, empty resize) — one
+    undecodable row cannot be allowed to fail a 100 TB job."""
+    from airflow_jira_etl_spark.operators.multimodal import (
+        decode_features,
+        resize_media,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image/fake", b"abc", ("s", 3)), (2, "image/fake", None, ("s", 0))],
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<source:string, declared_len:long>",
+    )
+    feats = {r.doc_id: r.n_bytes for r in decode_features(media).collect()}
+    assert feats == {1: 3, 2: 0}
+    frames = sample_frames(media, n_frames=2).collect()
+    assert {r.doc_id for r in frames} == {1}  # no frames from empty media
+    rs = {r.doc_id: r.out_bytes for r in resize_media(media).collect()}
+    assert rs == {1: 3, 2: 0}
+
+
+def test_kernel_params_validated_at_api_boundary(spark):
+    """Degenerate parameters raise an immediate ValueError on the
+    driver, not a ZeroDivisionError buried in an executor traceback."""
+    import pytest
+
+    from airflow_jira_etl_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "x", b"a", ("s", 1))],
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<source:string, declared_len:long>",
+    )
+    with pytest.raises(ValueError, match="n_frames"):
+        sample_frames(media, n_frames=0)
+    with pytest.raises(ValueError, match="target_bytes"):
+        resize_media(media, target_bytes=0)

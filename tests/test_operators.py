@@ -224,6 +224,21 @@ def test_connected_components_distributed_path_matches_local(spark, monkeypatch)
     assert got[40] == 0 and got[102] == 100 and got[201] == 200
 
 
+def test_connected_components_raises_on_iteration_exhaustion(spark, monkeypatch):
+    """Exhausting the round cap must RAISE, never silently return
+    non-converged labels — split clusters would propagate downstream as
+    multiple canonical rows per true duplicate group."""
+    import pytest
+
+    import airflow_jira_etl_spark.operators.components as C
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame([Row(id1=i, id2=i + 1) for i in range(40)])
+    monkeypatch.setattr(C, "SMALL_EDGE_LIMIT", 0)  # force the distributed path
+    with pytest.raises(RuntimeError, match="did not converge"):
+        C.connected_components(pairs, max_iters=2)
+
+
 def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
     """Every approximate quartile must land within ±2% rank of the
     exact one (accuracy=10000 guarantees n/10000 rank error; 2% is a
