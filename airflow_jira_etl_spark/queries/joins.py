@@ -327,7 +327,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from airflow_jira_etl_spark.catalog import table_path
-    from airflow_jira_etl_spark.queries.scans import SCRATCH
+    from airflow_jira_etl_spark.scratch import SCRATCH, session_scratch
 
     wh = os.path.join(SCRATCH, "bucketed_wh")
     # identifier-safe tag (sf dirs contain dots: sf0.01)
@@ -339,12 +339,28 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta[t] = [st.st_mtime_ns, st.st_size]
     spark.sql(f"CREATE DATABASE IF NOT EXISTS buck_q LOCATION '{wh}'")
     li_name, o_name = f"buck_q.lineitem_{tag}", f"buck_q.orders_{tag}"
-    cached = False
-    try:
-        with open(meta_path) as f:
-            cached = json.load(f) == meta
-    except (FileNotFoundError, json.JSONDecodeError):
-        pass
+
+    def _files_current() -> bool:
+        try:
+            with open(meta_path) as f:
+                return json.load(f) == meta
+        except (FileNotFoundError, json.JSONDecodeError):
+            return False
+
+    cached = _files_current()
+    lk = None
+    if not cached:
+        # shared content-keyed cache, same hazard class as the event
+        # page cache: a concurrent session's rebuild would rmtree the
+        # bucket files under this session's lazily-returned join —
+        # serialize builders with a flock (held through the rebuild
+        # below) and re-validate inside it
+        import fcntl
+
+        os.makedirs(wh, exist_ok=True)
+        lk = open(wh + ".lock", "w")
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        cached = _files_current()
     if cached and not (
         spark.catalog.tableExists(li_name)
         and spark.catalog.tableExists(o_name)
@@ -370,37 +386,41 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             LOCATION '{os.path.join(wh, o_name.split(".")[1])}'
             """
         )
-    if not cached:
-        import shutil
+    try:
+        if not cached:
+            import shutil
 
-        # the session catalog is in-memory: a prior session's managed
-        # table dirs survive on disk unregistered — clear both name and
-        # location before rebuilding
-        for name in (li_name, o_name):
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
-            shutil.rmtree(
-                os.path.join(wh, name.split(".")[1]), ignore_errors=True
+            # the session catalog is in-memory: a prior session's managed
+            # table dirs survive on disk unregistered — clear both name and
+            # location before rebuilding
+            for name in (li_name, o_name):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                shutil.rmtree(
+                    os.path.join(wh, name.split(".")[1]), ignore_errors=True
+                )
+            lineitem = catalog.load(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
             )
-        lineitem = catalog.load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_discount"
-        )
-        orders = catalog.load(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderpriority"
-        )
-        (
-            lineitem.write.bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
-            .mode("overwrite")
-            .saveAsTable(li_name)
-        )
-        (
-            orders.write.bucketBy(8, "o_orderkey")
-            .sortBy("o_orderkey")
-            .mode("overwrite")
-            .saveAsTable(o_name)
-        )
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
+            orders = catalog.load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            )
+            (
+                lineitem.write.bucketBy(8, "l_orderkey")
+                .sortBy("l_orderkey")
+                .mode("overwrite")
+                .saveAsTable(li_name)
+            )
+            (
+                orders.write.bucketBy(8, "o_orderkey")
+                .sortBy("o_orderkey")
+                .mode("overwrite")
+                .saveAsTable(o_name)
+            )
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+    finally:
+        if lk is not None:
+            lk.close()  # releases the flock
     li, o = spark.table(li_name), spark.table(o_name)
     # no broadcast-threshold toggling here: plans are lazy, so a conf
     # restored before the caller executes would not govern the run
@@ -511,9 +531,11 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension predicates the fact table never mentions."""
     import os
 
-    from airflow_jira_etl_spark.queries.scans import SCRATCH
+    from airflow_jira_etl_spark.scratch import SCRATCH, session_scratch
 
-    out_dir = os.path.join(SCRATCH, f"events_dpp_{os.path.basename(os.path.normpath(sf_dir))}")
+    out_dir = session_scratch(
+        "events_dpp", os.path.basename(os.path.normpath(sf_dir))
+    )
     events = catalog.load(spark, sf_dir, "events").select(
         "event_id", "user_id", fround(F.col("value")).alias("value"), "event_type"
     )

@@ -22,11 +22,8 @@ from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.registry import query
 from airflow_jira_etl_spark.sinks.parquet_upsert import ParquetUpsertTable
+from airflow_jira_etl_spark.scratch import SCRATCH, session_scratch
 from airflow_jira_etl_spark.streaming.source import pages_dir_for, write_event_pages
-
-SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
-)
 
 
 @query(
@@ -50,7 +47,10 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; rounding happens once at read, so fold order can't compound
     rounding error."""
     pages_dir = pages_dir_for(SCRATCH, sf_dir)
-    table_dir = os.path.join(SCRATCH, "mv_user_profile")
+    # per-session (tag + pid): a concurrent session must not destroy()
+    # this MV table mid-refresh (see airflow_jira_etl_spark.scratch)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table_dir = session_scratch("mv_user_profile", tag)
     write_event_pages(spark, sf_dir, pages_dir, n_pages=4)
     table = ParquetUpsertTable(spark, table_dir, key="user_id", n_buckets=8)
     table.destroy()  # fresh run: destroy leaves an empty, usable root

@@ -17,7 +17,7 @@ from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.operators.upsert import upsert
 from airflow_jira_etl_spark.registry import query
 
-SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+from airflow_jira_etl_spark.scratch import SCRATCH, session_scratch
 
 
 @query(
@@ -201,7 +201,7 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     two partitions. The read-back filter becomes a PartitionFilter
     (directory pruning — asserted in tests/test_scale_patterns.py):
     untouched partitions are never listed, let alone scanned."""
-    out_dir = os.path.join(SCRATCH, "events_by_type")
+    out_dir = session_scratch("events_by_type", os.path.basename(os.path.normpath(sf_dir)))
     events = catalog.load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.round(F.col("value") + F.lit(1e-9), 4).alias("value")
     )
@@ -230,7 +230,7 @@ def sink_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``fetch_jira_tempo_worklogs.py:102-106``). Writes a real parquet
     table to a scratch dir and reads it back; the oracle is the source
     relation itself, so the round-trip must be lossless."""
-    out_dir = os.path.join(SCRATCH, "sink_create_table")
+    out_dir = session_scratch("sink_create_table", os.path.basename(os.path.normpath(sf_dir)))
     shutil.rmtree(out_dir, ignore_errors=True)
     catalog.register_views(spark, sf_dir)
     df = spark.sql(
@@ -268,7 +268,7 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round(F.col("o_totalprice") + F.lit(1e-9), 4).alias("o_totalprice"),
     )
-    root = os.path.join(SCRATCH, "time_travel_table")
+    root = session_scratch("time_travel_table", os.path.basename(os.path.normpath(sf_dir)))
     table = ParquetUpsertTable(spark, root, key="o_orderkey", n_buckets=8)
     table.destroy()  # fresh run: destroy leaves an empty, usable root
     table.apply(base)  # gen 0
@@ -299,7 +299,7 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp/float lossiness in the writer or parser breaks the hash."""
     from pyspark.sql import types as T
 
-    out_dir = os.path.join(SCRATCH, "events_jsonl")
+    out_dir = session_scratch("events_jsonl", os.path.basename(os.path.normpath(sf_dir)))
     events = catalog.load(spark, sf_dir, "events").select(
         "event_id",
         "ts",
@@ -345,7 +345,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip identity."""
     from pyspark.sql import types as T
 
-    out_dir = os.path.join(SCRATCH, "events_csv")
+    out_dir = session_scratch("events_csv", os.path.basename(os.path.normpath(sf_dir)))
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
     events = catalog.load(spark, sf_dir, "events").select(
         "event_id",
@@ -395,7 +395,7 @@ def sink_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_patterns.py). At 100 TB this layout choice — not
     any compute change — is what turns a point-range query from a full
     scan into touching ~1/N of the files."""
-    out_dir = os.path.join(SCRATCH, "events_sorted")
+    out_dir = session_scratch("events_sorted", os.path.basename(os.path.normpath(sf_dir)))
     events = catalog.load(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", fround(F.col("value")).alias("value")
     )
@@ -432,7 +432,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeSchema costs a footer read per file — fine per-query here; a
     production table keeps the merged schema in a catalog/metastore so
     the read path goes back to one footer."""
-    out_dir = os.path.join(SCRATCH, "orders_evolving")
+    out_dir = session_scratch("orders_evolving", os.path.basename(os.path.normpath(sf_dir)))
     shutil.rmtree(out_dir, ignore_errors=True)
     orders = catalog.load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
@@ -468,7 +468,7 @@ def scan_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(SCRATCH, f"events_corrupt_{tag}")
+    out_dir = session_scratch("events_corrupt", tag)
     events = catalog.load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", fround(F.col("value")).alias("value")
     )

@@ -32,13 +32,15 @@ from airflow_jira_etl_spark.streaming.source import (
     write_event_pages,
 )
 
-SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
-)
+from airflow_jira_etl_spark.scratch import SCRATCH, session_scratch
 
 
 def _ck(name: str) -> str:
-    return os.path.join(SCRATCH, "checkpoints", name)
+    """Per-SESSION checkpoint path: keyed by pid so concurrent sessions
+    never delete each other's live streaming checkpoints; dead
+    sessions' leftovers are reaped by session_scratch, live runs clean
+    up after themselves in run_available_now."""
+    return session_scratch("checkpoints", name)
 
 
 @query(
@@ -176,9 +178,11 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(event time) - 10 min, and exactly the windows whose END the
     watermark has passed are emitted — the oracle computes that
     closed-window set directly. The subset property against the
-    unfiltered batch agg stays asserted in tests/test_streaming.py."""
-    import shutil
-
+    unfiltered batch agg stays asserted in tests/test_streaming.py.
+    Boundary measured, not assumed: Spark's append mode DOES emit a
+    window whose end equals the final watermark exactly (max ts on
+    hh:10:00.000000 → wm hh:00:00 → window ending hh:00:00 emitted),
+    matching the oracle's ``window_end <= wm`` inclusively."""
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), "event_type")
@@ -189,19 +193,9 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    ck = _ck("watermark")
-    shutil.rmtree(ck, ignore_errors=True)
-    with scoped_shuffle_partitions(spark):
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName("stream_watermark_out")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.sql("SELECT * FROM stream_watermark_out")
+    return run_available_now(
+        agg, _ck("watermark"), "stream_watermark_out", output_mode="append"
+    )
 
 
 @query(
@@ -218,21 +212,9 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    ck = _ck("dedup")
-    import shutil
-
-    shutil.rmtree(ck, ignore_errors=True)
-    with scoped_shuffle_partitions(spark):
-        q = (
-            dedup.writeStream.outputMode("append")
-            .format("memory")
-            .queryName("stream_dedup_out")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.sql("SELECT * FROM stream_dedup_out")
+    return run_available_now(
+        dedup, _ck("dedup"), "stream_dedup_out", output_mode="append"
+    )
 
 
 @query(
@@ -256,8 +238,6 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the final state is max_by(value, n_events), correct even for
     value columns that could go negative (sums are NOT assumed
     monotone)."""
-    import shutil
-
     from airflow_jira_etl_spark.streaming.stateful import running_user_profile
 
     # same page layout as the foreachBatch/MV queries — one shared
@@ -272,27 +252,13 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(pages_dir, "page_*"))
     )
     profile = running_user_profile(stream)
-    ck = _ck("stateful")
-    shutil.rmtree(ck, ignore_errors=True)
-    with scoped_shuffle_partitions(spark):
-        q = (
-            profile.writeStream.outputMode("update")
-            .format("memory")
-            .queryName("stream_stateful_out")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.sql(
-        """
-        SELECT user_id,
-               max(n_events) AS n_events,
-               round(max_by(total_value, n_events) + 1e-9, 4) AS total_value,
-               round(max_by(peak_value, n_events) + 1e-9, 4) AS peak_value
-        FROM stream_stateful_out
-        GROUP BY user_id
-        """
+    out = run_available_now(
+        profile, _ck("stateful"), "stream_stateful_out", output_mode="update"
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        fround(F.max_by("total_value", "n_events")).alias("total_value"),
+        fround(F.max_by("peak_value", "n_events")).alias("peak_value"),
     )
 
 
@@ -318,7 +284,12 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_jira_etl_spark.sinks.parquet_upsert import range_bucketer
 
     pages_dir = pages_dir_for(SCRATCH, sf_dir)
-    table_dir = os.path.join(SCRATCH, "upsert_table")
+    # per-SESSION table dir (sf tag + pid): the returned DataFrame reads
+    # these files lazily, so the dir must outlive this call — but a
+    # shared name would let a concurrent session destroy() the table
+    # under this session's running MERGE. Dead sessions' dirs are reaped.
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table_dir = session_scratch("upsert_tables", tag)
     # 4 pages = 4 real micro-batches: enough to exercise cross-batch
     # merge + manifest chaining; per-batch harness latency is the cost
     page_size = write_event_pages(spark, sf_dir, pages_dir, n_pages=4)
@@ -348,14 +319,17 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(ck, ignore_errors=True)
-    with scoped_shuffle_partitions(spark):
-        q = (
-            raw.writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with scoped_shuffle_partitions(spark):
+            q = (
+                raw.writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)  # per-run throwaway
     # maintenance pass, the full table lifecycle: compaction re-points
     # every bucket at one generation (the per-page merges left the live
     # manifest scattered across one generation per micro-batch), then
@@ -464,21 +438,9 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
         "purchase_ts",
     )
-    ck = _ck("ss_interval_join")
-    import shutil
-
-    shutil.rmtree(ck, ignore_errors=True)
-    with scoped_shuffle_partitions(spark):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName("stream_ssj_out")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.sql("SELECT * FROM stream_ssj_out")
+    return run_available_now(
+        joined, _ck("ss_interval_join"), "stream_ssj_out", output_mode="append"
+    )
 
 
 @query(

@@ -1,0 +1,51 @@
+"""Per-session scratch paths for sink/stream queries.
+
+Sink and streaming queries materialize real on-disk state (upsert
+tables, checkpoint logs, written-out tables) under ``.scratch/``. A
+FIXED path there is a concurrency bug: two sessions (a test run
+alongside a bench run — the scenario the page cache's flock already
+defends against) destroy()/overwrite each other's live state mid-query.
+
+The rule here: every such path is keyed by ``<tag>_<pid>`` so sessions
+are mutually invisible, and dirs whose owning process is gone are
+reaped on the next use of the same kind — bounded growth without ever
+touching a LIVE session's state. (Shared CACHES keyed by source
+content — the event page cache, the IVF index — stay shared by design
+and serialize builders with flocks instead.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def reap_dead_session_dirs(parent: str) -> None:
+    """Remove ``*_<pid>`` entries under ``parent`` whose owning process
+    no longer exists."""
+    try:
+        entries = os.listdir(parent)
+    except FileNotFoundError:
+        return
+    for e in entries:
+        pid = e.rsplit("_", 1)[-1]
+        if not pid.isdigit() or int(pid) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+
+
+def session_scratch(kind: str, tag: str = "") -> str:
+    """A per-session scratch path ``.scratch/<kind>/<tag>_<pid>``,
+    reaping the kind's dead-session leftovers on the way."""
+    parent = os.path.join(SCRATCH, kind)
+    os.makedirs(parent, exist_ok=True)
+    reap_dead_session_dirs(parent)
+    name = f"{tag}_{os.getpid()}" if tag else str(os.getpid())
+    return os.path.join(parent, name)

@@ -59,18 +59,30 @@ def _staged_events_dir(sf_dir: str) -> str:
         }
     else:
         wanted = {"events.parquet": src}
-    current = {
-        e: os.readlink(os.path.join(d, e))
-        for e in os.listdir(d)
-        if os.path.islink(os.path.join(d, e))
-    }
-    if current != wanted:
-        for e in os.listdir(d):
-            p = os.path.join(d, e)
-            if os.path.islink(p):
-                os.remove(p)
-        for name, target in wanted.items():
-            os.symlink(target, os.path.join(d, name))
+    def _current() -> dict:
+        return {
+            e: os.readlink(os.path.join(d, e))
+            for e in os.listdir(d)
+            if os.path.islink(os.path.join(d, e))
+        }
+
+    if _current() != wanted:
+        # same cross-process hazard class as write_event_pages: two
+        # fresh sessions racing the stage loop collide on os.symlink
+        # (FileExistsError), and a re-stage unlinks the whole set under
+        # another session's running stream — serialize with a flock and
+        # re-check inside it
+        import fcntl
+
+        with open(d + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if _current() != wanted:
+                for e in os.listdir(d):
+                    p = os.path.join(d, e)
+                    if os.path.islink(p):
+                        os.remove(p)
+                for name, target in wanted.items():
+                    os.symlink(target, os.path.join(d, name))
     return d
 
 
@@ -100,6 +112,23 @@ def pages_dir_for(scratch: str, sf_dir: str) -> str:
     return os.path.join(scratch, f"event_pages_{tag}")
 
 
+def _src_fingerprint(src: str) -> list:
+    """Content identity of the events source as (name, mtime_ns, size)
+    entries — one for a plain file, one PER PART FILE for a
+    directory-shaped parquet (whose own mtime does not reflect in-place
+    part rewrites)."""
+    if not os.path.isdir(src):
+        st = os.stat(src)
+        return [["", st.st_mtime_ns, st.st_size]]
+    out = []
+    for f in sorted(os.listdir(src)):
+        if f.startswith((".", "_")):
+            continue
+        st = os.stat(os.path.join(src, f))
+        out.append([f, st.st_mtime_ns, st.st_size])
+    return out
+
+
 def write_event_pages(
     spark: SparkSession, sf_dir: str, out_dir: str, n_pages: int = 8
 ) -> int:
@@ -118,45 +147,59 @@ def write_event_pages(
     two concurrent sessions (e.g. a test run alongside a bench run)
     otherwise race the check-rebuild sequence — one rmtree's the pages
     the other's running stream is reading mid-query. The loser of the
-    lock re-validates the meta and returns without rebuilding."""
+    lock re-validates the meta and returns without rebuilding.
+
+    A cache HIT costs only os.stat calls — no Spark job: the meta's
+    identity fields (source fingerprint, n_pages, layout) are checked
+    first and the recorded total derives the page size, so the
+    max(event_id) scan runs only when a rebuild is actually needed."""
     import json
 
-    from airflow_jira_etl_spark import catalog
-
-    events = catalog.load(spark, sf_dir, "events")
-    total = events.agg(F.max("event_id")).collect()[0][0] + 1
-    page_size = -(-total // n_pages)  # ceil
     src = table_path(sf_dir, "events")
-    st = os.stat(src)
-    # mtime+size identify the source CONTENT (a regenerated fixture with
-    # the same max event_id must invalidate the cache); "layout" is the
-    # page-format version — bump it when the written page schema changes
-    # (v2: ts persisted as a real timestamp, not raw long).
-    meta = {
+    ident = {
+        # the fingerprint covers DIRECTORY-shaped sources too (one entry
+        # per part file): a dir's own mtime does not change when a part
+        # file is overwritten in place, so stat'ing just the dir would
+        # serve stale pages after a fixture regeneration
         "src": src,
-        "src_mtime_ns": st.st_mtime_ns,
-        "src_size": st.st_size,
+        "src_fp": _src_fingerprint(src),
         "n_pages": n_pages,
-        "total": total,
+        # page-format version — bump when the written page schema
+        # changes (v2: ts persisted as a real timestamp, not raw long)
         "layout": 2,
     }
     meta_path = os.path.join(out_dir, "_PAGES_META.json")
 
-    def _meta_current() -> bool:
+    def _current_total() -> int | None:
         try:
             with open(meta_path) as f:
-                return json.load(f) == meta
+                m = json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
-            return False
+            return None
+        return m["total"] if {k: m.get(k) for k in ident} == ident else None
 
-    if _meta_current():  # fast path, no lock traffic in steady state
-        return page_size
+    total = _current_total()
+    if total is not None:  # fast path: zero Spark jobs, no lock traffic
+        return -(-total // n_pages)
+
+    from airflow_jira_etl_spark import catalog
+
+    events = catalog.load(spark, sf_dir, "events")
+    max_id = events.agg(F.max("event_id")).collect()[0][0]
+    if max_id is None:
+        raise ValueError(
+            f"events table at {src} is empty — cannot page a zero-row "
+            f"stream source"
+        )
+    total = int(max_id) + 1
+    page_size = -(-total // n_pages)  # ceil
+    meta = {**ident, "total": total}
     import fcntl
 
     os.makedirs(os.path.dirname(out_dir) or ".", exist_ok=True)
     with open(out_dir + ".lock", "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
-        if _meta_current():  # another process built it while we waited
+        if _current_total() == total:  # built while we waited
             return page_size
         return _build_event_pages(
             events, out_dir, meta, meta_path, n_pages, page_size
@@ -259,19 +302,30 @@ def scoped_shuffle_partitions(spark, n: str = STREAM_STATE_PARTITIONS):
                 spark.conf.unset(_PROVIDER_KEY)
 
 
-def run_available_now(stream_df: DataFrame, checkpoint: str, name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint: str,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Run a streaming DataFrame to completion with availableNow into a
-    memory sink; return the result as a batch DataFrame."""
+    memory sink; return the result as a batch DataFrame. The checkpoint
+    is a per-run throwaway (the result lives in the memory sink), so it
+    is removed after completion — crashed runs leave theirs for the
+    caller's dead-session reaper."""
     shutil.rmtree(checkpoint, ignore_errors=True)
     spark = stream_df.sparkSession
-    with scoped_shuffle_partitions(spark):
-        q = (
-            stream_df.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with scoped_shuffle_partitions(spark):
+            q = (
+                stream_df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name}")

@@ -283,10 +283,10 @@ def test_sorted_write_stats_enable_rowgroup_skipping(spark, sf_dir):
 
     registry.load_all_queries()
     registry.QUERIES["sink_sorted_write"](spark, sf_dir).count()
-    out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".scratch",
-        "events_sorted",
+    from airflow_jira_etl_spark.scratch import session_scratch
+
+    out_dir = session_scratch(
+        "events_sorted", os.path.basename(os.path.normpath(sf_dir))
     )
     total = overlapping = 0
     for f in os.listdir(out_dir):

@@ -55,14 +55,15 @@ def test_foreachbatch_compact_leaves_single_generation(spark, sf_dir):
     over run and every bucket resolves into the same directory."""
     import os
 
-    from airflow_jira_etl_spark.queries.streaming_queries import SCRATCH
+    from airflow_jira_etl_spark.scratch import session_scratch
     from airflow_jira_etl_spark.sinks.parquet_upsert import ParquetUpsertTable
 
     q = registry.QUERIES["stream_foreachbatch_upsert"]
     n_rows = q(spark, sf_dir).count()
 
+    tag = os.path.basename(os.path.normpath(sf_dir))
     t = ParquetUpsertTable(
-        spark, os.path.join(SCRATCH, "upsert_table"), key="event_id"
+        spark, session_scratch("upsert_tables", tag), key="event_id"
     )
     gens = t.generations()
     # 4 micro-batches commit gens 0..3, compact commits gen 4, vacuum
