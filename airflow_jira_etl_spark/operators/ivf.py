@@ -35,6 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.functions.similarity import cosine
 
 N_ITERS = 2
@@ -104,20 +105,24 @@ def build_index(
     filters prune directories.
 
     Builders are serialized across PROCESSES with an exclusive flock
-    (same hazard class as the streaming page cache): two concurrent
-    sessions otherwise race the check-rebuild sequence — one overwrites
-    directories the other's pruned scan is mid-read. The loser of the
-    lock re-validates the meta and reuses the winner's files."""
-    # meta_layout 3: the meta file also carries the quantizer itself
-    # (k centroid vectors), an anchor row (the min-vec_id vector) and
-    # the read-back schemas — driver-resident index assets in the FAISS
-    # sense, so a cache-hit open/search needs ZERO Spark jobs (no
-    # centroid collect, no probe head, no footer-inference job) before
-    # the pruned scan itself
-    key = {"k": k_clusters, "iters": N_ITERS, "tag": tag, "meta_layout": 3}
+    (same hazard class as the streaming page cache). Data dirs are
+    VERSIONED by the key hash (``v_<hash>/vectors``): a rebuild under a
+    NEW key (e.g. a regenerated fixture changed the tag) writes a fresh
+    version dir and GCs everything except the new version and the one
+    the previous meta referenced — so a reader mid-scan on the old
+    version (warm readers never take the lock, by design) survives one
+    rebuild instead of having its files deleted under it."""
+    # meta_layout 4: versioned data dirs (above); the meta also carries
+    # the quantizer itself (k centroid vectors), an anchor row (the
+    # min-vec_id vector) and the read-back schemas — driver-resident
+    # index assets in the FAISS sense, so a cache-hit open/search needs
+    # ZERO Spark jobs (no centroid collect, no probe head, no
+    # footer-inference job) before the pruned scan itself
+    key = {"k": k_clusters, "iters": N_ITERS, "tag": tag, "meta_layout": 4}
     meta_path = os.path.join(path, "_IVF_META.json")
-    vectors_dir = os.path.join(path, "vectors")
-    centroids_dir = os.path.join(path, "centroids")
+    vdir = _version_dir(key)
+    vectors_dir = os.path.join(path, vdir, "vectors")
+    centroids_dir = os.path.join(path, vdir, "centroids")
 
     def _meta_current() -> bool:
         try:
@@ -134,7 +139,7 @@ def build_index(
             fcntl.flock(lk, fcntl.LOCK_EX)
             if not _meta_current():  # still stale: we are the builder
                 _build_index_files(
-                    spark, emb, k_clusters, key, meta_path,
+                    spark, emb, k_clusters, key, path, meta_path,
                     vectors_dir, centroids_dir,
                 )
     # read back under the schemas RECORDED AT BUILD TIME: without an
@@ -153,18 +158,41 @@ def build_index(
     )
 
 
+def _version_dir(key: dict) -> str:
+    """Deterministic version-dir name for an index key."""
+    import hashlib
+
+    return "v_" + hashlib.sha1(
+        json.dumps(key, sort_keys=True).encode()
+    ).hexdigest()[:10]
+
+
 def _build_index_files(
     spark: SparkSession,
     emb: DataFrame,
     k_clusters: int,
     key: dict,
+    path: str,
     meta_path: str,
     vectors_dir: str,
     centroids_dir: str,
 ) -> None:
     """The rebuild body of build_index — caller holds the flock."""
+    import shutil
+
     from airflow_jira_etl_spark.session import scoped_shuffle_partitions
 
+    if emb.head(1) == []:
+        raise ValueError(
+            "embedding frame is empty — cannot build an IVF index "
+            "(truncated fixture or an over-restrictive filter?)"
+        )
+    # the PREVIOUS meta's version dir gets one generation of grace (a
+    # reader that resolved it pre-rebuild keeps scanning valid files)
+    try:
+        keep_prev = read_meta(path).get("version_dir")
+    except (FileNotFoundError, json.JSONDecodeError):
+        keep_prev = None
     # small-key shuffles throughout (k clusters × dims scalars);
     # repartition by cluster so each directory gets ONE file
     with scoped_shuffle_partitions(spark, max(8, k_clusters)):
@@ -201,10 +229,12 @@ def _build_index_files(
     # zero coordination on a cache hit), so a truncate-in-place write
     # here would expose concurrent warm opens to a partial file
     tmp_path = meta_path + ".tmp"
+    this_v = _version_dir(key)
     with open(tmp_path, "w") as f:
         json.dump(
             {
                 "key": key,
+                "version_dir": this_v,
                 "counts": counts,
                 "centroids": cent,
                 "anchor": anchor,
@@ -214,6 +244,14 @@ def _build_index_files(
             f,
         )
     os.replace(tmp_path, meta_path)
+    # GC superseded versions, sparing the one the previous meta named;
+    # also drop the pre-versioning flat layout (meta_layout <= 3)
+    for d in os.listdir(path):
+        if (d.startswith("v_") and d not in (this_v, keep_prev)) or d in (
+            "vectors",
+            "centroids",
+        ):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def read_meta(path: str) -> dict:
@@ -262,9 +300,7 @@ def search_index(
         .select(
             "vec_id",
             F.col("cluster_id").cast("int").alias("cluster_id"),
-            F.round(cosine(F.col("embedding"), F.col("p")) + F.lit(1e-9), 4).alias(
-                "cos_sim"
-            ),
+            fround(cosine(F.col("embedding"), F.col("p"))).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(top_k)

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from airflow_jira_etl_spark.functions.rounding import fround
+
 N_HASHES = 16
 N_BANDS = 4  # rows per band R = N_HASHES / N_BANDS = 4
 
@@ -141,7 +143,14 @@ def candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
     the minhash aggregation and the verify re-attach, each of which
     would otherwise recompute the shingling pass. (At 100 TB the same
     role is played by a materialized signature table on disk, as the
-    IVF index does for vectors.)"""
+    IVF index does for vectors.)
+
+    Cache HANDOFF: the returned frame depends on both caches, so this
+    function cannot unpersist them — ownership passes to the caller's
+    session (the bench/sweep harnesses clearCache between queries; a
+    long-lived session doing repeated dedup sweeps should
+    spark.catalog.clearCache() or persist the returned pairs and
+    unpersist the inputs itself)."""
     rows = shingle_hash_rows(df, id_col, text_col).cache()
     rows.count()
     buckets = band_buckets(minhash_table(rows, id_col), id_col).cache()
@@ -168,5 +177,5 @@ def candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = F.size(F.array_union("sh1", "sh2")).cast("double")
     return pairs_with_sets.select(
-        "id1", "id2", F.round(inter / union + F.lit(1e-9), 4).alias("jaccard")
+        "id1", "id2", fround(inter / union).alias("jaccard")
     )

@@ -9,7 +9,7 @@ same property makes them exactly SQL-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
@@ -64,16 +64,30 @@ def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Knuth's multiplicative hash; mod 100 gives a stable percent bucket.
+# The key is floor-modded to 31 bits FIRST so the multiply stays inside
+# int64 for ANY int64 key — raw `key * A` overflows for keys ≥ ~3.47e9
+# (a hard ARITHMETIC_OVERFLOW under Spark's default ANSI mode; a silent
+# sign flip without it), which is routine at the 100 TB design point.
+# For the fixtures' sub-2^31 ids the bucket values are unchanged.
 _HASH_A = 2654435761
+_MOD31 = 2_147_483_648  # 2^31
+# sign-safe floor mod in portable SQL (both engines' % truncates)
+_PCT_SQL = (
+    f"((doc_id % {_MOD31}) + {_MOD31}) % {_MOD31} * {_HASH_A} % 100"
+)
+
+
+def _pct_bucket(col: Column) -> Column:
+    return F.pmod(F.pmod(col, F.lit(_MOD31)) * F.lit(_HASH_A), F.lit(100))
 
 
 @query(
     "llm_corpus_sample",
     oracle=f"""
     SELECT doc_id, lang,
-           CAST((doc_id * {_HASH_A}) % 100 AS BIGINT) AS pct_bucket
+           CAST({_PCT_SQL} AS BIGINT) AS pct_bucket
     FROM documents
-    WHERE (doc_id * {_HASH_A}) % 100 < 10
+    WHERE {_PCT_SQL} < 10
     """,
 )
 def llm_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,7 +96,7 @@ def llm_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitioning), the hash bucket is a pure function of doc_id:
     the same document is always in or out, on any cluster."""
     documents = catalog.load(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * _HASH_A) % 100
+    bucket = _pct_bucket(F.col("doc_id"))
     return (
         documents.withColumn("pct_bucket", bucket.cast("long"))
         .where(F.col("pct_bucket") < 10)
@@ -97,8 +111,8 @@ def llm_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs
     FROM (
         SELECT lang,
-               CASE WHEN (doc_id * {_HASH_A}) % 100 < 80 THEN 'train'
-                    WHEN (doc_id * {_HASH_A}) % 100 < 90 THEN 'val'
+               CASE WHEN {_PCT_SQL} < 80 THEN 'train'
+                    WHEN {_PCT_SQL} < 90 THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
     )
@@ -111,7 +125,7 @@ def llm_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus grows — append-only stability, the property that matters
     for dataset versioning."""
     documents = catalog.load(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * _HASH_A) % 100
+    bucket = _pct_bucket(F.col("doc_id"))
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -131,9 +145,9 @@ _STRATA_RATES = {"en": 10, "de": 50, "fr": 50, "es": 50, "zh": 30}
     "llm_stratified_sample",
     oracle=f"""
     SELECT doc_id, lang,
-           CAST((doc_id * {_HASH_A}) % 100 AS BIGINT) AS pct_bucket
+           CAST({_PCT_SQL} AS BIGINT) AS pct_bucket
     FROM documents
-    WHERE (doc_id * {_HASH_A}) % 100 <
+    WHERE {_PCT_SQL} <
           CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
                     WHEN 'es' THEN 50 WHEN 'zh' THEN 30 ELSE 0 END
     """,
@@ -152,7 +166,7 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = documents.sparkSession.createDataFrame(
         [Row(lang=k, rate=v) for k, v in sorted(_STRATA_RATES.items())]
     )
-    bucket = (F.col("doc_id") * _HASH_A) % 100
+    bucket = _pct_bucket(F.col("doc_id"))
     return (
         documents.withColumn("pct_bucket", bucket.cast("long"))
         .join(F.broadcast(rates), "lang")

@@ -465,3 +465,80 @@ def test_global_row_number_empty_input(spark):
     df = spark.createDataFrame([], "k long, v double")
     ranked, n = global_row_number(df, [F.col("v"), F.col("k")])
     assert n == 0 and ranked.count() == 0
+
+
+def test_pct_bucket_overflow_proof_for_any_int64_key(spark):
+    """The sampling hash must survive ANY int64 key: the raw Knuth
+    multiply overflows for keys >= ~3.47e9 (hard ARITHMETIC_OVERFLOW
+    under Spark 4's default ANSI mode) — routine id magnitudes at the
+    100 TB design point. The 31-bit pre-mod keeps the product in int64
+    and leaves sub-2^31 keys' buckets (the fixtures') unchanged."""
+    from pyspark.sql import functions as F
+
+    from airflow_jira_etl_spark.queries.sampling import _HASH_A, _pct_bucket
+
+    keys = [0, 1, 12345, 2**31 - 1, 3_500_000_000, 2**62, -5, -(2**62)]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = [r[0] for r in df.select(_pct_bucket(F.col("doc_id"))).collect()]
+    assert all(0 <= b < 100 for b in got)
+    # sub-2^31 keys match the raw Knuth bucket exactly (append-stable
+    # membership for every existing fixture id)
+    for k, b in zip(keys, got):
+        if 0 <= k < 2**31:
+            assert b == (k * _HASH_A) % 100
+
+
+def test_minhash_array_form_matches_row_form(spark):
+    """The self-contained array-form signature (add_signature) and the
+    codegen row-form pipeline (shingle_hash_rows -> minhash_table) must
+    produce IDENTICAL signatures — the documented equivalence that lets
+    a per-row consumer reuse stored minhash tables. This parity test is
+    what keeps the claim true under future edits to either form."""
+    from airflow_jira_etl_spark.operators.minhash import (
+        N_HASHES,
+        add_signature,
+        minhash_table,
+        shingle_hash_rows,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "one two"),  # shorter than the shingle width k=3
+        (3, "single"),
+        (4, "the quick brown fox jumps over the lazy cat today"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cols = [f"mh_{i}" for i in range(N_HASHES)]
+    arr = {r.doc_id: tuple(r[c] for c in cols) for r in add_signature(df).collect()}
+    row = {
+        r.doc_id: tuple(r[c] for c in cols)
+        for r in minhash_table(shingle_hash_rows(df, "doc_id"), "doc_id").collect()
+    }
+    assert arr == row
+
+
+def test_ivf_rebuild_spares_previous_version_dir(spark, sf_dir, tmp_path):
+    """A rebuild under a NEW key (a changed tag — the regenerated-
+    fixture path) must leave the previous version's data dirs intact
+    for in-flight readers, and a third rebuild GCs the oldest."""
+    import os
+
+    from airflow_jira_etl_spark.operators.ivf import build_index, read_meta
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    indexed_v1, _ = build_index(spark, emb, 8, path, tag="gen1")
+    v1 = read_meta(path)["version_dir"]
+    n_v1 = indexed_v1.count()
+
+    build_index(spark, emb, 8, path, tag="gen2")
+    v2 = read_meta(path)["version_dir"]
+    assert v2 != v1
+    assert os.path.isdir(os.path.join(path, v1))  # one generation of grace
+    # the pre-rebuild reader's frame still scans valid files
+    assert indexed_v1.count() == n_v1
+
+    build_index(spark, emb, 8, path, tag="gen3")
+    dirs = {d for d in os.listdir(path) if d.startswith("v_")}
+    assert v1 not in dirs  # oldest GC'd
+    assert read_meta(path)["version_dir"] in dirs and v2 in dirs
