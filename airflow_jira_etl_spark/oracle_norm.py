@@ -166,24 +166,34 @@ def drift_proof(sql: str) -> str:
     # be silently rewritten into nonsense and surface only as a
     # confusing hash mismatch. Fail loudly at import instead.
     joined = " ".join(code)
+    # tokens that LEGITIMATELY precede a fixture-table reference; a
+    # fixture word preceded by anything else (another identifier, a
+    # closing paren) is an alias in disguise — the implicit select-list
+    # alias "SELECT x part" and the derived-table alias ") part" both
+    # slipped the older FROM/JOIN-anchored patterns
+    _ok_prev = {
+        "FROM", "JOIN", "WITH", "RECURSIVE", "LATERAL", "TABLE", "INTO",
+        "EXISTS", "IN", "SELECT", "WHERE", "AND", "OR", "ON", "BY",
+        "ALL", "DISTINCT", "THEN", "ELSE", "WHEN", "CASE", "END",
+        "UNION", "INTERSECT", "EXCEPT", "HAVING", "NOT",
+    }
     for t in referenced:
         reused = (
             # explicit alias, with or without a column list
             re.search(rf"\bAS\s+{t}\b", joined, re.IGNORECASE)
-            # CTE name
+            # CTE name, with or without a declared column list
             or re.search(
-                rf"(?:\bWITH\b|,)\s*(?:RECURSIVE\s+)?{t}\s+AS\s*\(",
+                rf"(?:\bWITH\b|,)\s*(?:RECURSIVE\s+)?{t}\s*"
+                rf"(?:\([^)]*\))?\s+AS\s*\(",
                 joined,
                 re.IGNORECASE,
             )
-            # implicit alias: identifier position right after a
-            # FROM/JOIN table reference or a comma-join item
-            or re.search(
-                rf"\b(?:FROM|JOIN)\s+[A-Za-z_]\w*\s+{t}\b",
-                joined,
-                re.IGNORECASE,
+            or any(
+                m.group(1).upper() not in _ok_prev
+                for m in re.finditer(
+                    rf"([A-Za-z_]\w*|\))\s+{t}\b", joined, re.IGNORECASE
+                )
             )
-            or re.search(rf",\s*[A-Za-z_]\w*\s+{t}\b", joined, re.IGNORECASE)
         )
         if reused:
             raise ValueError(

@@ -32,6 +32,10 @@ class DagSpec:
     catchup: bool
     retries: int
     retry_delay_minutes: int
+    # the reference's default_args start_date (fetch_jira_tempo_worklogs
+    # .py:20); a scheduled Airflow DAG WITHOUT one either errors at
+    # operator instantiation or is never scheduled
+    start_date_iso: str = "2025-01-01"
     tasks: tuple[TaskSpec, ...] = field(default_factory=tuple)
 
 
@@ -48,7 +52,14 @@ def _entity_dag(entity: str, unique_column: str) -> DagSpec:
             TaskSpec(
                 task_id="ensure_table",
                 entry_point="airflow_jira_etl_spark.pipeline",
-                args=(f"--entity={entity}", "--task=ensure_table"),
+                # --unique-column on BOTH tasks: they are separate
+                # spark-submit jobs, and the table's key contract must
+                # not depend on which one ran
+                args=(
+                    f"--entity={entity}",
+                    "--task=ensure_table",
+                    f"--unique-column={unique_column}",
+                ),
             ),
             TaskSpec(
                 # merge_upsert is each pipeline's terminal task; --task
@@ -90,7 +101,7 @@ def build_airflow_dags():  # pragma: no cover - needs airflow installed
     """Materialize the specs as real Airflow DAGs (SparkSubmitOperator
     per task). Import-gated: returns [] when airflow is absent."""
     try:
-        from datetime import timedelta
+        from datetime import datetime, timedelta
 
         from airflow import DAG
         from airflow.providers.apache.spark.operators.spark_submit import (
@@ -108,6 +119,7 @@ def build_airflow_dags():  # pragma: no cover - needs airflow installed
             default_args={
                 "retries": spec.retries,
                 "retry_delay": timedelta(minutes=spec.retry_delay_minutes),
+                "start_date": datetime.fromisoformat(spec.start_date_iso),
             },
         )
         ops = {}

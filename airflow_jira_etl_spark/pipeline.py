@@ -27,6 +27,7 @@ from airflow_jira_etl_spark.entities import (
     WORKLOG_MAPPING,
 )
 from airflow_jira_etl_spark.sinks.parquet_upsert import ParquetUpsertTable
+from airflow_jira_etl_spark.scratch import SCRATCH as _SCRATCH_DEFAULT
 from airflow_jira_etl_spark.sources.paged_rest import (
     Fetcher,
     cursor_scan,
@@ -35,6 +36,24 @@ from airflow_jira_etl_spark.sources.paged_rest import (
     records_to_flat_df,
     single_page_scan,
 )
+
+# per-entity emulator defaults: each entity's endpoint SHAPE differs
+# (offset pages / bare list / cursor pages), so one shared default
+# fetcher crashes users and silently zero-row-ingests worklogs
+_FETCHER_DEFAULTS = {
+    "issues": (
+        "airflow_jira_etl_spark.sources.fixture_fetchers:"
+        "synthetic_issues_fetcher"
+    ),
+    "users": (
+        "airflow_jira_etl_spark.sources.fixture_fetchers:"
+        "synthetic_users_fetcher"
+    ),
+    "tempo_worklogs": (
+        "airflow_jira_etl_spark.sources.fixture_fetchers:"
+        "synthetic_worklogs_fetcher"
+    ),
+}
 
 
 @dataclass
@@ -55,6 +74,12 @@ class Pipeline:
 
     def task(self, name: str, upstream: list[str] | None = None):
         def deco(fn: Callable[[dict], None]):
+            if name in self.tasks:
+                # silent overwrite would replace the task's fn and edges
+                # and run a different DAG than authored
+                raise ValueError(
+                    f"duplicate task {name!r} in pipeline {self.name}"
+                )
             self.tasks[name] = Task(name, fn, upstream or [])
             return fn
 
@@ -72,6 +97,15 @@ class Pipeline:
             t = stack.pop()
             if t not in seen:
                 seen.add(t)
+                for u in self.tasks[t].upstream:
+                    if u not in self.tasks:
+                        # the scheduler-facing --task path must get the
+                        # same diagnostic a full run() produces, not a
+                        # bare KeyError
+                        raise RuntimeError(
+                            f"task {t!r} declares unknown upstream {u!r} "
+                            f"in {self.name}; have {sorted(self.tasks)}"
+                        )
                 stack.extend(self.tasks[t].upstream)
         return seen
 
@@ -207,9 +241,18 @@ def parse_args(argv: list[str] | None = None):
     ap.add_argument("--url", default="https://api/search")
     ap.add_argument(
         "--fetcher",
-        default="airflow_jira_etl_spark.sources.fixture_fetchers:synthetic_issues_fetcher",
+        default=None,
+        help="dotted factory path '(options) -> fetch'; defaults to the "
+        "entity's SHAPE-matched in-repo emulator (production passes "
+        "sources/paged_rest:http_fetcher_factory)",
     )
-    ap.add_argument("--table-root", default=".scratch/pipeline_tables")
+    # absolute default: the DAG specs submit each task as its own
+    # spark-submit whose working directory is scheduler-dependent — a
+    # relative root would fragment one table across worker cwds
+    ap.add_argument(
+        "--table-root",
+        default=os.path.join(_SCRATCH_DEFAULT, "pipeline_tables"),
+    )
     ap.add_argument(
         "--unique-column",
         default=None,
@@ -230,7 +273,8 @@ def main(argv: list[str] | None = None) -> None:
 
     ns = parse_args(argv)
 
-    mod_name, _, fn_name = ns.fetcher.partition(":")
+    fetcher_spec = ns.fetcher or _FETCHER_DEFAULTS[ns.entity]
+    mod_name, _, fn_name = fetcher_spec.partition(":")
     fetcher = getattr(importlib.import_module(mod_name), fn_name)({})
     spark = get_spark(f"pipeline-{ns.entity}")
     builders = {

@@ -252,7 +252,8 @@ def load_all_queries() -> None:
     missing = [n for n in SWEEP_PRIORITY if n not in QUERIES]
     if missing:  # typo guard — priority must reference real queries
         raise ValueError(f"SWEEP_PRIORITY names not registered: {missing}")
-    ordered = SWEEP_PRIORITY + [n for n in QUERIES if n not in set(SWEEP_PRIORITY)]
+    prio = set(SWEEP_PRIORITY)
+    ordered = SWEEP_PRIORITY + [n for n in QUERIES if n not in prio]
     for d in (QUERIES, ORACLES):
         tail = {n: d[n] for n in ordered if n in d}
         d.clear()

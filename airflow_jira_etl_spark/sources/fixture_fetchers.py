@@ -99,3 +99,70 @@ def totalless_fetcher(options: dict):
         return {"startAt": start, "maxResults": STRIDE, "issues": records}
 
     return fetch
+
+
+def synthetic_users_fetcher(options: dict):
+    """Factory: the A4 single-page users endpoint — a bare JSON LIST
+    (``users_processor.py:71``), shaped for USER_MAPPING. The users
+    pipeline's default emulator (the issues-shaped default used to make
+    ``--entity=users`` crash out of the box)."""
+
+    def fetch(url: str, params: dict | None = None) -> list:
+        return [
+            {
+                "self": f"https://api/user/{i}",
+                "accountId": f"acct-{i:03d}",
+                "accountType": "atlassian",
+                "avatarUrls": {"48x48": f"https://api/avatar/{i}"},
+                "displayName": f"User {i}",
+                "active": i % 2 == 0,
+            }
+            for i in range(9)
+        ]
+
+    return fetch
+
+
+WORKLOG_TOTAL = 25
+WORKLOG_PAGE = 10
+
+
+def synthetic_worklogs_fetcher(options: dict):
+    """Factory: the A2 cursor-paginated worklogs endpoint —
+    ``{"results": [...], "metadata": {"next": url?}}`` pages
+    (``worklog_processor.py:80-108``), shaped for WORKLOG_MAPPING. The
+    cursor rides in the next-URL; the final page omits it."""
+
+    def fetch(url: str, params: dict | None = None) -> dict:
+        start = int(url.rsplit("cursor=", 1)[1]) if "cursor=" in url else 0
+        recs = [
+            {
+                "self": f"https://api/worklog/{i}",
+                "tempoWorklogId": i,
+                "issue": {
+                    "id": str(100 + i % 7),
+                    "self": f"https://api/issue/{100 + i % 7}",
+                },
+                "timeSpentSeconds": 900 * (i % 8 + 1),
+                "billableSeconds": 900 * (i % 4),
+                "startDate": "2025-01-02",
+                "startTime": "09:00:00",
+                "description": f"work {i}",
+                "createdAt": "2025-01-02T09:00:00Z",
+                "updatedAt": "2025-01-02T10:00:00Z",
+                "author": {
+                    "accountId": f"acct-{i % 5:03d}",
+                    "self": f"https://api/user/{i % 5}",
+                },
+            }
+            for i in range(start, min(start + WORKLOG_PAGE, WORKLOG_TOTAL))
+        ]
+        nxt = start + WORKLOG_PAGE
+        meta = (
+            {"next": f"{url.split('?')[0]}?cursor={nxt}"}
+            if nxt < WORKLOG_TOTAL
+            else {}
+        )
+        return {"results": recs, "metadata": meta}
+
+    return fetch

@@ -143,12 +143,10 @@ def test_corrupt_quarantine_preserves_raw_lines(spark, sf_dir):
     assert n_planted > 0
     assert n_clean == total - n_planted
 
+    from airflow_jira_etl_spark.scratch import session_scratch
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".scratch",
-        f"events_corrupt_{tag}",
-    )
+    out_dir = session_scratch("events_corrupt", tag)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),

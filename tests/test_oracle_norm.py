@@ -268,3 +268,22 @@ def test_alias_guard_ignores_literals_and_near_misses():
     # CAST target and underscore-joined identifiers are not bare words
     out2 = drift_proof("SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem")
     assert "lineitem__t" in out2
+
+
+def test_guard_catches_implicit_and_column_list_alias_forms():
+    """Verified-by-execution gaps from review: the implicit select-list
+    alias (no comma before it), the derived-table alias, and the
+    column-list CTE form were all silently rewritten into renamed
+    output columns / duplicate CTE names instead of the loud
+    registration-time error."""
+    import pytest
+
+    from airflow_jira_etl_spark.oracle_norm import drift_proof
+
+    for bad in (
+        "SELECT l_quantity part FROM lineitem",
+        "WITH part(c1) AS (SELECT 1) SELECT c1 FROM part",
+        "SELECT * FROM (SELECT 1) part, lineitem",
+    ):
+        with pytest.raises(ValueError, match="reuses fixture-table"):
+            drift_proof(bad)

@@ -204,13 +204,16 @@ def test_airflow_materialization_under_stub(monkeypatch):
         "fetch_jira_issues",
         "fetch_jira_users",
     ]
-    from datetime import timedelta
+    from datetime import datetime, timedelta
 
     for d in dags:
         assert d.schedule == "@daily" and d.catchup is False
         assert d.default_args == {
             "retries": 1,
             "retry_delay": timedelta(minutes=5),
+            # the reference's start_date default (a scheduled DAG
+            # without one never runs)
+            "start_date": datetime(2025, 1, 1),
         }
     for op in captured_ops:
         # a real file spark-submit can run, not a '-m module' string
@@ -221,3 +224,69 @@ def test_airflow_materialization_under_stub(monkeypatch):
         by_dag.setdefault(op.dag.dag_id, {})[op.task_id] = op
     for ops in by_dag.values():
         assert ops["ensure_table"].downstream == ["ingest_and_merge"]
+
+
+def test_cli_defaults_run_every_entity_end_to_end(spark, tmp_path):
+    """pipeline.main with ONLY --entity/--table-root must ingest real
+    rows for ALL THREE entities: each entity now defaults to its
+    SHAPE-matched emulator (the old shared issues-shaped default made
+    --entity=users crash and --entity=tempo_worklogs silently ingest
+    zero rows while exiting green)."""
+    import os
+
+    from airflow_jira_etl_spark.pipeline import main
+    from airflow_jira_etl_spark.sinks.parquet_upsert import ParquetUpsertTable
+    from airflow_jira_etl_spark.sources import fixture_fetchers as ff
+
+    root = str(tmp_path / "tables")
+    expected = {
+        "issues": ("issues", ff.TOTAL),
+        "users": ("users", 9),
+        "tempo_worklogs": ("worklogs", ff.WORKLOG_TOTAL),
+    }
+    for entity, (subdir, n) in expected.items():
+        main([f"--entity={entity}", f"--table-root={root}"])
+        t = ParquetUpsertTable(spark, os.path.join(root, subdir), key="x")
+        assert t.read().count() == n, entity
+
+
+def test_pipeline_rejects_duplicate_task_and_unknown_upstream(spark):
+    """Silent task overwrite would run a different DAG than authored;
+    a typo'd upstream on the --task path must get the diagnostic error,
+    not a bare KeyError."""
+    from airflow_jira_etl_spark.pipeline import Pipeline
+
+    p = Pipeline("t")
+
+    @p.task("a")
+    def a(ctx):
+        pass
+
+    with pytest.raises(ValueError, match="duplicate task"):
+
+        @p.task("a")
+        def a2(ctx):
+            pass
+
+    @p.task("b", upstream=["ghost"])
+    def b(ctx):
+        pass
+
+    with pytest.raises(RuntimeError, match="unknown upstream"):
+        p.upstream_closure("b")
+
+
+def test_dag_specs_carry_start_date_and_key_on_both_tasks():
+    """The reference's start_date default must materialize (a scheduled
+    Airflow DAG without one never runs), and --unique-column must reach
+    BOTH spark-submit jobs so the table's key contract cannot depend on
+    which task ran."""
+    from airflow_jira_etl_spark.orchestration import build_dag_specs
+
+    for spec in build_dag_specs():
+        assert spec.start_date_iso == "2025-01-01"
+        for t in spec.tasks:
+            assert any(a.startswith("--unique-column=") for a in t.args), (
+                spec.dag_id,
+                t.task_id,
+            )
