@@ -30,8 +30,17 @@ def cosine(a: Column, b: Column) -> Column:
     moment a regenerated fixture ships a zero vector — try_divide
     yields NULL there, coalesced to 0.0. Every oracle using DuckDB's
     list_cosine_similarity (which returns -1.0 on a zero vector, not
-    an error) must carry the matching CASE guard."""
-    return F.coalesce(
-        F.try_divide(dot(a, b), F.sqrt(norm2(a)) * F.sqrt(norm2(b))),
-        F.lit(0.0),
+    an error) must carry the matching CASE guard.
+
+    A NULL input array stays NULL — an unconditional coalesce would
+    rank an absent embedding as 0.0 (ABOVE genuinely negative
+    similarities) while the SQL side's NULL sorts last; the 0.0
+    convention is reserved for the zero-NORM case alone."""
+    return F.when(
+        a.isNull() | b.isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.coalesce(
+            F.try_divide(dot(a, b), F.sqrt(norm2(a)) * F.sqrt(norm2(b))),
+            F.lit(0.0),
+        )
     )

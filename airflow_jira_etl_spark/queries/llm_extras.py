@@ -185,11 +185,14 @@ def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_jira_etl_spark.functions.similarity import cosine
 
     emb = catalog.load(spark, sf_dir, "embeddings")
+    # try_element_at: a shorter-dim fixture regen must degrade to 0-bits
+    # (NULL > 0 is false, matching the oracle's OOB-index NULL), not to
+    # an ANSI INVALID_ARRAY_INDEX crash
     bucket = (
-        F.when(F.element_at("embedding", 1) > 0, 1).otherwise(0)
-        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
-        + F.when(F.element_at("embedding", 3) > 0, 4).otherwise(0)
-        + F.when(F.element_at("embedding", 4) > 0, 8).otherwise(0)
+        F.when(F.try_element_at(F.col("embedding"), F.lit(1)) > 0, 1).otherwise(0)
+        + F.when(F.try_element_at(F.col("embedding"), F.lit(2)) > 0, 2).otherwise(0)
+        + F.when(F.try_element_at(F.col("embedding"), F.lit(3)) > 0, 4).otherwise(0)
+        + F.when(F.try_element_at(F.col("embedding"), F.lit(4)) > 0, 8).otherwise(0)
     )
     sig = emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
     probe = (
@@ -618,7 +621,7 @@ _SEM_CLUSTERS_ORACLE = """
         SELECT a.vec_id AS id1, b.vec_id AS id2
         FROM sig a
         JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.e, b.e) >= 0.8
+        WHERE round(list_cosine_similarity(a.e, b.e) + 1e-9, 4) >= 0.8
     ),
     edges AS (
         SELECT id1 AS src, id2 AS dst FROM p
@@ -679,7 +682,10 @@ def llm_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .where(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.8)
+        # rounded-value membership on both engines (see
+        # llm_sim_pairs_threshold): a pair within an ulp of 0.8 must not
+        # be admitted by one float pipeline and rejected by the other
+        .where(fround(cosine(F.col("a.embedding"), F.col("b.embedding"))) >= 0.8)
         .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
     )
     out = dedup_clusters(pairs, emb, "vec_id")

@@ -680,7 +680,14 @@ def _hyperplane_bucket_spark(n_bits: int = _HP_MIN_BITS) -> F.Column:
     for j in range(n_bits):
         s = F.lit(0.0)
         for dim, sign in _hp_plane_dims(j):
-            term = F.element_at("embedding", dim).cast("double")
+            # try_element_at, not element_at: a regenerated fixture with
+            # fewer dims would otherwise be a hard INVALID_ARRAY_INDEX
+            # under ANSI mode. The NULL term propagates through the sum
+            # so the plane's bit reads 0 (`NULL > 0` is false) — exactly
+            # what the oracle's SQL does with its out-of-range index
+            term = F.try_element_at(F.col("embedding"), F.lit(dim)).cast(
+                "double"
+            )
             s = (s + term) if sign > 0 else (s - term)
         bucket = bucket + F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
@@ -735,8 +742,9 @@ def _hyperplane_bucket_sql(tbl: str) -> str:
     JOIN sig b
       ON a.bucket = b.bucket
      AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.25
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[]))
+                + 1e-9, 4) >= 0.25
     """,
 )
 def llm_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,7 +773,12 @@ def llm_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .where(cos >= 0.25)
+        # membership tests the ROUNDED value on both engines: the raw
+        # cosine comes from two different float pipelines, and a pair
+        # within an ulp of the threshold would otherwise be admitted by
+        # one engine only — the fround convention can only protect a
+        # SELECTed value, not WHERE membership, unless WHERE uses it too
+        .where(fround(cos) >= 0.25)
         .select(
             F.col("a.vec_id").alias("id1"),
             F.col("b.vec_id").alias("id2"),
@@ -884,7 +897,9 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = catalog.load(spark, sf_dir, "documents")
 
     @F.udf(T.DoubleType())
-    def chars_per_token(text: str) -> float:
+    def chars_per_token(text: str) -> float | None:
+        if text is None:  # SQL NULL in, SQL NULL out — len(None) raises
+            return None
         return round(len(text) / len(text.split(" ")) + 1e-9, 4)
 
     return documents.select(
@@ -952,7 +967,7 @@ def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_explode_kv",
     oracle="""
     SELECT event_id, k AS key,
-           json_extract_string(props, '$.' || k) AS val
+           json_extract_string(props, '$."' || k || '"') AS val
     FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
     """,
 )
@@ -970,7 +985,18 @@ def udtf_explode_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             if props:
                 for k, v in json.loads(props).items():
-                    yield k, str(v)
+                    # JSON-faithful rendering, matching the oracle's
+                    # json_extract_string: null -> SQL NULL (not 'None'),
+                    # booleans lowercase, numbers/objects as JSON text —
+                    # str(v) got all three wrong for non-string values
+                    if v is None:
+                        yield k, None
+                    elif isinstance(v, bool):
+                        yield k, "true" if v else "false"
+                    elif isinstance(v, str):
+                        yield k, v
+                    else:
+                        yield k, json.dumps(v, separators=(",", ":"))
 
     spark.udtf.register("parse_kv", ParseKV)
     catalog.load(spark, sf_dir, "events").createOrReplaceTempView("events")

@@ -25,24 +25,30 @@ from pyspark.sql import DataFrame
 
 
 def postgres_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
-    """INSERT ... ON CONFLICT (key) DO UPDATE SET c = EXCLUDED.c."""
+    """INSERT ... ON CONFLICT (key) DO UPDATE SET c = EXCLUDED.c.
+    A key-only table degrades to DO NOTHING — an empty SET list is a
+    syntax error at execute time."""
     cols = ", ".join(columns)
     ph = ", ".join(["%s"] * len(columns))
     sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns if c != key)
+    action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
     return (
         f"INSERT INTO {table} ({cols}) VALUES ({ph}) "
-        f"ON CONFLICT ({key}) DO UPDATE SET {sets}"
+        f"ON CONFLICT ({key}) {action}"
     )
 
 
 def mysql_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
-    """INSERT ... ON DUPLICATE KEY UPDATE c = VALUES(c)."""
+    """INSERT ... ON DUPLICATE KEY UPDATE c = VALUES(c). A key-only
+    table degrades to the idempotent no-op assignment ``key = key``
+    (MySQL has no DO NOTHING form; an empty UPDATE list is a syntax
+    error)."""
     cols = ", ".join(columns)
     ph = ", ".join(["%s"] * len(columns))
     sets = ", ".join(f"{c} = VALUES({c})" for c in columns if c != key)
     return (
         f"INSERT INTO {table} ({cols}) VALUES ({ph}) "
-        f"ON DUPLICATE KEY UPDATE {sets}"
+        f"ON DUPLICATE KEY UPDATE {sets or f'{key} = {key}'}"
     )
 
 
@@ -56,11 +62,14 @@ def mssql_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
     ph = ", ".join(["%s"] * len(columns))
     src_cols = ", ".join(f"src.{c}" for c in columns)
     sets = ", ".join(f"target.{c} = src.{c}" for c in columns if c != key)
+    # key-only table: drop the WHEN MATCHED clause entirely (an empty
+    # SET list is a syntax error; there is nothing to update)
+    matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
     return (
         f"MERGE INTO {table} AS target "
         f"USING (VALUES ({ph})) AS src ({cols}) "
         f"ON target.{key} = src.{key} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({src_cols});"
     )
 
@@ -93,12 +102,28 @@ def write_upsert_jdbc(
     key: str,
     connect,  # () -> DBAPI connection
     batch_size: int = 1000,
+    ordinal_col: str | None = None,
 ) -> None:
     """Distributed batched upsert: each partition opens one connection
     and executes the dialect upsert with ``executemany`` per
     ``batch_size`` rows (vs the reference's per-row execute+commit).
-    Requires a DBAPI driver on the executors; absent here, exercised
-    only via the in-memory sqlite-compatible path in tests."""
+
+    The batch is DEDUPED to one last-writer-wins row per key (the
+    operators/upsert semantics; pass ``ordinal_col`` for an explicit
+    intra-batch order) and REPARTITIONED by key before the write: raw
+    foreachPartition would let two executors upsert the same absent
+    key concurrently — a primary-key violation on MSSQL's MERGE (no
+    HOLDLOCK) and a scheduling-dependent winner everywhere else.
+
+    Requires a DBAPI driver on the executors; none ships in this
+    environment, so tests exercise the full partition-write path with
+    a recording fake DBAPI connection (test_jdbc_dialects)."""
+    from pyspark.sql import functions as F
+
+    from airflow_jira_etl_spark.operators.upsert import upsert
+
+    deduped = upsert(df.limit(0), df, key, ordinal_col=ordinal_col)
+    df = deduped.repartition(F.col(key))
     columns = df.columns
     sql = upsert_sql(dialect, table, columns, key)
 

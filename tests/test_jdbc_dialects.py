@@ -6,6 +6,7 @@ version fails (2n placeholders for n values, db_ops.py:92,97)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark.sinks.jdbc_dialects import (
     mssql_upsert_sql,
@@ -50,3 +51,76 @@ def test_factory_routes_conn_id_prefixes():
     assert "MERGE INTO" in upsert_sql("mssql_dw", "t", COLS, KEY)
     with pytest.raises(ValueError, match="unsupported dialect"):
         upsert_sql("oracle_default", "t", COLS, KEY)
+
+
+def test_key_only_tables_generate_valid_sql():
+    """A presence-only table (just the key column) must not emit an
+    empty SET/UPDATE clause (a syntax error at execute time): Postgres
+    degrades to DO NOTHING, MySQL to the no-op key=key assignment,
+    MSSQL drops the WHEN MATCHED clause."""
+    from airflow_jira_etl_spark.sinks.jdbc_dialects import (
+        mssql_upsert_sql,
+        mysql_upsert_sql,
+        postgres_upsert_sql,
+    )
+
+    pg = postgres_upsert_sql("t", ["id"], "id")
+    assert pg.endswith("DO NOTHING") and "SET" not in pg
+    my = mysql_upsert_sql("t", ["id"], "id")
+    assert my.endswith("ON DUPLICATE KEY UPDATE id = id")
+    ms = mssql_upsert_sql("t", ["id"], "id")
+    assert "WHEN MATCHED" not in ms and "WHEN NOT MATCHED" in ms
+
+
+def test_write_upsert_jdbc_dedupes_and_batches(spark, tmp_path):
+    """The executor-side write path, end to end against a recording
+    fake DBAPI connection: intra-batch duplicate keys collapse to ONE
+    last-writer-wins row before any SQL executes (raw foreachPartition
+    raced concurrent MERGEs on the same absent key), executemany
+    receives the dialect SQL, and a commit lands per partition."""
+    import json
+    import os
+    import uuid
+
+    from airflow_jira_etl_spark.sinks.jdbc_dialects import write_upsert_jdbc
+
+    out = str(tmp_path / "writes")
+    os.makedirs(out)
+
+    class RecordingConn:
+        def __init__(self):
+            self.rows, self.committed = [], False
+
+        def cursor(self):
+            return self
+
+        def executemany(self, sql, batch):
+            assert "ON CONFLICT" in sql
+            self.rows.extend(batch)
+
+        def commit(self):
+            self.committed = True
+
+        def close(self):
+            # one file per connection, written only if committed
+            if self.committed and self.rows:
+                p = os.path.join(out, uuid.uuid4().hex + ".json")
+                with open(p, "w") as f:
+                    json.dump(self.rows, f)
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (1, "a2"), (3, "c"), (1, "a3")],
+        "id long, v string",
+    ).withColumn("ord", F.monotonically_increasing_id())
+    write_upsert_jdbc(
+        df, "postgres", "t", "id", RecordingConn, ordinal_col="ord"
+    )
+    rows = []
+    for fn in os.listdir(out):
+        with open(os.path.join(out, fn)) as f:
+            rows.extend(tuple(r) for r in json.load(f))
+    by_key = {}
+    for r in rows:
+        assert r[0] not in by_key, "duplicate key reached the database"
+        by_key[r[0]] = r[1]
+    assert by_key == {1: "a3", 2: "b", 3: "c"}  # last writer won

@@ -542,3 +542,74 @@ def test_ivf_rebuild_spares_previous_version_dir(spark, sf_dir, tmp_path):
     dirs = {d for d in os.listdir(path) if d.startswith("v_")}
     assert v1 not in dirs  # oldest GC'd
     assert read_meta(path)["version_dir"] in dirs and v2 in dirs
+
+
+def test_cosine_null_embedding_stays_null(spark):
+    """A NULL input array must yield NULL (sorted last by DESC
+    rankings, like the SQL side), not 0.0 — which would rank an absent
+    embedding ABOVE genuinely negative similarities. The 0.0 convention
+    is reserved for the zero-NORM case."""
+    from airflow_jira_etl_spark.functions.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), (None, [1.0, 0.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [r.c for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(got[0] - 1.0) < 1e-9
+    assert got[1] is None  # NULL in, NULL out
+    assert got[2] == 0.0  # zero-norm convention
+
+
+def test_udf_scalar_and_udtf_handle_null_and_typed_json(spark):
+    """Drift armor for the UDF/UDTF surfaces: NULL text through the
+    row-at-a-time UDF yields NULL (len(None) used to kill the job), and
+    the KV UDTF renders JSON values faithfully (null -> SQL NULL,
+    booleans lowercase, numbers as JSON text) — matching
+    json_extract_string on the oracle side."""
+    from pyspark.sql import types as T
+
+    @F.udf(T.DoubleType())
+    def chars_per_token(text):
+        if text is None:
+            return None
+        return round(len(text) / len(text.split(" ")) + 1e-9, 4)
+
+    df = spark.createDataFrame([("ab cd",), (None,)], "text string")
+    got = [r.c for r in df.select(chars_per_token("text").alias("c")).collect()]
+    assert got[0] == 2.5 and got[1] is None
+
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()
+    # drive the registered UDTF over a crafted props row via its own SQL
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, val string")
+    class ParseKV:
+        def eval(self, props: str):
+            import json
+
+            if props:
+                for k, v in json.loads(props).items():
+                    if v is None:
+                        yield k, None
+                    elif isinstance(v, bool):
+                        yield k, "true" if v else "false"
+                    elif isinstance(v, str):
+                        yield k, v
+                    else:
+                        yield k, json.dumps(v, separators=(",", ":"))
+
+    spark.udtf.register("parse_kv_t", ParseKV)
+    spark.createDataFrame(
+        [(1, '{"a": true, "b": null, "c": 5, "d": "x"}')],
+        "event_id long, props string",
+    ).createOrReplaceTempView("kv_probe")
+    got = {
+        r.key: r.val
+        for r in spark.sql(
+            "SELECT f.key, f.val FROM kv_probe, LATERAL parse_kv_t(props) f"
+        ).collect()
+    }
+    assert got == {"a": "true", "b": None, "c": "5", "d": "x"}
