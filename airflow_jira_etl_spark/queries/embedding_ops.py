@@ -106,7 +106,14 @@ def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY cs DESC, c_label) AS rn
         FROM scored
     )
-    SELECT vec_id, label, c_label AS assigned_label, cs AS cos_sim
+    SELECT vec_id, label,
+           -- a NULL embedding has NULL cs against EVERY centroid: no
+           -- nearest centroid exists, so the assignment is NULL (the
+           -- engine side's all-NULL packed-key max) — row_number alone
+           -- would still crown the smallest label among NULL-cs rows
+           CASE WHEN cs IS NULL THEN NULL ELSE c_label END
+             AS assigned_label,
+           cs AS cos_sim
     FROM ranked WHERE rn = 1
     """,
 )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.functions.textgrams import char_gram_sql
+from airflow_jira_etl_spark.queries.sampling import _PCT_SQL, _pct_bucket
 from airflow_jira_etl_spark.operators.ranking import grouped_row_number
 from airflow_jira_etl_spark.operators.multimodal import (
     attach_media,
@@ -139,7 +140,12 @@ def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_min("hs").cast("long").alias("fp_min"),
         F.array_max("hs").cast("long").alias("fp_max"),
-        F.size(F.array_distinct("hs")).alias("n_distinct_grams"),
+        # filter NULLs before counting: DuckDB's list_distinct DROPS
+        # them while array_distinct keeps one — a NULL-text row (one
+        # NULL gram) would count 1 vs the oracle's 0
+        F.size(
+            F.filter(F.array_distinct("hs"), lambda x: x.isNotNull())
+        ).alias("n_distinct_grams"),
         (F.array_min("hs") % 64).cast("long").alias("fp_bucket"),
     )
 
@@ -148,12 +154,16 @@ def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_sim_lsh_topk",
     oracle="""
     WITH sig AS (
+        -- rows WITHOUT an embedding cannot participate in similarity
+        -- (list_cosine_similarity hard-errors on NULL); same filter as
+        -- the Spark side
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
                CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
                + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
                + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
                + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END AS bucket
         FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     probe AS (SELECT vec_id AS pid, e AS p, bucket AS pb FROM sig
               WHERE vec_id = (SELECT min(vec_id) FROM sig))
@@ -184,7 +194,11 @@ def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     0-row green on both engines."""
     from airflow_jira_etl_spark.functions.similarity import cosine
 
-    emb = catalog.load(spark, sf_dir, "embeddings")
+    # rows without an embedding cannot participate in similarity search
+    # (mirrored in the oracle's sig CTE)
+    emb = catalog.load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     # try_element_at: a shorter-dim fixture regen must degrade to 0-bits
     # (NULL > 0 is false, matching the oracle's OOB-index NULL), not to
     # an ANSI INVALID_ARRAY_INDEX crash
@@ -260,7 +274,8 @@ def _py_cos(a: list, b: list) -> float:
     # unlike the sibling probes' symmetric-empty degradation); both
     # engines derive the same id, so the column still hash-checks.
     oracle="""
-    SELECT CAST((SELECT min(vec_id) FROM embeddings) AS BIGINT) AS probe_id,
+    SELECT CAST((SELECT min(vec_id) FROM embeddings
+                 WHERE embedding IS NOT NULL) AS BIGINT) AS probe_id,
            10 AS k,
            TRUE AS k_exhausted,
            TRUE AS subset_exact,
@@ -291,7 +306,12 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from airflow_jira_etl_spark.queries.scans import SCRATCH
 
-    emb = catalog.load(spark, sf_dir, "embeddings")
+    # un-embeddable rows cannot be indexed (assignment argmax over
+    # all-NULL similarities has no meaning); mirrored in the oracle's
+    # probe-id subquery
+    emb = catalog.load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     # the tag fingerprints the SOURCE DATA (mtime+size), not just the
     # sf name — regenerated fixtures at the same path must invalidate
     # the materialized index, never serve stale assignments
@@ -487,7 +507,7 @@ def _hexbyte(i: str) -> str:
     oracle=f"""
     WITH h AS (
         SELECT doc_id,
-               octet_length(encode(text)) AS nb,
+               octet_length(encode(coalesce(text, ''))) AS nb,
                hex(encode(text)) AS hx
         FROM documents
     ),
@@ -532,8 +552,8 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
         SELECT doc_id,
-               octet_length(encode(text)) AS n,
-               greatest(octet_length(encode(text)) // 4, 1) AS step,
+               octet_length(encode(coalesce(text, ''))) AS n,
+               greatest(octet_length(encode(coalesce(text, ''))) // 4, 1) AS step,
                hex(encode(text)) AS hx
         FROM documents WHERE doc_id < 200
     )
@@ -572,9 +592,9 @@ def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH m AS (
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n,
+               CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n,
                greatest(
-                 CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER),
+                 CAST(ceil(octet_length(encode(coalesce(text, ''))) / 256.0) AS INTEGER),
                  1) AS stride,
                hex(encode(text)) AS hx
         FROM documents
@@ -613,9 +633,13 @@ def _sem_clusters_oracle() -> str:
 
 _SEM_CLUSTERS_ORACLE = """
     WITH RECURSIVE sig AS (
+        -- rows WITHOUT an embedding cannot pair (list_cosine_similarity
+        -- hard-errors on NULL); they still appear downstream as
+        -- singleton components via the lbl seed over ALL ids
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                __BUCKET__ AS bucket
         FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     p AS (
         SELECT a.vec_id AS id1, b.vec_id AS id2
@@ -669,7 +693,10 @@ def llm_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the scan + hyperplane projection runs twice concurrently —
     # the same race measured (and fixed, 2.7->1.8 s) in
     # llm_sim_pairs_threshold; see PLANS.md
-    sig = emb.select(
+    # NULL-embedding rows cannot pair (they become singleton components
+    # via dedup_clusters over the FULL id set below); n_bits above
+    # deliberately counts all rows — the oracle's CASE ladder does too
+    sig = emb.where(F.col("embedding").isNotNull()).select(
         "vec_id", "embedding", _hyperplane_bucket_spark(n_bits).alias("bucket")
     ).cache()
     sig.count()
@@ -965,8 +992,11 @@ def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-frame count window."""
     docs = catalog.load(spark, sf_dir, "documents")
     lens = docs.select("lang", "doc_id", F.length("text").alias("len"))
+    # NULLS LAST, matching DuckDB's ASC default — Spark's default is
+    # NULLS FIRST, so a NULL-text row (len NULL) would otherwise shift
+    # every rank by one and move the selected median
     ranked = grouped_row_number(
-        lens, ["lang"], [F.col("len"), F.col("doc_id")]
+        lens, ["lang"], [F.col("len").asc_nulls_last(), F.col("doc_id")]
     )
     return (
         ranked.groupBy("lang")
@@ -1125,13 +1155,18 @@ def llm_quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.col("n").cast("long").alias("n_chars_total"),
-            F.expr("CASE WHEN n = 0 THEN 0 ELSE size(bs) END")
+            # NULL text rows read as (0, 0, 0.0), exactly the oracle's
+            # LEFT JOIN + coalesce branch — the n = 0 guards alone
+            # missed n IS NULL and leaked (NULL, 1, NULL)
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(
+                "n_chars_total"
+            ),
+            F.expr("CASE WHEN n IS NULL OR n = 0 THEN 0 ELSE size(bs) END")
             .cast("int")
             .alias("n_distinct_chars"),
             fround(
                 F.expr(
-                    "CASE WHEN n = 0 THEN 0D ELSE"
+                    "CASE WHEN n IS NULL OR n = 0 THEN 0D ELSE"
                     " -aggregate(cnts, 0D, (acc, c) ->"
                     "   acc + (c / cast(n AS double))"
                     "         * ln(c / cast(n AS double))) END"
@@ -1156,8 +1191,10 @@ def llm_quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT min(doc_id) AS doc_id FROM kept GROUP BY lower(trim(text))
     )
     SELECT k.doc_id, k.lang, CAST(k.n_words AS BIGINT) AS n_words,
-           CASE WHEN (k.doc_id * 2654435761) % 100 < 80 THEN 'train'
-                WHEN (k.doc_id * 2654435761) % 100 < 90 THEN 'val'
+           CASE WHEN {_PCT_SQL.replace('doc_id', 'k.doc_id')} < 80
+                     THEN 'train'
+                WHEN {_PCT_SQL.replace('doc_id', 'k.doc_id')} < 90
+                     THEN 'val'
                 ELSE 'test' END AS split
     FROM kept k JOIN keepers USING (doc_id)
     """,
@@ -1188,7 +1225,9 @@ def llm_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = kept.groupBy(F.lower(F.trim(F.col("text"))).alias("__norm")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    bucket = (F.col("doc_id") * 2654435761) % 100
+    # overflow-proof split hash (see sampling._pct_bucket: the raw
+    # Knuth multiply is a hard ANSI error for doc_id >= ~3.47e9)
+    bucket = _pct_bucket(F.col("doc_id"))
     return (
         kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
         .select(

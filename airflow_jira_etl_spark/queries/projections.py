@@ -79,11 +79,15 @@ def project_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``'//'.join(map(str, value))``, ``jira_base_processor.py:98-100``).
     Sorted first so the delimited form is deterministic."""
     documents = catalog.load(spark, sf_dir, "documents")
+    arr = F.sort_array(F.split(F.col("text"), " "))
     return documents.select(
         "doc_id",
-        F.concat_ws("//", F.sort_array(F.split(F.col("text"), " "))).alias(
-            "tokens_joined"
-        ),
+        # concat_ws maps a NULL array to '' — NULL text must stay NULL
+        # (the oracle's string_agg over zero rows), same guard as the
+        # mapping compiler's array leaf
+        F.when(arr.isNull(), F.lit(None))
+        .otherwise(F.concat_ws("//", arr))
+        .alias("tokens_joined"),
     )
 
 

@@ -81,7 +81,10 @@ def report_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def report_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue through LOCAL suppliers (customer and
     supplier in the same nation) for one region and year. Five joins —
-    two fact-side shuffles, three broadcast dims — plus the
+    two fact-side shuffles, fixed-domain dims (nation/region)
+    broadcast-hinted and the scaling supplier dim left to AQE's
+    size-based choice (broadcast at test SF, shuffle past the 8 GB
+    broadcast limit) — plus the
     local-supplier theta condition applied as a post-join filter."""
     customer = catalog.load(spark, sf_dir, "customer")
     orders = catalog.load(spark, sf_dir, "orders")
@@ -96,7 +99,7 @@ def report_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -168,7 +171,7 @@ def report_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = catalog.load(spark, sf_dir, "lineitem")
     part = catalog.load(spark, sf_dir, "part")
     part_rev = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_name")
         .agg(
             fround(
@@ -221,7 +224,7 @@ def report_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(part, lineitem.l_partkey == part.p_partkey)
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             rev.alias("rev"),
@@ -277,7 +280,7 @@ def report_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -335,7 +338,12 @@ def filter_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_not_exists_subquery",
     oracle="""
     WITH avg_bal AS (
-        SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+        -- rounded on BOTH engines: the raw avg differs by summation
+        -- order, so a balance between the two engines' averages would
+        -- flip membership in one engine only (the convention
+        -- report_sales_opportunity already applies to this predicate)
+        SELECT round(avg(c_acctbal) + 1e-9, 4) AS a
+        FROM customer WHERE c_acctbal > 0
     ),
     top_prio AS (
         SELECT min(o_orderpriority) AS p FROM orders
@@ -370,7 +378,8 @@ def filter_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_mktsegment, count(*) AS n_customers,
                round(sum(c_acctbal) + 1e-9, 4) AS total_balance
         FROM customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        WHERE c_acctbal > (SELECT round(avg(c_acctbal) + 1e-9, 4)
+                           FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority =
@@ -483,8 +492,10 @@ def report_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase after that): per user, the timestamp reached at each step
     and the depth attained. Each step is a per-user MIN over the events
     scan joined to the previous step's (tiny, per-user) frontier — the
-    frontier broadcasts, so the fact table is never shuffled: at 100 TB
-    the plan is three pushed-filter scans + broadcast joins + partial
+    frontier joins UNHINTED: AQE broadcasts it at any testable SF (one
+    row per converting user), and past the broadcast limit it degrades
+    to a shuffle join instead of failing — at 100 TB the plan is three
+    pushed-filter scans + size-appropriate joins + partial
     aggs, no events-sized exchange."""
     ev = catalog.load(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
@@ -496,14 +507,14 @@ def report_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .where(F.col("ts") > F.col("view_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("click_ts"))
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .where(F.col("ts") > F.col("click_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("purchase_ts"))
@@ -545,7 +556,8 @@ def report_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def report_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by the week of their
     first event; each cell counts distinct users of that cohort active
-    N weeks later. The cohort frontier (one row per user) broadcasts
+    N weeks later. The cohort frontier (one row per user) joins
+    unhinted — AQE broadcasts it below the limit, shuffles above —
     back onto the events scan; week arithmetic is exact integer day
     math on Monday-truncated dates, so both engines agree to the day.
     The distinct-count shuffles once on (cohort, offset) — at 100 TB
@@ -555,7 +567,7 @@ def report_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
     )
     return (
-        ev.join(F.broadcast(f), "user_id")
+        ev.join(f, "user_id")
         .select(
             "cohort_week",
             (
@@ -694,7 +706,9 @@ def report_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions on the join key, Catalyst inserts no extra exchange —
     at 100 TB that is 1 shuffle of the fact table instead of 3 (the
     decorrelated semi + anti joins each re-shuffled a full lineitem
-    read). Supplier is broadcast; the final agg is on s_name (bounded
+    read). Supplier joins unhinted (AQE broadcasts at test SF; the
+    supplier table scales with SF, so a forced hint would hit the 8 GB
+    broadcast wall); the final agg is on s_name (bounded
     domain)."""
     li = catalog.load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -728,7 +742,7 @@ def report_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         qualifying.join(
-            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+            supplier, F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -831,7 +845,8 @@ def report_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def report_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: share of one month's revenue from PROMO parts.
     Conditional aggregation over a broadcast dimension join — the
-    month filter is pushed to the lineitem scan, part broadcasts, and
+    month filter is pushed to the lineitem scan, part joins unhinted
+    (AQE-broadcast at test SF, shuffle at part-table scale), and
     the two sums fold into ONE aggregate pass (a CASE inside sum, not
     two scans). Returns a single row."""
     lineitem = catalog.load(spark, sf_dir, "lineitem")
@@ -842,7 +857,7 @@ def report_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
         lineitem.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             fround(100.0 * F.sum(promo) / F.sum(rev)).alias("promo_pct")
         )

@@ -78,6 +78,12 @@ def _adversarial_docs() -> list[tuple[int, str, str, str]]:
         rows.append(
             (2_147_483_000 + j, text, ["en", "xx", "zz"][j % 3], "edge")
         )
+    # NULL text — the drift class the round-9 review found half the
+    # family silently diverging on (NULL != empty in BOTH engines, but
+    # each operator must agree with ITS oracle on which convention the
+    # NULL maps to)
+    rows.append((2_147_483_900, None, "en", "edge"))
+    rows.append((2_147_483_901, None, "xx", "edge"))
     return rows
 
 
@@ -96,7 +102,10 @@ def docs_fixture(tmp_path_factory):
             "text": pa.array([r[1] for r in rows]),
             "lang": pa.array([r[2] for r in rows]),
             "source": pa.array([r[3] for r in rows]),
-            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else None for r in rows],
+                pa.int64(),
+            ),
         }
     )
     os.remove(os.path.join(tmp, "documents.parquet"))

@@ -46,6 +46,10 @@ def _adversarial_vectors() -> list[tuple[int, list[float], int]]:
     rows.append((200_000, [0.0] * DIM, 0))  # zero vector: cs guard
     rows.append((200_001, [-1.0] * DIM, 1))  # all-negative
     rows.append((200_002, [512.0] * DIM, 2))  # large magnitude, exact
+    # NULL embedding: cosine must stay NULL (not coalesce to 0.0), the
+    # knn assignment must be NULL (no nearest centroid exists), and the
+    # LSH sign bits must read 0 — all verified against the oracles
+    rows.append((200_003, None, 3))
     return rows
 
 
