@@ -27,7 +27,7 @@ from airflow_jira_etl_spark.registry import query
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           sum(l_extendedprice) AS sum_base_price,
+           round(sum(l_extendedprice) + 1e-9, 4) AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS sum_disc_price,
            round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
            round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
@@ -47,7 +47,11 @@ def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
+            # fround like every other float aggregate here: group sums
+            # at ~4e9 have measured summation-order spread past the
+            # compare harness's 4-dp margin (sum_qty sums integral
+            # doubles exactly and needs no rounding)
+            fround(F.sum("l_extendedprice")).alias("sum_base_price"),
             fround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("sum_disc_price"),
@@ -302,7 +306,8 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT user_id, event_type, n,
                row_number() OVER (PARTITION BY user_id
-                                  ORDER BY n DESC, event_type) AS rn
+                                  ORDER BY n DESC, event_type NULLS LAST)
+                 AS rn
         FROM counts
     )
     WHERE rn = 1
@@ -319,8 +324,11 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = events.groupBy("user_id", "event_type").agg(
         F.count("*").alias("n")
     )
+    # NULLS LAST pinned on BOTH engines: Spark's ASC default is NULLS
+    # FIRST, DuckDB's is NULLS LAST — a NULL event_type tying a real
+    # type's count would otherwise win the tie-break in one engine only
     w = Window.partitionBy("user_id").orderBy(
-        F.col("n").desc(), F.col("event_type")
+        F.col("n").desc(), F.col("event_type").asc_nulls_last()
     )
     return (
         counts.withColumn("rn", F.row_number().over(w))

@@ -177,7 +177,7 @@ def filter_in_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN l_quantity < 10 THEN 'small'
                 WHEN l_quantity < 30 THEN 'medium'
                 ELSE 'large' END AS qty_bucket,
-           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(floor(l_quantity) AS INTEGER) AS qty_int,
            round((l_extendedprice / 3600.0) + 1e-9, 4) AS price_per_hour_ish
     FROM lineitem
     """,
@@ -193,6 +193,9 @@ def case_when_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l_quantity") < 30, "medium")
         .otherwise("large")
         .alias("qty_bucket"),
-        F.col("l_quantity").cast("int").alias("qty_int"),
+        # floor() pinned on both sides: a bare double->int CAST
+        # truncates in Spark but rounds-to-nearest in DuckDB — a
+        # fractional-quantity fixture regen would diverge on every row
+        F.floor(F.col("l_quantity")).cast("int").alias("qty_int"),
         fround(F.col("l_extendedprice") / 3600.0).alias("price_per_hour_ish"),
     )

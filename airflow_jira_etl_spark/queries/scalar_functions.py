@@ -148,7 +148,7 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("o_totalprice")
     return orders.select(
         "o_orderkey",
-        F.round(p + F.lit(1e-9), 2).alias("price_2dp"),
+        fround(p, 2).alias("price_2dp"),
         F.abs(p - 250000.0).alias("dist_from_mid"),
         F.ceil(p / 1000.0).alias("price_k_ceil"),
         F.floor(p / 1000.0).alias("price_k_floor"),
@@ -217,7 +217,12 @@ def fn_map_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
-        F.concat_ws(",", F.map_keys(m)).alias("keys_joined"),
+        # concat_ws maps a NULL array to '' — a NULL/unparseable props
+        # must stay NULL like the oracle's array_to_string(NULL, ',')
+        # (same guard as project_array_join and the mapping compiler)
+        F.when(F.map_keys(m).isNull(), F.lit(None))
+        .otherwise(F.concat_ws(",", F.map_keys(m)))
+        .alias("keys_joined"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
 
