@@ -547,10 +547,21 @@ def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum ordered by (time, delta) — ends sort before coincident starts,
     the half-open convention — whose per-day max is the answer. The
     naive formulation is an interval self-join (O(n²) pairs at any
-    skewed hour); the sweep is 2n points, ONE exchange keyed by day,
-    and per-day windows that parallelize across the calendar. Ties at
-    the same (pt, delta) produce the same running-sum multiset under
-    any order, so max is deterministic.
+    skewed hour); the sweep is 2n points. Ties at the same (pt, delta)
+    produce the same running-sum multiset under any order, so max is
+    deterministic.
+
+    The prefix sum runs on ``grouped_running_sum`` (two-phase:
+    range-shuffle on (day, pt, delta), per-(partition, day) subtotal
+    offsets broadcast back) rather than a ``PARTITION BY day_idx``
+    window: a per-day window caps parallelism at |days| — ~30 tasks on
+    this fixture, and still only ~36 500 on a century of data while a
+    100 TB fact table wants thousands-wide stages. The two-phase form
+    keeps every stage at full cluster width regardless of calendar
+    span (adoption rehearsed r09 under
+    ``test_concurrency_sweep_rehearsal_on_running_sum``, swapped r10
+    after the pinned driver row confirmed green twice; the window form
+    remains the test's independent cross-check).
 
     ALL arithmetic is BIGINT epoch-microseconds on both engines — the
     single timestamp touchpoint is unix_micros / epoch_ns//1000; day
@@ -562,14 +573,20 @@ def win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     this removes the entire semantics class). The per-day n_points /
     min_pt_us / max_pt_us diagnostics localize any future mismatch to
     point-set vs running-sum."""
+    from airflow_jira_etl_spark.operators.ranking import grouped_running_sum
+
     events = catalog.load(spark, sf_dir, "events")
     pts = concurrency_points(events)
-    w = (
-        Window.partitionBy("day_idx")
-        .orderBy("pt_us", "delta")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ties on the full (day_idx, pt_us, delta) ordering carry equal
+    # summands, so the per-day max/count/min/max below are
+    # linearization-proof (see grouped_running_sum's tie contract)
+    run = grouped_running_sum(
+        pts,
+        ["day_idx"],
+        [F.col("pt_us"), F.col("delta")],
+        F.col("delta"),
+        sum_col="live",
     )
-    run = pts.select("day_idx", "pt_us", F.sum("delta").over(w).alias("live"))
     return run.groupBy("day_idx").agg(
         F.max("live").alias("max_concurrent"),
         F.count(F.lit(1)).alias("n_points"),

@@ -47,86 +47,35 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # A budget-capped external sweep records the first ~50 queries in
 # registration order.  To keep every query's differential evidence fresh,
 # the sweep order is explicit and least-recently-checked-first, decoupled
-# from module import order.  Round-8 derivation (mechanical: latest
-# CORRECTNESS_r*.json row per query; r07 was 50/50 green so there are no
-# red rows and no never-checked queries).  The 50-slot window:
-#    2 confirmation pins (slots 1-2): win_concurrency_sweep and
-#      mm_sample_frames red'd driver-side in r05+r06 and went green in
-#      r07 under rewritten contracts (pure-BIGINT epoch micros; frame
-#      hex).  One green row after two environment-specific reds is
-#      evidence, not closure — VERDICT r07 item 3 pins them for one
-#      more round.
-#   48 queries whose newest driver evidence is r05 (alphabetical —
-#      identical age, so no further ordering signal).  This exactly
-#      fills the window and lifts the whole-registry driver-evidence
-#      floor to r05.
+# from module import order.  Round-10 derivation (mechanical via
+# tools/sweep_advisor over CORRECTNESS_r*.json; r09 was 50/50 green so
+# there are no red rows and no never-checked queries).  The 50-slot
+# window:
+#    3 code-recency promotions (the advisor cannot see code changes):
+#      win_concurrency_sweep's registered plan swapped onto
+#      grouped_running_sum THIS round (its green r09 pin row — second
+#      consecutive after the r05+r06 environment reds — proved the old
+#      plan and lifted the pin; the new plan needs its own row), and
+#      win_ntile_percent / llm_corpus_stats were re-planned onto the
+#      distributed ranker in r09 while their newest driver rows predate
+#      that swap (r07).
+#    scan_parquet — the oldest evidence in the registry (r04, the
+#      documented r08/r09 deferral).
+#   46 of the 47 r06-evidence queries (alphabetical — identical age).
 # Oversubscription: 51 candidates for 50 slots -> 1 documented deferral
-# to round 9: scan_parquet (r04 evidence, weakest info gain — a bare
-# SELECT * whose scan path every other green row and the driver's
-# entry() smoke exercise every round).  It leads the post-window tail so
-# it tops the r09 order automatically.
-# Round-9 note: the r08 driver sweep never ran (no CORRECTNESS_r08 /
-# BENCH_r08 artifacts exist), so every query's evidence age is unchanged
-# and this window — derived as least-recently-checked-first — is still
-# the information-maximizing order. It carries into round 9 verbatim.
+# to round 11: set_union_all (weakest info gain — a bare two-scan
+# unionByName whose scan path every row exercises and whose
+# de-duplicating sibling set_union_distinct stays in-window).  It leads
+# the post-window tail so it tops the r11 order automatically.
 # tests/test_sweep_priority.py pins the window invariants.
 SWEEP_PRIORITY: list[str] = [
-    # confirmation pins (r05+r06 driver reds, r07 green once)
+    # code-recency promotions (plans changed after their newest rows)
     "win_concurrency_sweep",
-    "mm_sample_frames",
-    # r05-evidence tier (48, alphabetical) — fills slots 3-50
-    "agg_mode_per_group",
-    "agg_percentile_cont",
-    "agg_salted_skew",
-    "cdc_latest_per_key",
-    "fn_bitwise_suite",
-    "fn_hash_suite",
-    "fn_timestamp_parse",
-    "join_asof_latest",
-    "join_asof_tolerance",
-    "join_bnl_range_bands",
-    "join_bucketed_colocated",
-    "join_dpp_partitioned",
-    "llm_containment_pairs",
-    "llm_corpus_clean_pipeline",
-    "llm_dedup_clusters",
-    "llm_dedup_minhash",
-    "llm_dedup_ngram_jaccard",
-    "llm_embed_centroids",
-    "llm_embed_knn_assign",
-    "llm_fingerprint_rolling",
-    "llm_pii_scrub",
-    "llm_quality_entropy",
-    "mm_resize_batch",
-    "mv_incremental_refresh",
-    "report_funnel_steps",
-    "report_large_volume_customers",
-    "report_monthly_growth",
-    "report_promo_revenue",
-    "report_retention_cohorts",
-    "report_sales_opportunity",
-    "report_supplier_share",
-    "report_waiting_suppliers",
-    "scan_corrupt_quarantine",
-    "scan_csv",
-    "scan_jsonl",
-    "scan_schema_evolution",
-    "sink_scd2_apply",
-    "sink_sorted_write",
-    "sink_time_travel",
-    "source_paged_union",
-    "stream_stream_interval_join",
-    "stream_tumbling_topk",
-    "ts_gapfill_locf",
-    "win_consecutive_runs",
-    "win_lag_lead",
-    "win_running_distinct",
-    "win_running_sum",
-    "win_sessionize_gaps",
-    # ---- 50-slot window boundary ----
-    # round-9 lead: the one documented deferral (r04 evidence)
+    "llm_corpus_stats",
+    "win_ntile_percent",
+    # oldest evidence (r04; deferred from the r08/r09 windows)
     "scan_parquet",
-    # r06-evidence tier (alphabetical)
+    # r06-evidence tier (46 of 47, alphabetical) — fills slots 5-50
     "agg_exact_quantiles",
     "agg_unpivot",
     "filter_exists_subquery",
@@ -156,7 +105,6 @@ SWEEP_PRIORITY: list[str] = [
     "report_shipping_priority",
     "set_except",
     "set_intersect",
-    "set_union_all",
     "set_union_distinct",
     "sink_create_table",
     "sink_upsert",
@@ -174,7 +122,10 @@ SWEEP_PRIORITY: list[str] = [
     "udf_pandas_vectorized",
     "udf_python_scalar",
     "udtf_explode_kv",
-    # r07-evidence tier (freshest, alphabetical; excludes the 2 pins)
+    # ---- 50-slot window boundary ----
+    # round-11 lead: the one documented deferral (r06 evidence)
+    "set_union_all",
+    # r07-evidence tier (alphabetical; excludes the 2 promotions)
     "agg_approx_distinct",
     "agg_approx_quantiles",
     "agg_collect_sorted",
@@ -200,7 +151,6 @@ SWEEP_PRIORITY: list[str] = [
     "join_self_dedup_pairs",
     "join_semi",
     "join_theta_range",
-    "llm_corpus_stats",
     "llm_decontaminate",
     "llm_dedup_semantic_clusters",
     "llm_quality_repetition",
@@ -218,11 +168,61 @@ SWEEP_PRIORITY: list[str] = [
     "sink_partitioned_write",
     "source_rest_datasource",
     "win_first_last",
-    "win_ntile_percent",
     "win_range_frame",
     "win_rank_dense_rownum",
     "win_sliding_rows_frame",
     "win_topk_per_group",
+    # r09-evidence tier (freshest, alphabetical; excludes the
+    # win_concurrency_sweep promotion)
+    "agg_mode_per_group",
+    "agg_percentile_cont",
+    "agg_salted_skew",
+    "cdc_latest_per_key",
+    "fn_bitwise_suite",
+    "fn_hash_suite",
+    "fn_timestamp_parse",
+    "join_asof_latest",
+    "join_asof_tolerance",
+    "join_bnl_range_bands",
+    "join_bucketed_colocated",
+    "join_dpp_partitioned",
+    "llm_containment_pairs",
+    "llm_corpus_clean_pipeline",
+    "llm_dedup_clusters",
+    "llm_dedup_minhash",
+    "llm_dedup_ngram_jaccard",
+    "llm_embed_centroids",
+    "llm_embed_knn_assign",
+    "llm_fingerprint_rolling",
+    "llm_pii_scrub",
+    "llm_quality_entropy",
+    "mm_resize_batch",
+    "mm_sample_frames",
+    "mv_incremental_refresh",
+    "report_funnel_steps",
+    "report_large_volume_customers",
+    "report_monthly_growth",
+    "report_promo_revenue",
+    "report_retention_cohorts",
+    "report_sales_opportunity",
+    "report_supplier_share",
+    "report_waiting_suppliers",
+    "scan_corrupt_quarantine",
+    "scan_csv",
+    "scan_jsonl",
+    "scan_schema_evolution",
+    "sink_scd2_apply",
+    "sink_sorted_write",
+    "sink_time_travel",
+    "source_paged_union",
+    "stream_stream_interval_join",
+    "stream_tumbling_topk",
+    "ts_gapfill_locf",
+    "win_consecutive_runs",
+    "win_lag_lead",
+    "win_running_distinct",
+    "win_running_sum",
+    "win_sessionize_gaps",
 ]
 
 

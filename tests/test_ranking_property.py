@@ -307,16 +307,17 @@ def test_rsum_scale_probe_smoke(spark, sf_dir):
 
 
 def test_concurrency_sweep_rehearsal_on_running_sum(spark, sf_dir):
-    """Round-10 adoption rehearsal: win_concurrency_sweep's per-day
-    sweep-line prefix sum, re-expressed over grouped_running_sum (the
-    distributed form that removes the |days|-cardinality window
-    partition — PLANS.md 'Known single-task spots'), must produce the
-    REGISTERED query's exact output on the real events fixture. The
-    registered plan itself is pinned in the r09 driver sweep and must
-    not change this round; this test proves the swap is a pure plan
-    substitution when the pin lifts."""
+    """Cross-check for the r10 swap: win_concurrency_sweep is now
+    REGISTERED on grouped_running_sum (the distributed form that
+    removed the |days|-cardinality window partition — adopted after
+    the r08/r09 pinned driver rows confirmed green twice). This test
+    keeps the ORIGINAL ``PARTITION BY day_idx`` window formulation as
+    the independent reference plan and asserts exact output equality
+    on the real events fixture, so any drift between the two-phase
+    prefix sum and plain window semantics fails here first."""
+    from pyspark.sql import Window
+
     from airflow_jira_etl_spark import catalog
-    from airflow_jira_etl_spark.operators.ranking import grouped_running_sum
     from airflow_jira_etl_spark.queries.windows import (
         concurrency_points,
         win_concurrency_sweep,
@@ -324,14 +325,14 @@ def test_concurrency_sweep_rehearsal_on_running_sum(spark, sf_dir):
 
     events = catalog.load(spark, sf_dir, "events")
     pts = concurrency_points(events)
-    # ties on the full (day_idx, pt_us, delta) ordering carry equal
-    # summands, so the per-day max/count/min/max are linearization-proof
-    run = grouped_running_sum(
-        pts,
-        ["day_idx"],
-        [F.col("pt_us"), F.col("delta")],
-        F.col("delta"),
-        sum_col="live",
+    # the pre-swap registered plan: per-day window running sum
+    w = (
+        Window.partitionBy("day_idx")
+        .orderBy("pt_us", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(
+        "day_idx", "pt_us", F.sum("delta").over(w).alias("live")
     )
     got = run.groupBy("day_idx").agg(
         F.max("live").alias("max_concurrent"),

@@ -41,24 +41,27 @@ def test_red_rows_lead_the_window():
     assert not missing, f"red-evidence queries outside the window: {missing}"
 
 
-# Round-8 window plan: 51 must-prove candidates (48 r05-evidence + the
-# 2 confirmation pins + the r04 deferral) for 50 slots; this one is the
-# documented deferral (weakest info gain — see the derivation comment
-# above registry.SWEEP_PRIORITY). Everything else — the confirmation
-# pins and the full r05 tier — must be inside the window.
+# Round-10 window plan: 51 must-prove candidates (scan_parquet's r04
+# row + 47 r06-evidence + 3 code-recency promotions) for 50 slots; this
+# one is the documented deferral (weakest info gain — see the
+# derivation comment above registry.SWEEP_PRIORITY). Everything else
+# stale must be inside the window.
 DEFERRED = {
-    "scan_parquet",  # bare SELECT *; scan path re-proved by every row
+    "set_union_all",  # bare two-scan unionByName; sibling stays in-window
 }
 
 # Evidence-age threshold for "must re-prove this round": after the
-# fully-green r07, the oldest tier is r05 (plus the r04 deferral).
-STALE_ROUND = 5
+# fully-green r09, the oldest tiers are r04 (scan_parquet) and r06.
+STALE_ROUND = 6
 
 PROMOTED = {
-    # confirmation pins: red driver-side in r05+r06, green once in r07
-    # under rewritten contracts — one more round before closure
+    # code-recency promotions: plans changed after their newest driver
+    # rows (win_concurrency_sweep swapped onto grouped_running_sum in
+    # r10; the other two re-planned onto the distributed ranker in r09
+    # with r07-era rows)
     "win_concurrency_sweep",
-    "mm_sample_frames",
+    "llm_corpus_stats",
+    "win_ntile_percent",
 }
 
 
