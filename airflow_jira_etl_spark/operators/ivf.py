@@ -225,9 +225,10 @@ def _build_index_files(
         "embedding": [float(x) for x in arow["embedding"]],
     }
     # ATOMIC publish (temp + rename): the warm path reads this file
-    # OUTSIDE the flock (that is the whole point of meta_layout 3 —
-    # zero coordination on a cache hit), so a truncate-in-place write
-    # here would expose concurrent warm opens to a partial file
+    # OUTSIDE the flock (that is the whole point of the versioned
+    # layout — zero coordination on a cache hit), so a
+    # truncate-in-place write here would expose concurrent warm opens
+    # to a partial file
     tmp_path = meta_path + ".tmp"
     this_v = _version_dir(key)
     with open(tmp_path, "w") as f:

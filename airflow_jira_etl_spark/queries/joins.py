@@ -349,44 +349,51 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cached = _files_current()
     lk = None
-    if not cached:
-        # shared content-keyed cache, same hazard class as the event
-        # page cache: a concurrent session's rebuild would rmtree the
-        # bucket files under this session's lazily-returned join —
-        # serialize builders with a flock (held through the rebuild
-        # below) and re-validate inside it
-        import fcntl
-
-        os.makedirs(wh, exist_ok=True)
-        lk = open(wh + ".lock", "w")
-        fcntl.flock(lk, fcntl.LOCK_EX)
-        cached = _files_current()
-    if cached and not (
-        spark.catalog.tableExists(li_name)
-        and spark.catalog.tableExists(o_name)
-    ):
-        # files from a prior session are current but the in-memory
-        # catalog forgot them — re-register as EXTERNAL bucketed tables
-        # over the existing bucket files instead of rewriting them
-        spark.sql(
-            f"""
-            CREATE TABLE IF NOT EXISTS {li_name}
-            (l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE)
-            USING PARQUET
-            CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) INTO 8 BUCKETS
-            LOCATION '{os.path.join(wh, li_name.split(".")[1])}'
-            """
-        )
-        spark.sql(
-            f"""
-            CREATE TABLE IF NOT EXISTS {o_name}
-            (o_orderkey BIGINT, o_orderpriority STRING)
-            USING PARQUET
-            CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 8 BUCKETS
-            LOCATION '{os.path.join(wh, o_name.split(".")[1])}'
-            """
-        )
+    # every exit path after the flock is acquired must run through the
+    # finally below — an exception anywhere between acquisition and
+    # release (incl. the cached-path external-table registration) would
+    # otherwise leave the builder lock held for the session's lifetime
+    # (the traceback keeps the file object alive), wedging other
+    # sessions' builders
     try:
+        if not cached:
+            # shared content-keyed cache, same hazard class as the event
+            # page cache: a concurrent session's rebuild would rmtree the
+            # bucket files under this session's lazily-returned join —
+            # serialize builders with a flock (held through the rebuild
+            # below) and re-validate inside it
+            import fcntl
+
+            os.makedirs(wh, exist_ok=True)
+            lk = open(wh + ".lock", "w")
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            cached = _files_current()
+        if cached and not (
+            spark.catalog.tableExists(li_name)
+            and spark.catalog.tableExists(o_name)
+        ):
+            # files from a prior session are current but the in-memory
+            # catalog forgot them — re-register as EXTERNAL bucketed
+            # tables over the existing bucket files instead of
+            # rewriting them
+            spark.sql(
+                f"""
+                CREATE TABLE IF NOT EXISTS {li_name}
+                (l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE)
+                USING PARQUET
+                CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) INTO 8 BUCKETS
+                LOCATION '{os.path.join(wh, li_name.split(".")[1])}'
+                """
+            )
+            spark.sql(
+                f"""
+                CREATE TABLE IF NOT EXISTS {o_name}
+                (o_orderkey BIGINT, o_orderpriority STRING)
+                USING PARQUET
+                CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 8 BUCKETS
+                LOCATION '{os.path.join(wh, o_name.split(".")[1])}'
+                """
+            )
         if not cached:
             import shutil
 

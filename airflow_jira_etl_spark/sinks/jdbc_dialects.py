@@ -115,6 +115,14 @@ def write_upsert_jdbc(
     key concurrently — a primary-key violation on MSSQL's MERGE (no
     HOLDLOCK) and a scheduling-dependent winner everywhere else.
 
+    Connection economy: the key repartition is capped at the incoming
+    partition count instead of inheriting spark.sql.shuffle.partitions
+    (typically 200 — a small batch would fan out into hundreds of
+    mostly-empty partitions), and each task peeks its iterator before
+    ``connect()`` so empty partitions open no connection at all. The
+    database's connection ceiling, not Spark's shuffle width, is the
+    scarce resource at a JDBC sink.
+
     Requires a DBAPI driver on the executors; none ships in this
     environment, so tests exercise the full partition-write path with
     a recording fake DBAPI connection (test_jdbc_dialects)."""
@@ -123,15 +131,21 @@ def write_upsert_jdbc(
     from airflow_jira_etl_spark.operators.upsert import upsert
 
     deduped = upsert(df.limit(0), df, key, ordinal_col=ordinal_col)
-    df = deduped.repartition(F.col(key))
+    n_parts = max(1, df.rdd.getNumPartitions())
+    df = deduped.repartition(n_parts, F.col(key))
     columns = df.columns
     sql = upsert_sql(dialect, table, columns, key)
 
     def write_partition(rows) -> None:
+        rows = iter(rows)
+        try:
+            first = next(rows)
+        except StopIteration:
+            return  # empty partition: no connection, no round-trip
         conn = connect()
         try:
             cur = conn.cursor()
-            batch = []
+            batch = [tuple(first)]
             for row in rows:
                 batch.append(tuple(row))
                 if len(batch) >= batch_size:

@@ -395,15 +395,21 @@ class ParquetUpsertTable:
         flip — replaced here instead of wedging every future merge with
         an unresolvable 'already published' error. On filesystems
         without advisory locks (some object-store mounts), flock
-        degrades to the optimistic checks alone."""
+        degrades to the optimistic checks alone — and because the
+        crash-garbage deduction above only holds INSIDE the lock, the
+        degraded path keeps the stricter manifest-exists refusal: a
+        ``gen_N`` dir that already carries a manifest may be a live
+        concurrent writer between its rename and pointer flip, so it is
+        refused as a concurrent modification, never deleted."""
         import fcntl
 
         out = os.path.join(self.root, gen_name)
         with open(os.path.join(self.root, "_COMMIT.lock"), "w") as lk:
+            locked = True
             try:
                 fcntl.flock(lk, fcntl.LOCK_EX)
             except OSError:
-                pass  # lock unsupported: optimistic checks still apply
+                locked = False  # lock unsupported: optimistic checks only
             try:
                 current = self.current_generation()
                 if current != expected_base:
@@ -413,10 +419,24 @@ class ParquetUpsertTable:
                         f"{current!r} — rerun the merge on the current state"
                     )
                 if os.path.exists(out):
-                    # gen_name is always pointer+1, so anything already
-                    # at `out` — manifest or not — is uncommitted crash
-                    # garbage (a writer that died between rename and
-                    # pointer flip); nothing committed references it
+                    # Inside the flock, gen_name is always pointer+1, so
+                    # anything already at `out` — manifest or not — is
+                    # uncommitted crash garbage (a writer that died
+                    # between rename and pointer flip); nothing committed
+                    # references it. WITHOUT the flock that deduction
+                    # fails: a manifest-bearing dir may be a concurrent
+                    # publisher about to flip the pointer, and deleting
+                    # it is exactly the lost update this protocol exists
+                    # to prevent — refuse instead.
+                    if not locked and os.path.exists(
+                        os.path.join(out, _MANIFEST)
+                    ):
+                        raise RuntimeError(
+                            f"concurrent modification: {gen_name} already "
+                            f"holds a manifest and no advisory lock is "
+                            f"available to prove it is crash garbage — "
+                            f"rerun the merge on the current state"
+                        )
                     shutil.rmtree(out)
                 os.rename(staging, out)
             finally:

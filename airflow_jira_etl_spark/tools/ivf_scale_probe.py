@@ -15,7 +15,8 @@ brute force and IVF rank the same geometry), builds a fresh on-disk
 index per multiple with k = 8·√mult, and reports:
 
 - ``ivf_warm_s``: min-of-3 wall of the warm registered search shape
-  (meta_layout 3 — zero bookkeeping jobs, pruned scan only),
+  (the versioned meta layout — zero bookkeeping jobs, pruned scan
+  only),
 - ``probed_rows`` / ``n_vecs``: the measured read fraction,
 - ``brute_s``: broadcast-probe brute-force cosine top-k over the full
   corpus — the baseline the pruned search must beat and keep beating,

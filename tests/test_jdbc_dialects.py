@@ -124,3 +124,44 @@ def test_write_upsert_jdbc_dedupes_and_batches(spark, tmp_path):
         assert r[0] not in by_key, "duplicate key reached the database"
         by_key[r[0]] = r[1]
     assert by_key == {1: "a3", 2: "b", 3: "c"}  # last writer won
+
+
+def test_write_upsert_jdbc_connection_economy(spark, tmp_path):
+    """Empty partitions must not open a connection, and the key
+    repartition must be capped at the INCOMING partition count — a
+    3-row batch under the session's 200-default shuffle width would
+    otherwise open hundreds of connections against the database's
+    connection ceiling. Counted via marker files (the fake connects on
+    executors; a driver-side counter would stay zero)."""
+    import os
+    import uuid
+
+    from airflow_jira_etl_spark.sinks.jdbc_dialects import write_upsert_jdbc
+
+    out = str(tmp_path / "conns")
+    os.makedirs(out)
+
+    class CountingConn:
+        def __init__(self):
+            with open(os.path.join(out, uuid.uuid4().hex), "w"):
+                pass
+
+        def cursor(self):
+            return self
+
+        def executemany(self, sql, batch):
+            pass
+
+        def commit(self):
+            pass
+
+        def close(self):
+            pass
+
+    # 3 rows coalesced into 2 incoming partitions; connections must be
+    # bounded by the incoming width (2), never the shuffle default
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).coalesce(2)
+    write_upsert_jdbc(df, "postgres", "t", "id", CountingConn)
+    assert 1 <= len(os.listdir(out)) <= 2

@@ -436,6 +436,46 @@ def test_apply_recovers_from_crash_orphan_generation(spark, tmp_path):
     assert os.path.basename(t.current_generation()) == "gen_000001"
 
 
+def test_unlocked_commit_refuses_manifest_bearing_gen(
+    spark, tmp_path, monkeypatch
+):
+    """On filesystems where fcntl.flock raises OSError (some
+    object-store/NFS mounts), the crash-garbage deduction of
+    test_apply_recovers_from_crash_orphan_generation no longer holds:
+    a manifest-bearing gen dir beyond the pointer may be a LIVE
+    concurrent publisher between its rename and pointer flip. The
+    degraded path must refuse (concurrent modification) and leave the
+    existing dir untouched — deleting it would be the lost update the
+    commit protocol exists to prevent. A manifest-LESS dir is still
+    replaceable: no publisher writes the manifest before the rename."""
+    import fcntl
+    import json as _json
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
+    t.apply(spark.createDataFrame([(1, "a")], "k long, v string"))
+
+    def no_flock(fd, op):
+        raise OSError("flock unsupported on this mount")
+
+    monkeypatch.setattr(fcntl, "flock", no_flock)
+
+    # a manifest-bearing gen_000001 beyond the pointer: possibly live
+    orphan = os.path.join(t.root, "gen_000001")
+    os.makedirs(orphan)
+    marker = os.path.join(orphan, "_MANIFEST.json")
+    with open(marker, "w") as f:
+        _json.dump({"n_buckets": 4, "buckets": {}, "schema": []}, f)
+
+    with pytest.raises(RuntimeError, match="concurrent modification"):
+        t.apply(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert os.path.exists(marker)  # the possibly-live dir survives
+
+    # manifest-less garbage is still replaced even without the lock
+    os.remove(marker)
+    t.apply(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert {r.k: r.v for r in t.read().collect()} == {1: "a", 2: "b"}
+
+
 def test_null_bucket_ids_fail_loudly(spark, tmp_path):
     """A NULL bucket id (a NULL key under range_bucketer — CAST of NULL
     is NULL even under ANSI; non-numeric strings already raise at the
