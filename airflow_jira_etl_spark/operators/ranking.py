@@ -271,6 +271,125 @@ def grouped_row_number(
     )
 
 
+def grouped_rank_select(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    ranks: dict[str, "callable"],
+    n_col: str = "n",
+    num_partitions: int | None = None,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """Select the rows at named per-group ranks (order statistics)
+    WITHOUT materializing a rank on every row — the two-phase ranking
+    scheme specialized to rank SELECTION (exact quantiles, medians,
+    k-th order statistics).
+
+    ``ranks`` maps an output label to ``fn(n) -> int`` (1-based rank,
+    given the group's row count) — e.g. the lower-quantile convention
+    ``{"p50": lambda n: (n + 1) // 2}``. After the same bookkeeping
+    pass as ``grouped_row_number`` (one count/min-idx row per
+    (partition, group)), the DRIVER resolves each target rank to its
+    exact (partition, partition-local index) coordinate — a group's
+    rows are contiguous and sorted within each range partition, so
+    rank r lands in the partition whose exclusive prefix count first
+    covers r, at local index ``first_idx + (r - offset - 1)``. The
+    second pass is then a broadcast semi-selection of
+    ``|groups| × |ranks|`` rows (joined on the globally-unique
+    (partition, local idx) coordinate), not a full-frame rank
+    computation: where ``grouped_row_number`` pays a per-row broadcast
+    join plus rank arithmetic over the ENTIRE cached frame, this pays
+    a filter that touches every cached partition once and keeps only
+    the target rows. At 100 TB that is the difference between
+    rewriting the table and reading it.
+
+    Returns one row per group: ``group_cols + [n_col] + sorted(ranks)``
+    where each rank column holds a STRUCT of the selected row's
+    non-group columns (callers project the field they want). Groups
+    whose ``fn(n)`` is out of [1, n] raise — a silent NULL would be
+    indistinguishable from data loss.
+    """
+    from pyspark.sql import types as T
+
+    out_names = (n_col, *ranks)
+    _check_names(df, out_names)
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    sort_exprs = [F.col(g) for g in group_cols] + list(order_cols)
+    tagged = _range_tag(df, sort_exprs, n_parts, storage_level)
+    per = (
+        tagged.groupBy("_gr_pid", *group_cols)
+        .agg(
+            F.count("*").alias("_gr_cnt"),
+            F.min("_gr_idx").alias("_gr_first"),
+        )
+        .collect()
+    )  # bounded: one row per (partition, group)
+    per.sort(key=lambda r: r["_gr_pid"])
+    # group -> [(pid, first_idx, excl_offset, cnt)] in pid order, plus
+    # a representative raw-key row per group for the output frame
+    slices: dict[tuple, list] = {}
+    raw_keys: dict[tuple, list] = {}
+    for r in per:
+        gkey = _group_key(r, group_cols)
+        prior = slices.setdefault(gkey, [])
+        off = (prior[-1][2] + prior[-1][3]) if prior else 0
+        prior.append((r["_gr_pid"], int(r["_gr_first"]), off, r["_gr_cnt"]))
+        raw_keys.setdefault(gkey, [r[g] for g in group_cols])
+    # resolve each named rank to its (pid, local_idx) coordinate
+    targets = []  # (pid, idx, label)
+    group_meta = []  # (*group_key_cols, n)
+    for gkey, parts in slices.items():
+        n = parts[-1][2] + parts[-1][3]
+        group_meta.append([*raw_keys[gkey], n])
+        for label, fn in ranks.items():
+            r = int(fn(n))
+            if not (1 <= r <= n):
+                raise ValueError(
+                    f"grouped_rank_select: rank {label}={r} out of "
+                    f"[1, {n}] for group {raw_keys[gkey]!r}"
+                )
+            for pid, first, off, cnt in parts:
+                if off < r <= off + cnt:
+                    targets.append((pid, first + (r - off - 1), label))
+                    break
+    # (pid, local idx) is globally unique (monotonically_increasing_id
+    # is per-row), so the selection join needs no group-key equality
+    sel_meta = spark.createDataFrame(
+        targets,
+        T.StructType(
+            [
+                T.StructField("_gr_pid", T.IntegerType()),
+                T.StructField("_gr_idx", T.LongType()),
+                T.StructField("_gr_label", T.StringType()),
+            ]
+        ),
+    )
+    payload = [c for c in df.columns if c not in group_cols]
+    picked = (
+        tagged.join(F.broadcast(sel_meta), ["_gr_pid", "_gr_idx"])
+        .groupBy(*group_cols)
+        .pivot("_gr_label", sorted(ranks))
+        .agg(F.first(F.struct(*payload)))
+    )
+    n_schema = T.StructType(
+        [tagged.schema[g] for g in group_cols]
+        + [T.StructField(n_col, T.LongType())]
+    )
+    n_df = spark.createDataFrame(
+        [tuple(r) for r in group_meta], n_schema
+    )
+    cond = None
+    for g in group_cols:
+        c = picked[g].eqNullSafe(n_df[g])
+        cond = c if cond is None else cond & c
+    return picked.join(F.broadcast(n_df), cond).drop(
+        *[n_df[g] for g in group_cols]
+    )
+
+
 def grouped_running_sum(
     df: DataFrame,
     group_cols: list[str],

@@ -420,42 +420,40 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality matters: one window sort per group keyed by (value, unique
     tiebreak), pick ranks floor(p·(n-1))+1 (the LOWER-quantile
     convention, identical in both engines' integer division) as
-    conditional aggregates. The rank comes from
-    operators/ranking.grouped_row_number (round 9): l_returnflag has
-    THREE values, so a Window.partitionBy(flag) would sort the whole
-    table through 3 tasks at any scale (AQE does not split window
-    partitions) — the grouped two-phase ranker range-shuffles on
-    (flag, value, keys) instead, spreading every group across the full
-    cluster, and the group sizes ride along without a full-frame count
-    window."""
-    from airflow_jira_etl_spark.operators.ranking import grouped_row_number
+    conditional aggregates. The selection runs on
+    operators/ranking.grouped_rank_select (round 10; round 9 used the
+    per-row grouped_row_number): l_returnflag has THREE values, so a
+    Window.partitionBy(flag) would sort the whole table through 3
+    tasks at any scale (AQE does not split window partitions) — the
+    two-phase scheme range-shuffles on (flag, value, keys) instead,
+    spreading every group across the full cluster, and the driver
+    resolves the target ranks to exact (partition, local-index)
+    coordinates from the bookkeeping counts, so the second pass
+    SELECTS the 9 quantile rows rather than ranking every row: no
+    per-row broadcast join, no full-frame rank arithmetic."""
+    from airflow_jira_etl_spark.operators.ranking import grouped_rank_select
 
     lineitem = catalog.load(spark, sf_dir, "lineitem")
-    ranked = grouped_row_number(
+    sel = grouped_rank_select(
         lineitem.select(
             "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
         ),
         ["l_returnflag"],
         [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        {
+            "p25": lambda n: (n + 3) // 4,
+            "p50": lambda n: (n + 1) // 2,
+            "p75": lambda n: (3 * n + 1) // 4,
+        },
+        n_col="n_rows",
     )
-
-    def _pick(rank_expr: str):
-        return fround(
-            F.max(
-                F.when(F.col("rn") == F.expr(rank_expr), F.col("l_extendedprice"))
-            )
-        )
-
-    return (
-        ranked.groupBy("l_returnflag")
-        .agg(
-            F.max("n").alias("n_rows"),
-            _pick("(n + 3) div 4").alias("p25"),
-            _pick("(n + 1) div 2").alias("p50"),
-            _pick("(3 * n + 1) div 4").alias("p75"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return sel.select(
+        "l_returnflag",
+        "n_rows",
+        fround(F.col("p25.l_extendedprice")).alias("p25"),
+        fround(F.col("p50.l_extendedprice")).alias("p50"),
+        fround(F.col("p75.l_extendedprice")).alias("p75"),
+    ).orderBy("l_returnflag")
 
 
 @query(

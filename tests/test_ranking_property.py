@@ -83,6 +83,63 @@ def test_grouped_row_number_matches_partitioned_window(spark, rows, n_parts):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=values_grouped, n_parts=st.integers(1, 8))
+def test_grouped_rank_select_matches_window_quantiles(spark, rows, n_parts):
+    """grouped_rank_select must pick EXACTLY the rows a partitioned
+    window's row_number would select at the lower-quantile ranks
+    (p25/p50/p75), and carry the exact group count — on any mix of
+    group skew, duplicate values, NULL group keys, and partition counts
+    that split one group across many range partitions. The driver-side
+    rank→(partition, local index) resolution is the part under test:
+    an off-by-one against the prefix-sum offsets would pick a
+    neighboring row, which duplicate-heavy inputs expose only when the
+    neighbor differs."""
+    from airflow_jira_etl_spark.operators.ranking import grouped_rank_select
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, g string, v long")
+    order = [F.col("v"), F.col("k")]
+    ranks = {
+        "p25": lambda n: (n + 3) // 4,
+        "p50": lambda n: (n + 1) // 2,
+        "p75": lambda n: (3 * n + 1) // 4,
+    }
+    sel = grouped_rank_select(df, ["g"], order, ranks, num_partitions=n_parts)
+    got = {
+        r.g: (r.n, r.p25.v, r.p50.v, r.p75.v) for r in sel.collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    wp = Window.partitionBy("g")
+    ranked = df.select(
+        "g", "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    want = {}
+    for r in ranked.collect():
+        n = r.n
+        cur = want.setdefault(r.g, [n, None, None, None])
+        for slot, fn in enumerate(ranks.values(), start=1):
+            if r.rn == fn(n):
+                cur[slot] = r.v
+    assert got == {g: tuple(vals) for g, vals in want.items()}
+
+
+def test_grouped_rank_select_rejects_out_of_range_rank(spark):
+    """A rank resolving outside [1, n] must raise, not emit NULL — a
+    silent NULL is indistinguishable from data loss."""
+    import pytest
+
+    from airflow_jira_etl_spark.operators.ranking import grouped_rank_select
+
+    df = spark.createDataFrame([(1, "a", 10)], "k long, g string, v long")
+    with pytest.raises(ValueError, match="out of"):
+        grouped_rank_select(
+            df, ["g"], [F.col("v"), F.col("k")], {"bad": lambda n: n + 1}
+        ).collect()
+
+
 rsum_rows = st.lists(
     st.tuples(
         st.sampled_from(["a", "b", None]),  # None: NULL group keys
