@@ -99,41 +99,37 @@ def _word_hash_spark(w: str) -> str:
     )
 
 
-def _mh_pairs_cte() -> str:
-    """The shared DuckDB CTE chain (shingle → signature → band join →
-    Jaccard verify) ending in `scored(id1, id2, j)`; llm_dedup_minhash
-    and llm_dedup_clusters' oracles both build on it, generated from
-    the same seed table so the engines can never drift."""
+def _lsh_pairs_sql(
+    grams_with: str,
+    seeds: list[tuple[int, int]],
+    p: int,
+    n_bands: int,
+    n_rows: int,
+) -> str:
+    """The ONE DuckDB generator for the banded-LSH CTE chain
+    (signature → band self-join → exact verify) ending in
+    `scored(id1, id2, j, containment)`. ``grams_with`` is a WITH-chain
+    whose final CTE is ``grams(doc_id, hs)``; every banded oracle
+    (minhash word-shingles, char-4-gram Jaccard, clusters' pair feed)
+    passes its own grams chain + seed geometry through here, so the
+    bands/candidates/verify SQL can never drift between them — the
+    exact parity twin of `_lsh_band_pairs` on the Spark side."""
     mh_cols = ",\n               ".join(
-        f"list_min([ (h * {a} + {b}) % {_MH_P} FOR h IN hs ]) AS mh{s}"
-        for s, (a, b) in enumerate(_MH_SEEDS)
+        f"list_min([ (h * {a} + {b}) % {p} FOR h IN hs ]) AS mh{s}"
+        for s, (a, b) in enumerate(seeds)
     )
     band_selects = "\n        UNION ALL ".join(
         "SELECT doc_id, {i} AS band_id, {hs} FROM sig".format(
             i=i,
             hs=", ".join(
-                f"mh{_MH_ROWS * i + r} AS h{r}" for r in range(_MH_ROWS)
+                f"mh{n_rows * i + r} AS h{r}" for r in range(n_rows)
             ),
         )
-        for i in range(_MH_BANDS)
+        for i in range(n_bands)
     )
-    h_eq = " AND ".join(f"a.h{r} = b.h{r}" for r in range(_MH_ROWS))
+    h_eq = " AND ".join(f"a.h{r} = b.h{r}" for r in range(n_rows))
     return f"""
-    WITH toks AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-    ),
-    wh AS (
-        SELECT doc_id,
-               list_concat([ {_word_hash_duck("w")}
-                             FOR w IN t ], [0, 0]) AS w
-        FROM toks
-    ),
-    grams AS (
-        SELECT doc_id,
-               [ (w[i] * 40503 + w[i+1] * 65599 + w[i+2]) % {_MH_P}
-                 FOR i IN range(1, greatest(len(w) - 4, 1) + 1) ] AS hs
-        FROM wh
-    ),
+    {grams_with},
     sig AS (
         SELECT doc_id, list_distinct(hs) AS hset,
                {mh_cols}
@@ -161,6 +157,32 @@ def _mh_pairs_cte() -> str:
     """
 
 
+def _mh_pairs_cte() -> str:
+    """The shared DuckDB CTE chain (shingle → signature → band join →
+    Jaccard verify) ending in `scored(id1, id2, j, containment)`;
+    llm_dedup_minhash, llm_containment_pairs and llm_dedup_clusters'
+    oracles all build on it, generated from the same seed table so the
+    engines can never drift. NOTE: consumers rewrite the leading
+    "WITH toks" (llm_extras' clusters oracle makes it RECURSIVE) — the
+    grams chain must keep that prefix."""
+    grams_with = f"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    wh AS (
+        SELECT doc_id,
+               list_concat([ {_word_hash_duck("w")}
+                             FOR w IN t ], [0, 0]) AS w
+        FROM toks
+    ),
+    grams AS (
+        SELECT doc_id,
+               [ (w[i] * 40503 + w[i+1] * 65599 + w[i+2]) % {_MH_P}
+                 FOR i IN range(1, greatest(len(w) - 4, 1) + 1) ] AS hs
+        FROM wh
+    )"""
+    return _lsh_pairs_sql(grams_with, _MH_SEEDS, _MH_P, _MH_BANDS, _MH_ROWS)
+
+
 def _mh_oracle() -> str:
     return (
         _mh_pairs_cte()
@@ -184,6 +206,87 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_portable(documents).select(
         "id1", "id2", fround(F.col("j")).alias("jaccard")
     )
+
+
+def _lsh_band_pairs(
+    grams: DataFrame,
+    seeds: list[tuple[int, int]],
+    p: int,
+    n_bands: int,
+    n_rows: int,
+) -> DataFrame:
+    """The ONE Spark generator for banded MinHash-LSH candidates:
+    ``grams`` is any frame with (doc_id long, hs array<long>); returns
+    (id1, id2, h1, h2) — band-collided pairs with both distinct gram
+    sets re-attached for the caller's exact verify. The parity twin of
+    `_lsh_pairs_sql` on the oracle side; both the word-shingle and
+    char-4-gram families pass their gram pass + seed geometry through
+    here, so the bands→candidates→re-attach machinery cannot drift
+    between them.
+
+    Shape (the 100 TB contract): the signature pass is a pure in-array
+    map (one array_min per seed — no explode, no shuffle), cached and
+    filled EAGERLY because three consumers read it (both band-join
+    sides + the verify re-attach) and a lazy cache would race them
+    into computing signatures twice concurrently. Past the signature
+    scan everything is narrow candidate traffic: the band self-join
+    carries band_id + n_rows minhash longs per row, candidates are
+    deduped before the verify re-attach, and no stage is ever
+    all-pairs — growth is bounded by true band collisions (see the
+    30× probes in tools/scale_probe.py)."""
+    sig = grams.select(
+        "doc_id",
+        F.array_distinct("hs").alias("hset"),
+        *[
+            F.expr(
+                f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {p}))"
+            ).alias(f"mh{s}")
+            for s, (a, b) in enumerate(seeds)
+        ],
+    ).cache()
+    sig.count()  # eager: both band-join sides + the verify read it
+    hcols = [f"h{r}" for r in range(n_rows)]
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        *[
+                            F.col(f"mh{n_rows * i + r}").alias(f"h{r}")
+                            for r in range(n_rows)
+                        ],
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", *[f"band.{h}" for h in hcols])
+    a, b = bands.alias("a"), bands.alias("b")
+    band_eq = F.col("a.band_id") == F.col("b.band_id")
+    for h in hcols:
+        band_eq = band_eq & (F.col(f"a.{h}") == F.col(f"b.{h}"))
+    cand = (
+        a.join(b, band_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])  # same pair may collide in >1 band
+    )
+    hsets = sig.select("doc_id", "hset")
+    return cand.join(
+        hsets.select(F.col("doc_id").alias("id1"), F.col("hset").alias("h1")), "id1"
+    ).join(
+        hsets.select(F.col("doc_id").alias("id2"), F.col("hset").alias("h2")), "id2"
+    )
+
+
+def _jaccard_verify(cand: DataFrame, tau: float) -> DataFrame:
+    """Exact Jaccard verify over (id1, id2, h1, h2) candidates: keep
+    pairs at/above τ with their true Jaccard as `j`."""
+    inter = F.size(F.array_intersect("h1", "h2")).cast("double")
+    union = F.size(F.array_union("h1", "h2")).cast("double")
+    j = inter / union
+    return cand.where(j >= tau).select("id1", "id2", j.alias("j"))
 
 
 def minhash_candidates_portable(documents: DataFrame) -> DataFrame:
@@ -212,65 +315,18 @@ def minhash_candidates_portable(documents: DataFrame) -> DataFrame:
         f" (element_at(__w, i) * 40503L + element_at(__w, i + 1) * 65599L"
         f"  + element_at(__w, i + 2)) % {_MH_P})"
     )
-    sig = (
+    grams = (
         documents.repartition(n_par, "doc_id")
         .select("doc_id", wh.alias("__w"))
         .select("doc_id", hs.alias("hs"))
-        .select(
-            "doc_id",
-            F.array_distinct("hs").alias("hset"),
-            *[
-                F.expr(
-                    f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {_MH_P}))"
-                ).alias(f"mh{s}")
-                for s, (a, b) in enumerate(_MH_SEEDS)
-            ],
-        )
-        .cache()
     )
-    sig.count()  # eager: both band-join sides + the verify read it
-    hcols = [f"h{r}" for r in range(_MH_ROWS)]
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"),
-                        *[
-                            F.col(f"mh{_MH_ROWS * i + r}").alias(f"h{r}")
-                            for r in range(_MH_ROWS)
-                        ],
-                    )
-                    for i in range(_MH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", *[f"band.{h}" for h in hcols])
-    a, b = bands.alias("a"), bands.alias("b")
-    band_eq = F.col("a.band_id") == F.col("b.band_id")
-    for h in hcols:
-        band_eq = band_eq & (F.col(f"a.{h}") == F.col(f"b.{h}"))
-    cand = (
-        a.join(b, band_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .dropDuplicates(["id1", "id2"])
-    )
-    hsets = sig.select("doc_id", "hset")
-    return cand.join(
-        hsets.select(F.col("doc_id").alias("id1"), F.col("hset").alias("h1")), "id1"
-    ).join(
-        hsets.select(F.col("doc_id").alias("id2"), F.col("hset").alias("h2")), "id2"
-    )
+    return _lsh_band_pairs(grams, _MH_SEEDS, _MH_P, _MH_BANDS, _MH_ROWS)
 
 
 def minhash_verify(cand: DataFrame) -> DataFrame:
     """Exact Jaccard verify over (id1, id2, h1, h2) candidates:
     keep pairs at/above τ with their true Jaccard."""
-    inter = F.size(F.array_intersect("h1", "h2")).cast("double")
-    union = F.size(F.array_union("h1", "h2")).cast("double")
-    j = inter / union
-    return cand.where(j >= _MH_TAU).select("id1", "id2", j.alias("j"))
+    return _jaccard_verify(cand, _MH_TAU)
 
 
 def minhash_pairs_portable(documents: DataFrame) -> DataFrame:
@@ -422,52 +478,20 @@ _NG_TAU = 0.5
 
 def _ng_oracle() -> str:
     """DuckDB mirror of ngram_jaccard_pairs, generated from the same
-    seed table so the two engines can never drift."""
-    mh_cols = ",\n               ".join(
-        f"list_min([ (h * {a} + {b}) % {_NG_P} FOR h IN hs ]) AS mh{s}"
-        for s, (a, b) in enumerate(_NG_SEEDS)
-    )
-    band_selects = "\n        UNION ALL ".join(
-        "SELECT doc_id, {i} AS band_id, {hs} FROM sig".format(
-            i=i,
-            hs=", ".join(
-                f"mh{_NG_ROWS * i + r} AS h{r}" for r in range(_NG_ROWS)
-            ),
-        )
-        for i in range(_NG_BANDS)
-    )
-    h_eq = " AND ".join(f"a.h{r} = b.h{r}" for r in range(_NG_ROWS))
-    return f"""
-    WITH grams AS (
+    seed table (and the same `_lsh_pairs_sql` chain as the minhash
+    oracle) so the two engines can never drift."""
+    grams_with = f"""WITH grams AS (
         SELECT doc_id,
                {char_gram_sql("text")} AS hs
         FROM documents
-    ),
-    sig AS (
-        SELECT doc_id, list_distinct(hs) AS hset,
-               {mh_cols}
-        FROM grams
-    ),
-    bands AS (
-        {band_selects}
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a
-        JOIN bands b ON a.band_id = b.band_id AND {h_eq}
-                     AND a.doc_id < b.doc_id
-    ),
-    scored AS (
-        SELECT c.id1, c.id2,
-               CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
-                 / len(list_distinct(list_concat(sa.hset, sb.hset))) AS j
-        FROM cand c
-        JOIN sig sa ON sa.doc_id = c.id1
-        JOIN sig sb ON sb.doc_id = c.id2
-    )
+    )"""
+    return (
+        _lsh_pairs_sql(grams_with, _NG_SEEDS, _NG_P, _NG_BANDS, _NG_ROWS)
+        + f"""
     SELECT id1, id2, round(j + 1e-9, 4) AS jaccard
     FROM scored WHERE j >= {_NG_TAU}
     """
+    )
 
 
 _NG_JACCARD_ORACLE = _ng_oracle()
@@ -512,65 +536,12 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     # byte-based coalescing is bypassed on purpose (it would fold this
     # tiny-bytes/heavy-CPU stage back into one partition).
     n_par = documents.sparkSession.sparkContext.defaultParallelism
-    # sig is read three times (band self-join sides + verify re-attach):
-    # cache the signature pass, and fill the cache EAGERLY — both
-    # sides of the self-join otherwise race to materialize it and the
-    # signature computation runs twice concurrently
-    sig = (
-        with_char_gram_hashes(
-            documents.repartition(n_par, "doc_id").select("doc_id", "text")
-        )
-        .select(
-            "doc_id",
-            F.array_distinct("hs").alias("hset"),
-            *[
-                F.expr(
-                    f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {_NG_P}))"
-                ).alias(f"mh{s}")
-                for s, (a, b) in enumerate(_NG_SEEDS)
-            ],
-        )
-        .cache()
+    grams = with_char_gram_hashes(
+        documents.repartition(n_par, "doc_id").select("doc_id", "text")
     )
-    sig.count()
-    hcols = [f"h{r}" for r in range(_NG_ROWS)]
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"),
-                        *[
-                            F.col(f"mh{_NG_ROWS * i + r}").alias(f"h{r}")
-                            for r in range(_NG_ROWS)
-                        ],
-                    )
-                    for i in range(_NG_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", *[f"band.{h}" for h in hcols])
-    a, b = bands.alias("a"), bands.alias("b")
-    band_eq = (F.col("a.band_id") == F.col("b.band_id"))
-    for h in hcols:
-        band_eq = band_eq & (F.col(f"a.{h}") == F.col(f"b.{h}"))
-    cand = (
-        a.join(b, band_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .dropDuplicates(["id1", "id2"])  # same pair may collide in >1 band
-    )
-    hsets = sig.select("doc_id", "hset")
-    pairs = cand.join(
-        hsets.select(F.col("doc_id").alias("id1"), F.col("hset").alias("h1")), "id1"
-    ).join(
-        hsets.select(F.col("doc_id").alias("id2"), F.col("hset").alias("h2")), "id2"
-    )
-    inter = F.size(F.array_intersect("h1", "h2")).cast("double")
-    union = F.size(F.array_union("h1", "h2")).cast("double")
-    j = inter / union
-    return pairs.where(j >= _NG_TAU).select(
-        "id1", "id2", fround(j).alias("jaccard")
+    pairs = _lsh_band_pairs(grams, _NG_SEEDS, _NG_P, _NG_BANDS, _NG_ROWS)
+    return _jaccard_verify(pairs, _NG_TAU).select(
+        "id1", "id2", fround(F.col("j")).alias("jaccard")
     )
 
 
