@@ -48,6 +48,8 @@ Spark-first by construction.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -275,7 +277,7 @@ def grouped_rank_select(
     df: DataFrame,
     group_cols: list[str],
     order_cols: list[Column],
-    ranks: dict[str, "callable"],
+    ranks: dict[str, Callable[[int], int]],
     n_col: str = "n",
     num_partitions: int | None = None,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,

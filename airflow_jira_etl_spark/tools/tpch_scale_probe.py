@@ -43,7 +43,7 @@ PROBES = (
     "agg_group_sum",  # wide hash aggregate
     "win_topk_per_group",  # windowed top-k per customer
     "sort_multi_key",  # distributed global rank (operators/ranking.py)
-    "agg_exact_quantiles",  # grouped two-phase rank, 3 groups (skew case)
+    "agg_exact_quantiles",  # grouped rank-select, 3 groups (skew case)
 )
 
 

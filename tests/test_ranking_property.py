@@ -341,6 +341,30 @@ def test_grouped_forms_handle_nan_group_keys(spark):
         ).collect()
     }
     assert got_s == want_s
+    # rank selection: the driver's _group_key sentinel must also keep
+    # the NaN group's slices accumulated as ONE group, and the raw-NaN
+    # n_df join back must match via eqNullSafe (NaN <=> NaN is true)
+    from airflow_jira_etl_spark.operators.ranking import grouped_rank_select
+
+    sel = grouped_rank_select(
+        df,
+        ["g"],
+        [F.col("k")],
+        {"p50": lambda n: (n + 1) // 2},
+        num_partitions=7,
+    )
+    got_q = {
+        ("nan" if r.g != r.g else r.g): (r.n, r.p50.k) for r in sel.collect()
+    }
+    want_q = {}
+    for r in df.select(
+        "g", "k",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("g")).alias("n"),
+    ).collect():
+        if r.rn == (r.n + 1) // 2:
+            want_q[("nan" if r.g != r.g else r.g)] = (r.n, r.k)
+    assert got_q == want_q
 
 
 def test_ivf_scale_probe_smoke(spark, sf_dir):
