@@ -293,6 +293,16 @@ def test_ranking_rejects_colliding_column_names(spark):
         grouped_running_sum(
             ok, ["g"], [F.col("v")], F.col("v"), sum_col="s", total_col="s"
         )
+    from airflow_jira_etl_spark.operators.ranking import grouped_rank_select
+
+    # a rank LABEL colliding with an input column would shadow it in
+    # the pivoted output; n_col duplicating a label breaks distinctness
+    with pytest.raises(ValueError, match="collide"):
+        grouped_rank_select(ok, ["g"], [F.col("v")], {"v": lambda n: 1})
+    with pytest.raises(ValueError, match="distinct"):
+        grouped_rank_select(
+            ok, ["g"], [F.col("v")], {"p50": lambda n: 1}, n_col="p50"
+        )
 
 
 def test_grouped_forms_handle_nan_group_keys(spark):
