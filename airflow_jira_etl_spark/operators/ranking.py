@@ -287,9 +287,19 @@ def grouped_rank_select(
     scheme specialized to rank SELECTION (exact quantiles, medians,
     k-th order statistics).
 
+    ``order_cols`` must define a UNIQUE total order within each group
+    (append a key column as the final sort expression, as the sibling
+    ``global_row_number`` / ``grouped_running_sum`` contracts require):
+    rows tied on the full (group, order...) key can straddle a
+    range-partition boundary, making the row selected at rank r
+    partition-placement-dependent. Ties make the selection
+    NONDETERMINISTIC among the tied rows, not wrong counts.
+
     ``ranks`` maps an output label to ``fn(n) -> int`` (1-based rank,
     given the group's row count) — e.g. the lower-quantile convention
-    ``{"p50": lambda n: (n + 1) // 2}``. After the same bookkeeping
+    ``{"p50": lambda n: (n + 1) // 2}``; it must be non-empty (an empty
+    request raises — it would otherwise return an empty frame that is
+    indistinguishable from "no groups"). After the same bookkeeping
     pass as ``grouped_row_number`` (one count/min-idx row per
     (partition, group)), the DRIVER resolves each target rank to its
     exact (partition, partition-local index) coordinate — a group's
@@ -305,14 +315,21 @@ def grouped_rank_select(
     the target rows. At 100 TB that is the difference between
     rewriting the table and reading it.
 
-    Returns one row per group: ``group_cols + [n_col] + sorted(ranks)``
-    where each rank column holds a STRUCT of the selected row's
+    Returns one row per group, columns ``group_cols + sorted(ranks) +
+    [n_col]`` (the rank columns come from the pivot, ``n_col`` joins on
+    last), where each rank column holds a STRUCT of the selected row's
     non-group columns (callers project the field they want). Groups
     whose ``fn(n)`` is out of [1, n] raise — a silent NULL would be
     indistinguishable from data loss.
     """
     from pyspark.sql import types as T
 
+    if not ranks:
+        raise ValueError(
+            "grouped_rank_select: ranks must be non-empty — an empty "
+            "selection would return an empty frame indistinguishable "
+            "from an input with no groups"
+        )
     out_names = (n_col, *ranks)
     _check_names(df, out_names)
     spark = df.sparkSession

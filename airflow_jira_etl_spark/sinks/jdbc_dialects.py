@@ -103,6 +103,7 @@ def write_upsert_jdbc(
     connect,  # () -> DBAPI connection
     batch_size: int = 1000,
     ordinal_col: str | None = None,
+    num_partitions: int | None = None,
 ) -> None:
     """Distributed batched upsert: each partition opens one connection
     and executes the dialect upsert with ``executemany`` per
@@ -115,13 +116,21 @@ def write_upsert_jdbc(
     key concurrently — a primary-key violation on MSSQL's MERGE (no
     HOLDLOCK) and a scheduling-dependent winner everywhere else.
 
-    Connection economy: the key repartition is capped at the incoming
-    partition count instead of inheriting spark.sql.shuffle.partitions
-    (typically 200 — a small batch would fan out into hundreds of
-    mostly-empty partitions), and each task peeks its iterator before
-    ``connect()`` so empty partitions open no connection at all. The
-    database's connection ceiling, not Spark's shuffle width, is the
-    scarce resource at a JDBC sink.
+    Connection economy: the key repartition width is ``num_partitions``
+    when given, else ``sparkContext.defaultParallelism`` (the cluster's
+    concurrent-task width) instead of inheriting
+    spark.sql.shuffle.partitions (typically 200 — needless fan-out for
+    a small batch). defaultParallelism is read without touching the
+    input plan: the previous ``df.rdd.getNumPartitions()`` probe forced
+    RDD conversion, which under AQE finalizes the physical plan and can
+    execute the input's upstream shuffle stages once just to read a
+    partition count, then again for the actual write. Each task peeks
+    its iterator before ``connect()`` so empty partitions open no
+    connection at all — total connections are bounded by
+    ``min(width, |distinct keys|)``. The database's connection ceiling,
+    not Spark's shuffle width, is the scarce resource at a JDBC sink;
+    pass ``num_partitions`` explicitly to pin it below the cluster
+    width.
 
     Requires a DBAPI driver on the executors; none ships in this
     environment, so tests exercise the full partition-write path with
@@ -131,7 +140,9 @@ def write_upsert_jdbc(
     from airflow_jira_etl_spark.operators.upsert import upsert
 
     deduped = upsert(df.limit(0), df, key, ordinal_col=ordinal_col)
-    n_parts = max(1, df.rdd.getNumPartitions())
+    n_parts = max(
+        1, num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
     df = deduped.repartition(n_parts, F.col(key))
     columns = df.columns
     sql = upsert_sql(dialect, table, columns, key)

@@ -127,12 +127,14 @@ def test_write_upsert_jdbc_dedupes_and_batches(spark, tmp_path):
 
 
 def test_write_upsert_jdbc_connection_economy(spark, tmp_path):
-    """Empty partitions must not open a connection, and the key
-    repartition must be capped at the INCOMING partition count — a
-    3-row batch under the session's 200-default shuffle width would
-    otherwise open hundreds of connections against the database's
-    connection ceiling. Counted via marker files (the fake connects on
-    executors; a driver-side counter would stay zero)."""
+    """Empty partitions must not open a connection: total connections
+    are bounded by the number of DISTINCT keys regardless of the
+    repartition width (defaultParallelism by default — read WITHOUT
+    df.rdd.getNumPartitions(), which finalizes the plan under AQE and
+    can double-execute upstream shuffles), and an explicit
+    num_partitions pins the width below the cluster's. Counted via
+    marker files (the fake connects on executors; a driver-side
+    counter would stay zero)."""
     import os
     import uuid
 
@@ -158,10 +160,20 @@ def test_write_upsert_jdbc_connection_economy(spark, tmp_path):
         def close(self):
             pass
 
-    # 3 rows coalesced into 2 incoming partitions; connections must be
-    # bounded by the incoming width (2), never the shuffle default
+    # 3 distinct keys: whatever the default width (32 on local[32]),
+    # only key-bearing partitions may connect — never the shuffle
+    # default's worth of empty connections
     df = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
     ).coalesce(2)
     write_upsert_jdbc(df, "postgres", "t", "id", CountingConn)
-    assert 1 <= len(os.listdir(out)) <= 2
+    assert 1 <= len(os.listdir(out)) <= 3
+
+    # explicit num_partitions pins the width (and thus the connection
+    # ceiling) below the cluster's concurrent-task count
+    for fn in os.listdir(out):
+        os.remove(os.path.join(out, fn))
+    write_upsert_jdbc(
+        df, "postgres", "t", "id", CountingConn, num_partitions=1
+    )
+    assert len(os.listdir(out)) == 1

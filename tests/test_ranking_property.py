@@ -140,6 +140,120 @@ def test_grouped_rank_select_rejects_out_of_range_rank(spark):
         ).collect()
 
 
+def test_grouped_rank_select_every_rank_across_partition_boundaries(spark):
+    """Adversarial sweep of the driver-side rank→(partition, local
+    index) resolution: select EVERY rank 1..n of a single group forced
+    across many range partitions. Because every rank is selected, every
+    partition's FIRST row (r = off + 1 → idx = first) and LAST row
+    (r = off + cnt → idx = first + cnt - 1) is among the targets — the
+    exact coordinates where an off-by-one in the exclusive-prefix
+    arithmetic would select a neighboring partition's row or miss. The
+    ordering is duplicate-heavy on v (ties straddle boundaries) with a
+    unique k tiebreak, per the operator's total-order contract."""
+    from airflow_jira_etl_spark.operators.ranking import grouped_rank_select
+
+    n = 60
+    n_parts = 8
+    # v has only 5 distinct values → long tie runs crossing boundaries
+    data = [(k, "a", k % 5) for k in range(n)]
+    df = spark.createDataFrame(data, "k long, g string, v long")
+    order = [F.col("v"), F.col("k")]
+    # premise check: the group really does span >= 3 range partitions
+    # under this (data, n_parts) — otherwise the boundary sweep is void
+    spanned = (
+        df.repartitionByRange(n_parts, F.col("g"), *order)
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert spanned >= 3, f"premise: group spans {spanned} partitions"
+    ranks = {f"r{i:02d}": (lambda i: lambda _n: i)(i) for i in range(1, n + 1)}
+    sel = grouped_rank_select(df, ["g"], order, ranks, num_partitions=n_parts)
+    row = sel.collect()
+    assert len(row) == 1 and row[0]["n"] == n
+    got = [row[0][f"r{i:02d}"]["k"] for i in range(1, n + 1)]
+    want = [
+        r.k
+        for r in df.select(
+            "k", F.row_number().over(Window.partitionBy("g").orderBy(*order)).alias("rn")
+        )
+        .orderBy("rn")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_grouped_rank_select_coincident_ranks_and_tiny_groups(spark):
+    """Several labels resolving to the SAME (partition, index)
+    coordinate (p25 = p50 = p75 = 1 on a 1-row group) must each get the
+    row — the selection join duplicates the matched row per label and
+    the pivot routes one copy to each column. Mixed with a larger group
+    so the same pivot handles distinct and coincident targets at once."""
+    from airflow_jira_etl_spark.operators.ranking import grouped_rank_select
+
+    data = [(0, "solo", 7)] + [(k, "duo", 10 + k) for k in (1, 2)] + [
+        (k, "big", 100 - k) for k in range(3, 12)
+    ]
+    df = spark.createDataFrame(data, "k long, g string, v long")
+    ranks = {
+        "p25": lambda n: (n + 3) // 4,
+        "p50": lambda n: (n + 1) // 2,
+        "p75": lambda n: (3 * n + 1) // 4,
+    }
+    sel = grouped_rank_select(
+        df, ["g"], [F.col("v"), F.col("k")], ranks, num_partitions=5
+    )
+    got = {r.g: (r.n, r.p25.k, r.p50.k, r.p75.k) for r in sel.collect()}
+    # solo: all three ranks are 1 → the single row three times
+    assert got["solo"] == (1, 0, 0, 0)
+    # duo: p25=p50=p75=1 under the lower-quantile convention
+    # ((3*2+1)//4 = 1) — a 2-row group still lands all labels on row 1
+    assert got["duo"] == (2, 1, 1, 1)
+    # big (v descending by k): n=9 → ranks 3, 5, 7 over v ascending
+    big_sorted = sorted(range(3, 12), key=lambda k: 100 - k)
+    assert got["big"] == (9, big_sorted[2], big_sorted[4], big_sorted[6])
+
+
+def test_grouped_rank_select_empty_ranks_rejected(spark):
+    """ranks={} must raise, not return an empty frame — an empty
+    selection result would be indistinguishable from an input with no
+    groups (and would silently drop the documented n_col row too)."""
+    import pytest
+
+    from airflow_jira_etl_spark.operators.ranking import grouped_rank_select
+
+    df = spark.createDataFrame([(1, "a", 10)], "k long, g string, v long")
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_rank_select(df, ["g"], [F.col("v"), F.col("k")], {})
+
+
+def test_grouped_rank_select_group_absent_after_filter(spark):
+    """A group emptied by an upstream filter must simply not appear in
+    the output (no bookkeeping row → no rank resolution → no crash);
+    surviving groups keep exact coordinates even when the filter
+    perforates their partition-local index space (min-idx per slice is
+    re-measured AFTER the filter, not inherited)."""
+    from airflow_jira_etl_spark.operators.ranking import grouped_rank_select
+
+    data = [(k, "dead" if k % 2 else "live", k) for k in range(40)]
+    df = spark.createDataFrame(data, "k long, g string, v long").filter(
+        F.col("g") != "dead"
+    )
+    sel = grouped_rank_select(
+        df,
+        ["g"],
+        [F.col("v"), F.col("k")],
+        {"p50": lambda n: (n + 1) // 2},
+        num_partitions=6,
+    )
+    rows = sel.collect()
+    assert {r.g for r in rows} == {"live"}
+    (r,) = rows
+    live_keys = sorted(k for k in range(40) if k % 2 == 0)
+    assert r.n == len(live_keys)
+    assert r.p50.k == live_keys[(len(live_keys) + 1) // 2 - 1]
+
+
 rsum_rows = st.lists(
     st.tuples(
         st.sampled_from(["a", "b", None]),  # None: NULL group keys
