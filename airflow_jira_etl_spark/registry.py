@@ -47,85 +47,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # A budget-capped external sweep records the first ~50 queries in
 # registration order.  To keep every query's differential evidence fresh,
 # the sweep order is explicit and least-recently-checked-first, decoupled
-# from module import order.  Round-10 derivation (mechanical via
-# tools/sweep_advisor over CORRECTNESS_r*.json; r09 was 50/50 green so
-# there are no red rows and no never-checked queries).  The 50-slot
-# window:
-#    3 code-recency promotions (the advisor cannot see code changes):
-#      win_concurrency_sweep's registered plan swapped onto
-#      grouped_running_sum THIS round (its green r09 pin row — second
-#      consecutive after the r05+r06 environment reds — proved the old
-#      plan and lifted the pin; the new plan needs its own row), and
-#      win_ntile_percent / llm_corpus_stats were re-planned onto the
-#      distributed ranker in r09 while their newest driver rows predate
-#      that swap (r07).
-#    scan_parquet — the oldest evidence in the registry (r04, the
-#      documented r08/r09 deferral).
-#   46 of the 47 r06-evidence queries (alphabetical — identical age).
-# Oversubscription: 51 candidates for 50 slots -> 1 documented deferral
-# to round 11: set_union_all (weakest info gain — a bare two-scan
-# unionByName whose scan path every row exercises and whose
-# de-duplicating sibling set_union_distinct stays in-window).  It leads
-# the post-window tail so it tops the r11 order automatically.
+# from module import order.  Round-11 derivation: the list below IS the
+# mechanical output of tools/sweep_advisor over CORRECTNESS_r*.json
+# (r10 was 50/50 green — the fourth consecutive fully-green driver
+# round — so there are no red rows, no never-checked queries, and no
+# code-recency promotions: round 11's code changes — grouped_rank_select
+# docstring/empty-ranks guard, the JDBC-upsert partition-count source,
+# bench min-of-N — alter no registered query's executed plan).  The
+# 50-slot window:
+#   slot 1: set_union_all — the r10 round's one documented deferral
+#     (r06 evidence, oldest in the registry).
+#   slots 2-47: the full r07-evidence tier (46 queries, alphabetical).
+#   slots 48-50: the first 3 of the r09 tier (alphabetical) — the r07
+#     tier undersubscribes the window, so the oldest r09 rows promote.
+# No deferrals this round (47 must-prove candidates for 50 slots).
+# With ~50 slots/round over 146 queries, the full registry cycles
+# through driver evidence every ~3 rounds.
 # tests/test_sweep_priority.py pins the window invariants.
 SWEEP_PRIORITY: list[str] = [
-    # code-recency promotions (plans changed after their newest rows)
-    "win_concurrency_sweep",
-    "llm_corpus_stats",
-    "win_ntile_percent",
-    # oldest evidence (r04; deferred from the r08/r09 windows)
-    "scan_parquet",
-    # r06-evidence tier (46 of 47, alphabetical) — fills slots 5-50
-    "agg_exact_quantiles",
-    "agg_unpivot",
-    "filter_exists_subquery",
-    "filter_not_exists_subquery",
-    "filter_scalar_subquery",
-    "fn_array_suite",
-    "fn_conditional_suite",
-    "fn_date_suite",
-    "fn_map_json_suite",
-    "fn_math_suite",
-    "fn_string_suite",
-    "fn_time_of_day",
-    "llm_corpus_sample",
-    "llm_dedup_exact",
-    "llm_dedup_simhash",
-    "llm_lang_id",
-    "llm_sim_lsh_topk",
-    "llm_sim_topk",
-    "llm_stratified_sample",
-    "llm_text_quality",
-    "llm_text_stats",
-    "llm_text_tokens",
-    "llm_token_count_bpe",
-    "llm_train_val_test_split",
-    "mm_decode_features",
-    "report_returned_items",
-    "report_shipping_priority",
-    "set_except",
-    "set_intersect",
-    "set_union_distinct",
-    "sink_create_table",
-    "sink_upsert",
-    "sort_limit_topk",
-    "sort_multi_key",
-    "stream_dedup_keys",
-    "stream_foreachbatch_upsert",
-    "stream_session_window",
-    "stream_sliding_avg",
-    "stream_stateful_profile",
-    "stream_static_enrich",
-    "stream_tumbling_count",
-    "stream_watermark_late",
-    "udaf_grouped_agg",
-    "udf_pandas_vectorized",
-    "udf_python_scalar",
-    "udtf_explode_kv",
-    # ---- 50-slot window boundary ----
-    # round-11 lead: the one documented deferral (r06 evidence)
+    # round-11 lead: the one r10 deferral (r06 evidence)
     "set_union_all",
-    # r07-evidence tier (alphabetical; excludes the 2 promotions)
+    # r07-evidence tier (46, alphabetical) — fills slots 2-47
     "agg_approx_distinct",
     "agg_approx_quantiles",
     "agg_collect_sorted",
@@ -172,11 +114,12 @@ SWEEP_PRIORITY: list[str] = [
     "win_rank_dense_rownum",
     "win_sliding_rows_frame",
     "win_topk_per_group",
-    # r09-evidence tier (freshest, alphabetical; excludes the
-    # win_concurrency_sweep promotion)
+    # r09-evidence tier, alphabetical: first 3 fill slots 48-50
     "agg_mode_per_group",
     "agg_percentile_cont",
     "agg_salted_skew",
+    # ---- 50-slot window boundary ----
+    # r09-evidence tier remainder (alphabetical)
     "cdc_latest_per_key",
     "fn_bitwise_suite",
     "fn_hash_suite",
@@ -223,6 +166,57 @@ SWEEP_PRIORITY: list[str] = [
     "win_running_distinct",
     "win_running_sum",
     "win_sessionize_gaps",
+    # r10-evidence tier (alphabetical) — freshest, last
+    "agg_exact_quantiles",
+    "agg_unpivot",
+    "filter_exists_subquery",
+    "filter_not_exists_subquery",
+    "filter_scalar_subquery",
+    "fn_array_suite",
+    "fn_conditional_suite",
+    "fn_date_suite",
+    "fn_map_json_suite",
+    "fn_math_suite",
+    "fn_string_suite",
+    "fn_time_of_day",
+    "llm_corpus_sample",
+    "llm_corpus_stats",
+    "llm_dedup_exact",
+    "llm_dedup_simhash",
+    "llm_lang_id",
+    "llm_sim_lsh_topk",
+    "llm_sim_topk",
+    "llm_stratified_sample",
+    "llm_text_quality",
+    "llm_text_stats",
+    "llm_text_tokens",
+    "llm_token_count_bpe",
+    "llm_train_val_test_split",
+    "mm_decode_features",
+    "report_returned_items",
+    "report_shipping_priority",
+    "scan_parquet",
+    "set_except",
+    "set_intersect",
+    "set_union_distinct",
+    "sink_create_table",
+    "sink_upsert",
+    "sort_limit_topk",
+    "sort_multi_key",
+    "stream_dedup_keys",
+    "stream_foreachbatch_upsert",
+    "stream_session_window",
+    "stream_sliding_avg",
+    "stream_stateful_profile",
+    "stream_static_enrich",
+    "stream_tumbling_count",
+    "stream_watermark_late",
+    "udaf_grouped_agg",
+    "udf_pandas_vectorized",
+    "udf_python_scalar",
+    "udtf_explode_kv",
+    "win_concurrency_sweep",
+    "win_ntile_percent",
 ]
 
 

@@ -1,11 +1,14 @@
 """Running-sum scale probe: the win_concurrency_sweep shape at N×
-points per day with FIXED |days|.
+points per day with FIXED |days|, plus the orthogonal growing-|days|
+axis at FIXED total points.
 
 Usage::
 
-    python -m airflow_jira_etl_spark.tools.rsum_scale_probe [sf_dir] [mults]
+    python -m airflow_jira_etl_spark.tools.rsum_scale_probe \
+        [sf_dir] [mults] [days_mults]
 
-(default sf0.1 and 1,4,10). The sweep-line's per-day prefix sum is the
+(default sf0.1, point mults 1,4,10, days axis off). The sweep-line's
+per-day prefix sum is the
 last fact-scale LOW-cardinality window partition in the engine
 (PLANS.md "Known single-task spots"): ``Window.partitionBy(day_idx)``
 caps parallelism at |days|, so growing the per-day point count grows
@@ -24,6 +27,17 @@ Both forms must produce the identical per-day (max, count) — asserted
 per multiple, so the probe is also an at-scale equivalence check.
 Evidence target: rsum wall growth ≈linear-in-points at 10×, bounded by
 shuffle width rather than by |days| tasks.
+
+The |days| axis (``days_mults``, e.g. ``1,10,100``) measures the
+operator's APPLICABILITY CONDITION: grouped_running_sum's bookkeeping
+pass collects one row per (partition, group) — ``n_parts × |days|``
+rows on the driver — and broadcasts the per-group offsets back. The
+fixture spans 30 days; each replica shifts its timestamps by a whole
+number of 32-day blocks, so days_mult D yields ~30·D distinct day_idx
+groups at a FIXED total point count (point mult pinned to 4). Evidence
+target: rsum wall ≈flat in |days| while the collect stays
+n_parts × |days| rows (printed as meta_rows) — i.e. the bookkeeping
+never approaches fact scale at 100× group cardinality.
 """
 
 from __future__ import annotations
@@ -48,6 +62,27 @@ def sweep_points(events: DataFrame, mult: int) -> DataFrame:
     day."""
     rep = events.crossJoin(
         events.sparkSession.range(mult).select(F.col("id").alias("_rep"))
+    )
+    return concurrency_points(rep)
+
+
+def sweep_points_days(events: DataFrame, mult: int, days_mult: int) -> DataFrame:
+    """The |days| axis: mult× replicas as in sweep_points, but every
+    row shifts its timestamp by a HASH-assigned whole 32-day block in
+    [0, days_mult) — the fixture's 30-day span lands in disjoint day
+    ranges per block, so |days| grows ~days_mult× while the total point
+    count stays at mult× (point growth and group-cardinality growth
+    decouple; hash assignment keeps block population uniform regardless
+    of mult)."""
+    block_us = 32 * 86_400_000_000
+    rep = events.crossJoin(
+        events.sparkSession.range(mult).select(F.col("id").alias("_rep"))
+    ).select(
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts"))
+            + F.pmod(F.hash("event_id", "_rep"), F.lit(days_mult))
+            * F.lit(block_us)
+        ).alias("ts")
     )
     return concurrency_points(rep)
 
@@ -83,6 +118,9 @@ def main(argv: list[str]) -> int:
     mults = [
         int(m) for m in (argv[2].split(",") if len(argv) > 2 else ["1", "4", "10"])
     ]
+    days_mults = [
+        int(d) for d in (argv[3].split(",") if len(argv) > 3 else [])
+    ]
     spark = get_spark("rsum-scale-probe")
     events = catalog.load(spark, sf_dir, "events")
     # pay Janino codegen once, outside every timed region
@@ -90,8 +128,7 @@ def main(argv: list[str]) -> int:
         fn(sweep_points(events, 1)).collect()
     spark.catalog.clearCache()
 
-    for mult in mults:
-        pts = sweep_points(events, mult)
+    def measure(pts: DataFrame, label: str) -> None:
         n_pts = pts.count()
         t0 = time.time()
         got_w = {r.day_idx: (r.mx, r.c) for r in daily_max_window(pts).collect()}
@@ -101,13 +138,22 @@ def main(argv: list[str]) -> int:
         r_wall = time.time() - t0
         spark.catalog.clearCache()
         assert got_w == got_r and got_r, (
-            f"form divergence at mult={mult}: {len(got_w)} vs {len(got_r)} days"
+            f"form divergence at {label}: {len(got_w)} vs {len(got_r)} days"
         )
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         print(
-            f"RESULT mult={mult} points={n_pts} days={len(got_r)} "
+            f"RESULT {label} points={n_pts} days={len(got_r)} "
+            f"meta_rows<={n_parts * len(got_r)} "
             f"window_s={w_wall:.1f} rsum_s={r_wall:.1f}",
             flush=True,
         )
+
+    for mult in mults:
+        measure(sweep_points(events, mult), f"mult={mult}")
+    for dm in days_mults:
+        # point mult pinned to 4: enough rows that per-day work is
+        # non-trivial, constant across the days sweep
+        measure(sweep_points_days(events, 4, dm), f"days_mult={dm}")
     return 0
 
 

@@ -41,28 +41,18 @@ def test_red_rows_lead_the_window():
     assert not missing, f"red-evidence queries outside the window: {missing}"
 
 
-# Round-10 window plan: 51 must-prove candidates (scan_parquet's r04
-# row + 47 r06-evidence + 3 code-recency promotions) for 50 slots; this
-# one is the documented deferral (weakest info gain — see the
-# derivation comment above registry.SWEEP_PRIORITY). Everything else
-# stale must be inside the window.
-DEFERRED = {
-    "set_union_all",  # bare two-scan unionByName; sibling stays in-window
-}
+# Round-11 window plan: 47 must-prove candidates (set_union_all's r06
+# row — the r10 deferral — plus the 46-query r07 tier) for 50 slots:
+# the window undersubscribes, so no deferrals this round; the 3 spare
+# slots take the oldest r09 rows (see the derivation comment above
+# registry.SWEEP_PRIORITY).
+DEFERRED: set[str] = set()
 
 # Evidence-age threshold for "must re-prove this round": after the
-# fully-green r09, the oldest tiers are r04 (scan_parquet) and r06.
-STALE_ROUND = 6
+# fully-green r10, the oldest tiers are r06 (set_union_all) and r07.
+STALE_ROUND = 7
 
-PROMOTED = {
-    # code-recency promotions: plans changed after their newest driver
-    # rows (win_concurrency_sweep swapped onto grouped_running_sum in
-    # r10; the other two re-planned onto the distributed ranker in r09
-    # with r07-era rows)
-    "win_concurrency_sweep",
-    "llm_corpus_stats",
-    "win_ntile_percent",
-}
+PROMOTED: set[str] = set()  # no plans changed after their newest rows
 
 
 def test_stale_evidence_queries_fill_the_window():

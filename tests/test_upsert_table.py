@@ -476,6 +476,107 @@ def test_unlocked_commit_refuses_manifest_bearing_gen(
     assert {r.k: r.v for r in t.read().collect()} == {1: "a", 2: "b"}
 
 
+@pytest.mark.parametrize("degraded", [False, True], ids=["flock", "no_flock"])
+@pytest.mark.parametrize(
+    "crash", ["after_rename", "after_manifest"], ids=["pre_manifest", "pre_flip"]
+)
+def test_publish_crash_matrix(spark, tmp_path, monkeypatch, degraded, crash):
+    """Concurrent-publisher interleaving matrix: writer A dies mid-
+    publish at each crash point (after the staging rename but before
+    the manifest write / after the manifest write but before the
+    pointer flip), then writer B publishes with and without a working
+    flock. The pinned invariant: NO interleaving loses a COMMITTED
+    generation (committed = referenced by ``_CURRENT``) — B either
+    replaces provable crash garbage and commits, or refuses when the
+    dir could be a live publisher it cannot disprove. The refusal arm
+    then lets 'A' complete its pointer flip and proves both writers'
+    rows survive a rerun — the exact lost update the degraded-path
+    manifest check exists to prevent."""
+    import fcntl
+    import os as _os
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
+    t.apply(spark.createDataFrame([(1, "a")], "k long, v string"))
+    base = t.current_generation()
+
+    # ---- writer A: real apply(), killed at the parameterized point
+    if crash == "after_rename":
+        real_rename = _os.rename
+
+        def rename_crash(src, dst, *a, **kw):
+            out = real_rename(src, dst, *a, **kw)
+            if os.path.basename(dst).startswith("gen_"):
+                # the rename LANDED; the writer dies before it can
+                # write the manifest into the renamed dir
+                raise OSError("simulated crash before manifest write")
+            return out
+
+        monkeypatch.setattr(
+            "airflow_jira_etl_spark.sinks.parquet_upsert.os.rename",
+            rename_crash,
+        )
+    else:  # after_manifest: die on the pointer flip itself
+        real_replace = _os.replace
+
+        def replace_crash(src, dst, *a, **kw):
+            if os.path.basename(dst) == "_CURRENT":
+                raise OSError("simulated crash before pointer flip")
+            return real_replace(src, dst, *a, **kw)
+
+        monkeypatch.setattr(
+            "airflow_jira_etl_spark.sinks.parquet_upsert.os.replace",
+            replace_crash,
+        )
+    with pytest.raises(OSError, match="simulated crash"):
+        t.apply(spark.createDataFrame([(2, "b")], "k long, v string"))
+    monkeypatch.undo()
+    orphan = os.path.join(t.root, "gen_000001")
+    assert os.path.isdir(orphan)
+    has_manifest = os.path.exists(os.path.join(orphan, "_MANIFEST.json"))
+    assert has_manifest == (crash == "after_manifest")
+    # A never flipped the pointer: the committed table is untouched
+    assert t.current_generation() == base
+    assert {r.k: r.v for r in t.read().collect()} == {1: "a"}
+
+    # ---- writer B publishes, with/without an advisory lock
+    if degraded:
+        monkeypatch.setattr(
+            fcntl,
+            "flock",
+            lambda fd, op: (_ for _ in ()).throw(OSError("no flock")),
+        )
+    b = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=4)
+    b_rows = spark.createDataFrame([(3, "c")], "k long, v string")
+
+    if degraded and crash == "after_manifest":
+        # the dir may be a LIVE publisher between rename and flip; with
+        # no lock to disprove it, B must refuse and touch nothing
+        with pytest.raises(RuntimeError, match="concurrent modification"):
+            b.apply(b_rows)
+        assert os.path.exists(os.path.join(orphan, "_MANIFEST.json"))
+        assert {r.k: r.v for r in b.read().collect()} == {1: "a"}
+        # 'A' was indeed live: it completes its pointer flip; A's
+        # generation — which deletion would have lost — is now committed
+        tmp = b._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("gen_000001")
+        os.replace(tmp, b._pointer_path())
+        assert {r.k: r.v for r in b.read().collect()} == {1: "a", 2: "b"}
+        # B's rerun on the current state lands on top: nothing lost
+        b.apply(b_rows)
+        assert {r.k: r.v for r in b.read().collect()} == {
+            1: "a", 2: "b", 3: "c",
+        }
+    else:
+        # inside the lock (or manifest-less even without it) the orphan
+        # is provable crash garbage: replaced, and B's publish commits
+        b.apply(b_rows)
+        assert {r.k: r.v for r in b.read().collect()} == {1: "a", 3: "c"}
+        assert os.path.basename(b.current_generation()) == "gen_000001"
+    # in EVERY arm the originally committed generation stayed readable
+    assert {r.k: r.v for r in b.read(generation=0).collect()} == {1: "a"}
+
+
 def test_null_bucket_ids_fail_loudly(spark, tmp_path):
     """A NULL bucket id (a NULL key under range_bucketer — CAST of NULL
     is NULL even under ANSI; non-numeric strings already raise at the
