@@ -57,6 +57,42 @@ from airflow_jira_etl_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def build_record(
+    passes: list[dict[str, float]], warm_s: float, sf_dir: str
+) -> dict:
+    """The driver-facing record, as a pure function of the measured
+    passes — unit-tested (tests/test_bench_contract.py) because the
+    external driver parses the tail of ONE JSON line and a silent shape
+    change would corrupt the round artifact, not raise anywhere.
+
+    Field order is load-bearing: q_values first (sacrificed first if
+    the ~2000 B tail window shrinks), headline fields last (always
+    survive). q_values/value/queries report the per-query MIN across
+    passes; value_single keeps the pass-1 total comparable to the
+    single-run rounds 1–10."""
+    timings = {n: min(p[n] for p in passes) for n in passes[0]}
+    names = sorted(timings)
+    sig = hashlib.sha256(",".join(names).encode()).hexdigest()[:12]
+    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    return {
+        "q_values": [round(timings[n], 2) for n in names],
+        "q_sig": sig,
+        "queries": {n: round(s, 2) for n, s in worst.items()},
+        "metric": (
+            f"total wall-clock over all registered queries "
+            f"(per-query min of {len(passes)})"
+        ),
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "sf": float(sf) if sf else None,
+        "n_queries": len(timings),
+        "runs": len(passes),
+        "value_single": round(sum(passes[0].values()), 2),
+        "warmup_sec": round(warm_s, 2),
+    }
+
+
 def main() -> None:
     registry.load_all_queries()
     spark = get_spark("bench")
@@ -164,37 +200,14 @@ def main() -> None:
         # caches a pass builds (range-tagged frames, MV state) must not
         # subsidize the next pass — each pass measures a cold plan
         spark.catalog.clearCache()
-    timings = {n: min(p[n] for p in passes) for n in passes[0]}
 
-    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
-    names = sorted(timings)
-    sig = hashlib.sha256(",".join(names).encode()).hexdigest()[:12]
-    worst = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    )
-    out = {
-        # full vector first: if the tail window shrinks, the headline
-        # fields below survive at the expense of early vector entries
-        "q_values": [round(timings[n], 2) for n in names],
-        "q_sig": sig,
-        "queries": {n: round(s, 2) for n, s in worst.items()},
-        "metric": (
-            f"total wall-clock over all registered queries "
-            f"(per-query min of {n_runs})"
-        ),
-        "value": round(sum(timings.values()), 2),
-        "unit": "sec",
-        "sf": float(sf) if sf else None,
-        "n_queries": len(timings),
-        "runs": n_runs,
-        "value_single": round(sum(passes[0].values()), 2),
-        "warmup_sec": round(warm_s, 2),
-    }
+    out = build_record(passes, warm_s, SF_DIR)
     line = json.dumps(out, separators=(",", ":"))
     # untruncated local record: min vector plus every per-pass vector
+    names = sorted(passes[0])
     full = dict(
         out,
-        queries=timings,
+        queries={n: min(p[n] for p in passes) for n in names},
         passes=[{n: p[n] for n in names} for p in passes],
     )
     with open(
