@@ -21,18 +21,27 @@ scheme (TeraSort-style range partition + prefix-sum offsets):
    record number in the lower 33), so assigning ranks adds ZERO
    further shuffles and no Window node at all.
 
-The frame is persisted between the counts pass and the rank pass —
-both must observe the identical partitioning, and the cache is
-LOAD-BEARING, not an optimization: ``repartitionByRange`` samples its
-boundaries per execution, so an evicted/unpersisted frame re-executed
-for the rank pass could land rows in different partitions than the
-counts pass measured, silently corrupting every rank. That is also why
-the operator never unpersists — the returned (lazy) frame depends on
-the cached partitioning for correctness; the cache lives until the
-session clears it (bench/sweep harnesses clearCache between queries).
-At cluster scale pass ``storage_level=DISK_ONLY`` (or rank off a
-pre-sorted bucketed table) rather than memory-caching 100 TB; the
-shape is unchanged.
+The tagged frame is materialized ONCE between the counts pass and the
+output pass via ``localCheckpoint`` (lineage truncation), not a plain
+``persist``: both passes must observe the identical partitioning, and
+``repartitionByRange`` re-SAMPLES its boundaries on every plan
+re-execution (the sampler's per-partition seeds incorporate the RDD
+id, which differs per execution), so any recompute — cache eviction,
+``clearCache()`` between the operator call and the caller's action,
+executor loss at cluster scale — would land rows in different
+partitions than the counts pass measured and silently corrupt every
+rank. A persisted frame still RECOMPUTES on block loss; a
+locally-checkpointed frame cannot (its lineage is cut at the
+materialized blocks), so the failure mode becomes a loud
+block-not-found error instead of wrong answers. Round 11 reproduced
+the silent corruption empirically with persist (a mid-operator
+clearCache yielded NULL rank cells / wrong ranks) and pinned the safe
+behavior in tests/test_ranking_property.py. The blocks free when the
+returned frame is garbage-collected (ContextCleaner), not via
+clearCache. At cluster scale pass ``storage_level=DISK_ONLY`` (or rank
+off a pre-sorted bucketed table) rather than memory-caching 100 TB —
+and on clusters where executor loss is routine, prefer rerunning the
+query on failure over any scheme that recomputes a sampled shuffle.
 
 With a total (tie-free) ordering — callers append a unique key as the
 last sort expression — ``row_number == rank == dense_rank``, and every
@@ -112,8 +121,13 @@ def _range_tag(
     full sort key, sort within partitions, tag each row with its
     partition id and partition-local index (monotonically_increasing_id
     layout: pid in the upper 31 bits, consecutive record number in the
-    lower 33), persist — the bookkeeping and output passes must observe
-    ONE materialization of the sampled range partitioning."""
+    lower 33), then localCheckpoint — the bookkeeping and output passes
+    must observe ONE materialization of the sampled range partitioning,
+    and lineage truncation is what guarantees it: a recompute of the
+    range exchange re-samples different boundaries (module docstring),
+    so recompute must be impossible, not merely unlikely. eager=False
+    defers the materialization to the bookkeeping action the caller
+    runs next (no extra job)."""
     ranged = df.repartitionByRange(n_parts, *sort_exprs).sortWithinPartitions(
         *sort_exprs
     )
@@ -123,7 +137,9 @@ def _range_tag(
         .bitwiseAND(F.lit(_LOCAL_IDX_MASK))
         .alias("_gr_idx"),
     ] + [c.alias(n) for n, c in (extra or {}).items()]
-    return ranged.select("*", *cols).persist(storage_level)
+    return ranged.select("*", *cols).localCheckpoint(
+        eager=False, storageLevel=storage_level
+    )
 
 
 def _null_safe_meta_join(

@@ -47,27 +47,37 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # A budget-capped external sweep records the first ~50 queries in
 # registration order.  To keep every query's differential evidence fresh,
 # the sweep order is explicit and least-recently-checked-first, decoupled
-# from module import order.  Round-11 derivation: the list below IS the
-# mechanical output of tools/sweep_advisor over CORRECTNESS_r*.json
-# (r10 was 50/50 green — the fourth consecutive fully-green driver
-# round — so there are no red rows, no never-checked queries, and no
-# code-recency promotions: round 11's code changes — grouped_rank_select
-# docstring/empty-ranks guard, the JDBC-upsert partition-count source,
-# bench min-of-N — alter no registered query's executed plan).  The
-# 50-slot window:
+# from module import order.  Round-11 derivation (base order mechanical
+# via tools/sweep_advisor over CORRECTNESS_r*.json; r10 was 50/50 green,
+# the fourth consecutive fully-green driver round, so there are no red
+# rows and no never-checked queries).  The 50-slot window:
 #   slot 1: set_union_all — the r10 round's one documented deferral
 #     (r06 evidence, oldest in the registry).
-#   slots 2-47: the full r07-evidence tier (46 queries, alphabetical).
-#   slots 48-50: the first 3 of the r09 tier (alphabetical) — the r07
-#     tier undersubscribes the window, so the oldest r09 rows promote.
-# No deferrals this round (47 must-prove candidates for 50 slots).
-# With ~50 slots/round over 146 queries, the full registry cycles
-# through driver evidence every ~3 rounds.
-# tests/test_sweep_priority.py pins the window invariants.
+#   slots 2-45: the r07-evidence tier (44 of its 46, alphabetical).
+#   slots 46-50: FIVE code-recency promotions (the advisor cannot see
+#     code changes): every ranking-family query — agg_exact_quantiles,
+#     llm_corpus_stats, sort_multi_key, win_concurrency_sweep,
+#     win_ntile_percent — because round 11 changed the family's
+#     materialization from persist to localCheckpoint (lineage
+#     truncation; fixes the reproducible silent-rank-corruption on
+#     recompute after cache loss — operators/ranking.py module
+#     docstring, tests/test_ranking_property.py cache-drop regression).
+#     Their r10 rows predate that executed path.
+# Oversubscription: 52 candidates (47 stale + 5 promotions) for 50
+# slots -> 2 documented deferrals to round 12, chosen for weakest
+# differential info gain:
+#   filter_conjunctive — a bare AND-chain predicate; conjunctive
+#     pushdown is exercised by scan_filter_prune and the null/IN/LIKE
+#     filter siblings, all of which stay in-window.
+#   project_rename_map — pure column aliasing through the same mapping
+#     compiler as project_flatten_json (in-window); no predicate or
+#     shuffle surface of its own.
+# Both lead the post-window tail so they top the r12 order
+# automatically.  tests/test_sweep_priority.py pins the invariants.
 SWEEP_PRIORITY: list[str] = [
-    # round-11 lead: the one r10 deferral (r06 evidence)
+    # round-11 lead: the r10 deferral (r06 evidence, oldest row)
     "set_union_all",
-    # r07-evidence tier (46, alphabetical) — fills slots 2-47
+    # r07-evidence tier (44 of 46, alphabetical; deferrals below)
     "agg_approx_distinct",
     "agg_approx_quantiles",
     "agg_collect_sorted",
@@ -80,7 +90,6 @@ SWEEP_PRIORITY: list[str] = [
     "agg_rollup",
     "agg_stats",
     "case_when_cast",
-    "filter_conjunctive",
     "filter_in_like_regex",
     "filter_null_semantics",
     "flagship_revenue_by_nation",
@@ -101,7 +110,6 @@ SWEEP_PRIORITY: list[str] = [
     "llm_tfidf_top_terms",
     "project_array_join",
     "project_flatten_json",
-    "project_rename_map",
     "report_forecast_revenue_change",
     "report_local_supplier_volume",
     "report_market_share",
@@ -114,12 +122,23 @@ SWEEP_PRIORITY: list[str] = [
     "win_rank_dense_rownum",
     "win_sliding_rows_frame",
     "win_topk_per_group",
-    # r09-evidence tier, alphabetical: first 3 fill slots 48-50
+    # code-recency promotions: all five ranking-family queries —
+    # their materialization moved to localCheckpoint THIS round
+    # (the silent-corruption fix), so their r10 rows predate the
+    # executed path now registered
+    "agg_exact_quantiles",
+    "llm_corpus_stats",
+    "sort_multi_key",
+    "win_concurrency_sweep",
+    "win_ntile_percent",
+    # ---- 50-slot window boundary ----
+    # the two documented r11 deferrals lead the round-12 tail
+    "filter_conjunctive",
+    "project_rename_map",
+    # r09-evidence tier (alphabetical)
     "agg_mode_per_group",
     "agg_percentile_cont",
     "agg_salted_skew",
-    # ---- 50-slot window boundary ----
-    # r09-evidence tier remainder (alphabetical)
     "cdc_latest_per_key",
     "fn_bitwise_suite",
     "fn_hash_suite",
@@ -166,8 +185,7 @@ SWEEP_PRIORITY: list[str] = [
     "win_running_distinct",
     "win_running_sum",
     "win_sessionize_gaps",
-    # r10-evidence tier (alphabetical) — freshest, last
-    "agg_exact_quantiles",
+    # r10-evidence tier (alphabetical, minus the 5 promotions)
     "agg_unpivot",
     "filter_exists_subquery",
     "filter_not_exists_subquery",
@@ -180,7 +198,6 @@ SWEEP_PRIORITY: list[str] = [
     "fn_string_suite",
     "fn_time_of_day",
     "llm_corpus_sample",
-    "llm_corpus_stats",
     "llm_dedup_exact",
     "llm_dedup_simhash",
     "llm_lang_id",
@@ -202,7 +219,6 @@ SWEEP_PRIORITY: list[str] = [
     "sink_create_table",
     "sink_upsert",
     "sort_limit_topk",
-    "sort_multi_key",
     "stream_dedup_keys",
     "stream_foreachbatch_upsert",
     "stream_session_window",
@@ -215,8 +231,6 @@ SWEEP_PRIORITY: list[str] = [
     "udf_pandas_vectorized",
     "udf_python_scalar",
     "udtf_explode_kv",
-    "win_concurrency_sweep",
-    "win_ntile_percent",
 ]
 
 

@@ -454,7 +454,11 @@ def test_global_row_number_matches_window_semantics(spark):
         assert got == want, f"n_rows={n_rows}"
         plan = ranked._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
-        assert "rangepartitioning" in plan.lower()
+        # the rank rides on the lineage-truncated range-tagged frame
+        # (round 11: localCheckpoint, so the range exchange runs inside
+        # the checkpoint materialization and the final plan reads the
+        # materialized RDD — a Window-free scan + offset projection)
+        assert "existingrdd" in plan.lower() or "rangepartitioning" in plan.lower()
 
 
 def test_global_row_number_empty_input(spark):

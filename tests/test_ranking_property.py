@@ -214,6 +214,57 @@ def test_grouped_rank_select_coincident_ranks_and_tiny_groups(spark):
     assert got["big"] == (9, big_sorted[2], big_sorted[4], big_sorted[6])
 
 
+def test_ranking_survives_cache_drop_between_passes(spark):
+    """Round-11 regression: the range-tagged frame must be
+    lineage-truncated (localCheckpoint), not merely persisted. A
+    re-executed repartitionByRange re-SAMPLES its boundaries (the
+    sampler's seeds incorporate the per-execution RDD id), so with a
+    plain persist a clearCache() between the operator call and the
+    caller's action recomputed the output pass under a DIFFERENT
+    partitioning than the bookkeeping pass measured — reproducibly
+    yielding NULL rank cells and wrong ranks. With lineage truncation
+    the one materialized layout serves both passes and clearCache is
+    irrelevant to it; this test drops the SQL cache mid-operator and
+    requires exact agreement with the window oracle."""
+    from airflow_jira_etl_spark.operators.ranking import (
+        grouped_rank_select,
+        grouped_row_number,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") % 13).alias("v"),
+    )
+    order = [F.col("v"), F.col("k")]
+    ranks = {"p50": lambda n: (n + 1) // 2}
+    sel = grouped_rank_select(df, ["g"], order, ranks, num_partitions=16)
+    spark.catalog.clearCache()  # between the passes, before the action
+    got = {r.g: (r.n, r.p50.k) for r in sel.collect()}
+    w = Window.partitionBy("g").orderBy(*order)
+    wp = Window.partitionBy("g")
+    want = {}
+    for r in df.select(
+        "g", "k",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    ).collect():
+        if r.rn == (r.n + 1) // 2:
+            want[r.g] = (r.n, r.k)
+    assert got == want
+
+    rn = grouped_row_number(df, ["g"], order, num_partitions=16)
+    spark.catalog.clearCache()
+    got_rn = {r.k: r.rn for r in rn.collect()}
+    want_rn = {
+        r.k: r.rn
+        for r in df.select(
+            "k", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got_rn == want_rn
+
+
 def test_grouped_rank_select_empty_ranks_rejected(spark):
     """ranks={} must raise, not return an empty frame — an empty
     selection result would be indistinguishable from an input with no

@@ -41,18 +41,33 @@ def test_red_rows_lead_the_window():
     assert not missing, f"red-evidence queries outside the window: {missing}"
 
 
-# Round-11 window plan: 47 must-prove candidates (set_union_all's r06
-# row — the r10 deferral — plus the 46-query r07 tier) for 50 slots:
-# the window undersubscribes, so no deferrals this round; the 3 spare
-# slots take the oldest r09 rows (see the derivation comment above
-# registry.SWEEP_PRIORITY).
-DEFERRED: set[str] = set()
+# Round-11 window plan: 52 must-prove candidates (set_union_all's r06
+# row — the r10 deferral — plus the 46-query r07 tier, plus 5
+# code-recency promotions for the ranking family's localCheckpoint
+# swap) for 50 slots; these two are the documented deferrals (weakest
+# differential info gain — see the derivation comment above
+# registry.SWEEP_PRIORITY). Everything else stale must be inside the
+# window.
+DEFERRED = {
+    "filter_conjunctive",  # pushdown covered by scan_filter_prune + siblings
+    "project_rename_map",  # same mapping compiler as project_flatten_json
+}
 
 # Evidence-age threshold for "must re-prove this round": after the
 # fully-green r10, the oldest tiers are r06 (set_union_all) and r07.
 STALE_ROUND = 7
 
-PROMOTED: set[str] = set()  # no plans changed after their newest rows
+PROMOTED = {
+    # code-recency promotions: the ranking family's range-tagged frame
+    # moved from persist to localCheckpoint in r11 (the recompute
+    # silent-corruption fix) — every query executing it needs a fresh
+    # driver row under the new materialization
+    "agg_exact_quantiles",
+    "llm_corpus_stats",
+    "sort_multi_key",
+    "win_concurrency_sweep",
+    "win_ntile_percent",
+}
 
 
 def test_stale_evidence_queries_fill_the_window():
