@@ -554,12 +554,15 @@ def test_ivf_scale_probe_smoke(spark, sf_dir):
 
 def test_rsum_scale_probe_smoke(spark, sf_dir):
     """The running-sum scale probe (tools/rsum_scale_probe) must run
-    end-to-end at sf0.001: its two forms (registered window shape vs
-    grouped_running_sum) are equality-asserted per multiple inside
-    main(), so a green exit IS the at-scale equivalence check."""
+    end-to-end at sf0.001 on BOTH axes — points-per-day multiples and
+    the round-11 growing-|days| axis: the two forms (registered window
+    shape vs grouped_running_sum) are equality-asserted per multiple
+    inside main(), so a green exit IS the at-scale equivalence check
+    (including that the hash-assigned day-block shift preserves
+    per-day semantics)."""
     from airflow_jira_etl_spark.tools.rsum_scale_probe import main
 
-    assert main(["rsum_scale_probe", sf_dir, "1,2"]) == 0
+    assert main(["rsum_scale_probe", sf_dir, "1,2", "1,3"]) == 0
 
 
 def test_concurrency_sweep_rehearsal_on_running_sum(spark, sf_dir):
