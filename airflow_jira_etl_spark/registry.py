@@ -63,6 +63,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     recompute after cache loss — operators/ranking.py module
 #     docstring, tests/test_ranking_property.py cache-drop regression).
 #     Their r10 rows predate that executed path.
+#     (The same materialization swap inside ParquetUpsertTable.apply()
+#     does NOT promote the upsert-backed queries: apply() is the write
+#     path — their REGISTERED plans read the committed parquet back and
+#     are byte-identical for deterministic batches; the dedicated
+#     upsert test suite carries that evidence.)
 # Oversubscription: 52 candidates (47 stale + 5 promotions) for 50
 # slots -> 2 documented deferrals to round 12, chosen for weakest
 # differential info gain:

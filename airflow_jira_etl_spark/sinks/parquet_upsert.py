@@ -269,15 +269,22 @@ class ParquetUpsertTable:
             ]
         else:
             merged_schema = upd_fields
-        # persisted, not just lazily tagged: the batch is evaluated for
+        # materialized ONCE (localCheckpoint — lineage truncation), not
+        # just lazily tagged or persisted: the batch is evaluated for
         # the dirty-bucket set AND again for the merge write — without
         # one materialization, a nondeterministic source (API read,
         # sampled/limited upstream) could land rows in a bucket absent
         # from the collected dirty set, whose files the manifest loop
-        # below would then never re-point (committed but invisible)
+        # below would then never re-point (committed but invisible).
+        # A plain persist does NOT guarantee that: an evicted/uncached
+        # block RECOMPUTES through the source (the ranking family hit
+        # exactly this class, operators/ranking.py round 11); a
+        # checkpointed block cannot recompute — loss fails loudly. The
+        # blocks free when this frame is GC'd (ContextCleaner), so no
+        # unpersist is needed or possible here.
         upd = updates.withColumn(
             _BUCKET, self.bucketer(updates, self.keys, n_buckets)
-        ).persist()
+        ).localCheckpoint(eager=False)
         try:
             # the dirty-bucket set is <= n_buckets small ints — a scalar
             # collect, same class as a COUNT, not a data collect
@@ -331,7 +338,10 @@ class ParquetUpsertTable:
             gen_name, staging = self._next_generation()
             merged.write.partitionBy(_BUCKET).mode("overwrite").parquet(staging)
         finally:
-            upd.unpersist()
+            # checkpoint blocks are reclaimed by the ContextCleaner once
+            # `upd` goes out of scope; DataFrame.unpersist would be a
+            # no-op on them (nothing in the SQL cache registry)
+            pass
         new_buckets = dict(manifest["buckets"]) if manifest else {}
         for b in dirty:
             new_buckets[str(b)] = f"{gen_name}/{_BUCKET}={b}"

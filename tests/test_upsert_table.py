@@ -476,6 +476,51 @@ def test_unlocked_commit_refuses_manifest_bearing_gen(
     assert {r.k: r.v for r in t.read().collect()} == {1: "a", 2: "b"}
 
 
+def test_apply_nondeterministic_batch_single_evaluation(spark, tmp_path):
+    """apply() evaluates the update batch for the dirty-bucket set AND
+    for the merge write; a nondeterministic source evaluated twice
+    could land rows in buckets absent from the dirty set — files the
+    manifest never points at (committed but invisible). Round 11 moved
+    the batch materialization to localCheckpoint (a persist can evict
+    and silently recompute through the source — the ranking family hit
+    that exact class); this pins the visibility invariant: with an
+    unseeded-random key column, every written row is readable back and
+    every bucket directory in the new generation is manifest-referenced,
+    across repeated merges."""
+    import json as _json
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=8)
+    for batch in range(4):
+        upd = spark.range(50).select(
+            (F.rand() * 1000).cast("long").alias("k"),  # nondeterministic
+            F.lit(f"b{batch}").alias("v"),
+        )
+        t.apply(upd)
+        manifest = t._read_manifest()
+        gen = os.path.basename(t.current_generation())
+        referenced = {
+            p.split("=", 1)[1]
+            for p in manifest["buckets"].values()
+            if p.startswith(gen + "/")
+        }
+        on_disk = {
+            d.split("=", 1)[1]
+            for d in os.listdir(t.current_generation())
+            if d.startswith("__bucket=")
+        }
+        # every bucket dir the write produced is reachable through the
+        # manifest — nothing committed-but-invisible
+        assert on_disk == referenced, (gen, on_disk, referenced)
+        # and the read-back covers every bucket's rows (counts match a
+        # direct scan of the manifest-referenced files)
+        got = t.read().count()
+        direct = sum(
+            spark.read.parquet(p).count()
+            for p in t._bucket_paths(manifest)
+        )
+        assert got == direct > 0
+
+
 @pytest.mark.parametrize("degraded", [False, True], ids=["flock", "no_flock"])
 @pytest.mark.parametrize(
     "crash", ["after_rename", "after_manifest"], ids=["pre_manifest", "pre_flip"]
