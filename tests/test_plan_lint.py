@@ -99,3 +99,43 @@ def test_no_scale_antipatterns_in_plan(name, spark, sf_dir):
         assert not bad, (
             f"{name}: un-partitioned Window (single-task at scale): {bad}"
         )
+
+
+def test_no_bare_persist_in_engine_source():
+    """Source lint (round 11): `.persist(` is BANNED in engine source.
+    Twice this engine shipped a two-pass operator whose driver-side
+    bookkeeping silently desynced from a RECOMPUTED second pass — a
+    persisted frame recomputes through its (re-sampling or
+    nondeterministic) lineage on block loss or cache clearing, which is
+    exactly when the bookkeeping's coordinates stop describing the data
+    (operators/ranking.py round 11, sinks/parquet_upsert.py round 11).
+    Cross-pass materialization must use localCheckpoint (lineage
+    truncation: recompute impossible, loss loud). Read-once `.cache()`
+    over DETERMINISTIC expressions remains fine and is not linted; a
+    genuinely safe future persist belongs in the allowlist with a
+    reviewed justification."""
+    import os
+    import re
+
+    allow: set[str] = set()  # (path, lineno) pairs, justified in review
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "airflow_jira_etl_spark",
+    )
+    hits = []
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                for i, line in enumerate(f, 1):
+                    code = line.split("#", 1)[0]
+                    if re.search(r"\.persist\(", code):
+                        rel = os.path.relpath(path, root)
+                        if (rel, i) not in allow:
+                            hits.append(f"{rel}:{i}: {line.strip()}")
+    assert not hits, (
+        "bare .persist( in engine source — use localCheckpoint for "
+        "cross-pass materialization (see docstring): " + "; ".join(hits)
+    )
