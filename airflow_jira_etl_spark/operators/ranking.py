@@ -464,9 +464,10 @@ def grouped_running_sum(
     all-NULL prefix is NULL, otherwise NULLs are skipped): the offset
     is NULL only when every earlier slice of the group is all-NULL,
     and the two parts combine with null-aware addition. The same
-    load-bearing persist as the other phases applies (see module
-    docstring): both passes must observe one materialization of the
-    sampled range partitioning.
+    lineage-truncating materialization (localCheckpoint) as the other
+    phases applies (see module docstring): both passes must observe
+    the ONE materialization of the sampled range partitioning, and a
+    recompute must be impossible, not merely unlikely.
     """
     from pyspark.sql import types as T
 
