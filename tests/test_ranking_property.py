@@ -265,6 +265,61 @@ def test_ranking_survives_cache_drop_between_passes(spark):
     assert got_rn == want_rn
 
 
+def test_running_sum_and_global_rn_survive_cache_drop(spark):
+    """Completes the round-11 cache-drop matrix over the _range_tag
+    family: grouped_running_sum and global_row_number must also hold
+    exact window-oracle agreement when the SQL cache is dropped between
+    the operator call and the caller's action — all four operators
+    share _range_tag's localCheckpoint, but each consumes the tagged
+    frame through different bookkeeping (prefix SUMS vs counts vs
+    coordinate selection), so each deserves its own pin against a
+    future refactor reintroducing a recomputable materialization."""
+    from airflow_jira_etl_spark.operators.ranking import (
+        global_row_number,
+        grouped_running_sum,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") % 13).alias("v"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(F.col("id") % 5)
+        .alias("x"),  # NULL summands: exercise the null-aware offsets
+    )
+    order = [F.col("v"), F.col("k")]
+    w = Window.partitionBy("g").orderBy(*order)
+
+    rs = grouped_running_sum(
+        df, ["g"], order, F.col("x"), num_partitions=16
+    )
+    spark.catalog.clearCache()  # between the passes, before the action
+    got = {r.k: r.rsum for r in rs.collect()}
+    want = {
+        r.k: r.rsum
+        for r in df.select(
+            "k",
+            F.sum("x")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("rsum"),
+        ).collect()
+    }
+    assert got == want
+
+    ranked, n = global_row_number(df, order + [F.col("g")], num_partitions=16)
+    spark.catalog.clearCache()
+    got_rn = {r.k: r.rn for r in ranked.collect()}
+    assert n == 20000
+    wg = Window.orderBy(*(order + [F.col("g")]))
+    want_rn = {
+        r.k: r.rn
+        for r in df.select(
+            "k", F.row_number().over(wg).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got_rn == want_rn
+
+
 def test_grouped_rank_select_empty_ranks_rejected(spark):
     """ranks={} must raise, not return an empty frame — an empty
     selection result would be indistinguishable from an input with no
