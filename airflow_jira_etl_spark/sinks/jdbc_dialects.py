@@ -117,20 +117,24 @@ def write_upsert_jdbc(
     HOLDLOCK) and a scheduling-dependent winner everywhere else.
 
     Connection economy: the key repartition width is ``num_partitions``
-    when given, else ``sparkContext.defaultParallelism`` (the cluster's
-    concurrent-task width) instead of inheriting
-    spark.sql.shuffle.partitions (typically 200 — needless fan-out for
-    a small batch). defaultParallelism is read without touching the
-    input plan: the previous ``df.rdd.getNumPartitions()`` probe forced
-    RDD conversion, which under AQE finalizes the physical plan and can
-    execute the input's upstream shuffle stages once just to read a
-    partition count, then again for the actual write. Each task peeks
-    its iterator before ``connect()`` so empty partitions open no
-    connection at all — total connections are bounded by
-    ``min(width, |distinct keys|)``. The database's connection ceiling,
-    not Spark's shuffle width, is the scarce resource at a JDBC sink;
-    pass ``num_partitions`` explicitly to pin it below the cluster
-    width.
+    when given (must be >= 1 — 0/negative raise rather than silently
+    falling back), else ``max(sparkContext.defaultParallelism,
+    spark.sql.shuffle.partitions)``. Both terms matter: under dynamic
+    allocation defaultParallelism reflects only currently-REGISTERED
+    cores (calling this before executors ramp up would collapse a
+    large batch to ~2 serialized connections), while shuffle.partitions
+    is a static config that survives ramp-up; the wider of the two is
+    safe because each task peeks its iterator before ``connect()`` —
+    empty partitions open no connection, so over-width costs only
+    empty-task overhead, never idle connections. Total connections are
+    bounded by ``min(width, |distinct keys|)``. Both sources are read
+    without touching the input plan: the previous
+    ``df.rdd.getNumPartitions()`` probe forced RDD conversion, which
+    under AQE finalizes the physical plan and can execute the input's
+    upstream shuffle stages once just to read a partition count, then
+    again for the actual write. The database's connection ceiling, not
+    Spark's shuffle width, is the scarce resource at a JDBC sink; pass
+    ``num_partitions`` explicitly to pin it below the cluster width.
 
     Requires a DBAPI driver on the executors; none ships in this
     environment, so tests exercise the full partition-write path with
@@ -140,9 +144,18 @@ def write_upsert_jdbc(
     from airflow_jira_etl_spark.operators.upsert import upsert
 
     deduped = upsert(df.limit(0), df, key, ordinal_col=ordinal_col)
-    n_parts = max(
-        1, num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    )
+    if num_partitions is not None:
+        if num_partitions < 1:
+            raise ValueError(
+                f"num_partitions must be >= 1, got {num_partitions}"
+            )
+        n_parts = num_partitions
+    else:
+        spark = df.sparkSession
+        n_parts = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
     df = deduped.repartition(n_parts, F.col(key))
     columns = df.columns
     sql = upsert_sql(dialect, table, columns, key)

@@ -40,6 +40,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airflow_jira_etl_spark.checkpoint import release_local_checkpoint
 from airflow_jira_etl_spark.operators.upsert import merge_aggregate, upsert
 
 _POINTER = "_CURRENT"
@@ -279,9 +280,7 @@ class ParquetUpsertTable:
         # A plain persist does NOT guarantee that: an evicted/uncached
         # block RECOMPUTES through the source (the ranking family hit
         # exactly this class, operators/ranking.py round 11); a
-        # checkpointed block cannot recompute — loss fails loudly. The
-        # blocks free when this frame is GC'd (ContextCleaner), so no
-        # unpersist is needed or possible here.
+        # checkpointed block cannot recompute — loss fails loudly.
         upd = updates.withColumn(
             _BUCKET, self.bucketer(updates, self.keys, n_buckets)
         ).localCheckpoint(eager=False)
@@ -338,10 +337,14 @@ class ParquetUpsertTable:
             gen_name, staging = self._next_generation()
             merged.write.partitionBy(_BUCKET).mode("overwrite").parquet(staging)
         finally:
-            # checkpoint blocks are reclaimed by the ContextCleaner once
-            # `upd` goes out of scope; DataFrame.unpersist would be a
-            # no-op on them (nothing in the SQL cache registry)
-            pass
+            # deterministic per-batch free (DataFrame.unpersist is a
+            # no-op on checkpoint blocks; without this they linger
+            # until the ContextCleaner's periodic GC — ~30 min of
+            # accumulation for a foreachBatch driver running many
+            # batches). Safe here: the write above was `upd`'s last
+            # consumer, and a buggy later access fails loudly rather
+            # than silently recomputing.
+            release_local_checkpoint(upd)
         new_buckets = dict(manifest["buckets"]) if manifest else {}
         for b in dirty:
             new_buckets[str(b)] = f"{gen_name}/{_BUCKET}={b}"

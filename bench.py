@@ -197,9 +197,18 @@ def main() -> None:
                 file=sys.stderr,
             )
         passes.append(pass_t)
-        # caches a pass builds (range-tagged frames, MV state) must not
-        # subsidize the next pass — each pass measures a cold plan
+        # SQL caches a pass builds (signature frames, MV state) must
+        # not subsidize the next pass — each pass measures a cold
+        # plan. The ranking family's range-tagged frames are
+        # localCheckpoint BLOCKS, which clearCache does not touch; the
+        # GC nudge below lets the ContextCleaner reclaim them now that
+        # the pass's frame references are dead, instead of leaving
+        # them resident as memory pressure on the next pass.
         spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     out = build_record(passes, warm_s, SF_DIR)
     line = json.dumps(out, separators=(",", ":"))

@@ -52,11 +52,18 @@ def test_headline_fields_last_and_vector_first():
 
 
 def test_full_registry_line_fits_driver_tail_window():
-    """At the real registry size (146 queries) with worst-plausible
-    per-query magnitudes, the serialized line must stay inside the
-    driver's observed ~2000 B tail window — the reason a second full
-    per-pass vector is NOT in the line (bench_full.json carries it)."""
-    names = [f"a_very_long_query_name_{i:03d}" for i in range(146)]
+    """At the LIVE registry size (read from the registry, not frozen —
+    a hardcoded count would keep passing while real growth pushed the
+    real line past the window) with worst-plausible per-query
+    magnitudes, the serialized line must stay inside the driver's
+    observed ~2000 B tail window — the reason a second full per-pass
+    vector is NOT in the line (bench_full.json carries it)."""
+    from airflow_jira_etl_spark import registry
+
+    registry.load_all_queries()  # populate; needs no Spark session
+    n_live = len(registry.QUERIES)
+    assert n_live >= 146  # the registry only ever grows
+    names = [f"a_very_long_query_name_{i:03d}" for i in range(n_live)]
     p1 = {n: 10.25 + (i % 9) for i, n in enumerate(names)}  # 5-char values
     rec = build_record([p1, p1], 123.45, "/root/testdata/sf0.1")
     line = json.dumps(rec, separators=(",", ":"))

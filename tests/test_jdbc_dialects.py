@@ -129,12 +129,14 @@ def test_write_upsert_jdbc_dedupes_and_batches(spark, tmp_path):
 def test_write_upsert_jdbc_connection_economy(spark, tmp_path):
     """Empty partitions must not open a connection: total connections
     are bounded by the number of DISTINCT keys regardless of the
-    repartition width (defaultParallelism by default — read WITHOUT
-    df.rdd.getNumPartitions(), which finalizes the plan under AQE and
-    can double-execute upstream shuffles), and an explicit
-    num_partitions pins the width below the cluster's. Counted via
-    marker files (the fake connects on executors; a driver-side
-    counter would stay zero)."""
+    repartition width (max(defaultParallelism, shuffle.partitions) by
+    default — a static-config floor so a dynamic-allocation cluster
+    polled before executor ramp-up cannot collapse a large write to ~2
+    serialized connections; read WITHOUT df.rdd.getNumPartitions(),
+    which finalizes the plan under AQE and can double-execute upstream
+    shuffles), and an explicit num_partitions pins the width below the
+    cluster's. Counted via marker files (the fake connects on
+    executors; a driver-side counter would stay zero)."""
     import os
     import uuid
 
@@ -177,3 +179,14 @@ def test_write_upsert_jdbc_connection_economy(spark, tmp_path):
         df, "postgres", "t", "id", CountingConn, num_partitions=1
     )
     assert len(os.listdir(out)) == 1
+
+    # 0 / negative widths are caller bugs — reject loudly rather than
+    # silently falling back to the default width (a config wiring that
+    # yields 0 almost certainly meant something else)
+    import pytest
+
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="num_partitions"):
+            write_upsert_jdbc(
+                df, "postgres", "t", "id", CountingConn, num_partitions=bad
+            )

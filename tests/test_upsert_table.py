@@ -487,8 +487,6 @@ def test_apply_nondeterministic_batch_single_evaluation(spark, tmp_path):
     unseeded-random key column, every written row is readable back and
     every bucket directory in the new generation is manifest-referenced,
     across repeated merges."""
-    import json as _json
-
     t = ParquetUpsertTable(spark, str(tmp_path / "t"), key="k", n_buckets=8)
     for batch in range(4):
         upd = spark.range(50).select(
