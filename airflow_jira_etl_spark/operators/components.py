@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from airflow_jira_etl_spark.checkpoint import release_local_checkpoint
+
 # propagation + pointer jumping roughly doubles each label's reach per
 # round, so 50 rounds cover component diameters past 2^50 — far beyond
 # any physical graph; the cap exists only to bound a logic bug, and
@@ -108,6 +110,7 @@ def _connected_components(pairs: DataFrame, max_iters: int) -> DataFrame:
         .withColumn("component", F.col("id"))
         .cache()
     )
+    prev_ckpt: DataFrame | None = None
     for it in range(max_iters):
         # (1) min-label propagation along edges
         neighbor_min = (
@@ -137,10 +140,16 @@ def _connected_components(pairs: DataFrame, max_iters: int) -> DataFrame:
         # hygiene: truncate the growing lineage every 3rd round
         # (localCheckpoint materializes to executor storage), cache the
         # others. unpersist() releases CACHED generations immediately;
-        # for checkpointed ones it is a no-op and the blocks are
-        # reclaimed by Spark's ContextCleaner once this loop drops the
-        # reference (labels = new_labels below) — bounded either way.
-        if (it + 1) % 3 == 0:
+        # for checkpointed ones it is a no-op — those are released
+        # below via release_local_checkpoint once a NEWER checkpoint
+        # has materialized (every frame built after checkpoint C(k+1)
+        # derives from it, never from C(k), so C(k) has no live
+        # consumer from that point). Without the explicit release the
+        # superseded generations wait for the ContextCleaner's
+        # periodic GC — at billion-vertex scale several full label
+        # frames of executor storage instead of one.
+        is_ckpt_round = (it + 1) % 3 == 0
+        if is_ckpt_round:
             new_labels = jumped.localCheckpoint()
         else:
             new_labels = jumped.cache()
@@ -156,6 +165,16 @@ def _connected_components(pairs: DataFrame, max_iters: int) -> DataFrame:
             .count()
         )
         labels.unpersist()
+        if is_ckpt_round:
+            # the new checkpoint is materialized (eager) and the
+            # cached generations between the two checkpoints are
+            # already superseded/unpersisted, so the PREVIOUS
+            # checkpoint's blocks have no remaining consumer; the
+            # frame being RETURNED is never released (it is always
+            # the newest generation)
+            if prev_ckpt is not None:
+                release_local_checkpoint(prev_ckpt)
+            prev_ckpt = new_labels
         labels = new_labels
         if changed == 0:
             break

@@ -219,9 +219,16 @@ def test_connected_components_distributed_path_matches_local(spark, monkeypatch)
     expected = {r.id: r.component for r in C.connected_components(pairs).collect()}
 
     monkeypatch.setattr(C, "SMALL_EDGE_LIMIT", 0)
-    got = {r.id: r.component for r in C.connected_components(pairs).collect()}
+    result = C.connected_components(pairs)
+    got = {r.id: r.component for r in result.collect()}
     assert got == expected
     assert got[40] == 0 and got[102] == 100 and got[201] == 200
+    # the loop deterministically releases SUPERSEDED checkpoint
+    # generations (round 6's materialization frees round 3's blocks);
+    # the returned frame must remain fully actionable afterwards — a
+    # release of any generation the result still depends on would
+    # surface here as CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    assert result.count() == len(expected)
 
 
 def test_connected_components_raises_on_iteration_exhaustion(spark, monkeypatch):
