@@ -148,7 +148,23 @@ def file_schema(spark: SparkSession, path: str) -> T.StructType:
 
     ensure_runtime_confs(spark)
     st = os.stat(path)
-    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        # a directory's own mtime/size do NOT change when a part file
+        # is overwritten in place (same names, new bytes) — key on the
+        # per-part stats instead, or a fixture regeneration would keep
+        # serving the stale schema (e.g. a nanos↔micros ts flip, which
+        # HAS happened across fixture generations) to every later read
+        key = (
+            os.path.realpath(path),
+            tuple(
+                (f, s.st_mtime_ns, s.st_size)
+                for f in sorted(os.listdir(path))
+                if not f.startswith((".", "_"))
+                for s in [os.stat(os.path.join(path, f))]
+            ),
+        )
+    else:
+        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
     if key not in _FILE_SCHEMA_CACHE:
         _FILE_SCHEMA_CACHE[key] = spark.read.parquet(path).schema
     return _FILE_SCHEMA_CACHE[key]

@@ -28,7 +28,7 @@ from airflow_jira_etl_spark.streaming.source import (
     pages_dir_for,
     read_events_stream,
     run_available_now,
-    scoped_shuffle_partitions,
+    run_to_completion,
     write_event_pages,
 )
 
@@ -109,16 +109,30 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_session_window",
     oracle="""
-    WITH flagged AS (
-        SELECT user_id, ts, value,
+    WITH ev AS (
+        -- CAST mirrors the Spark side's micro-precision contract
+        -- (catalog.conform truncates a TIMESTAMP(NANOS) fixture to
+        -- micros): the 30-min gap predicate must compare the SAME
+        -- precision on both engines, or a sub-microsecond remainder
+        -- flips a session boundary only on one side
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_sess
-        FROM events
+        FROM ev
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
-        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        -- the ROWS frame needs the SAME tie-broken total order as the
+        -- flagged CTE: without event_id, a new_sess=0 row tied on ts
+        -- with the boundary row could be summed first and land in the
+        -- PREVIOUS session (order among ties is unspecified)
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM flagged
     )
@@ -293,7 +307,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 pages = 4 real micro-batches: enough to exercise cross-batch
     # merge + manifest chaining; per-batch harness latency is the cost
     page_size = write_event_pages(spark, sf_dir, pages_dir, n_pages=4)
-    # bucket width = 1/8 page -> a page dirties ~8 buckets; ~64 total
+    # bucket width = 1/8 page -> a page dirties ~8 buckets; ~32 total
     bucketer = range_bucketer(max(page_size // 8, 1))
     table = ParquetUpsertTable(
         spark, table_dir, key="event_id", bucketer=bucketer
@@ -315,21 +329,15 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         table.apply(batch_df)
 
-    ck = _ck("foreachbatch")
-    import shutil
+    def start(ck: str):
+        return (
+            raw.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
 
-    shutil.rmtree(ck, ignore_errors=True)
-    try:
-        with scoped_shuffle_partitions(spark):
-            q = (
-                raw.writeStream.foreachBatch(merge_batch)
-                .option("checkpointLocation", ck)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        shutil.rmtree(ck, ignore_errors=True)  # per-run throwaway
+    run_to_completion(spark, _ck("foreachbatch"), start)
     # maintenance pass, the full table lifecycle: compaction re-points
     # every bucket at one generation (the per-page merges left the live
     # manifest scattered across one generation per micro-batch), then
@@ -377,13 +385,21 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_stream_interval_join",
     oracle="""
+    -- ev casts ts to micro precision BEFORE the interval predicates:
+    -- Spark joins on conform-truncated micros, so comparing raw
+    -- TIMESTAMP_NS here would flip boundary pairs whose order differs
+    -- only below the microsecond on a nanos fixture generation
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    )
     SELECT v.event_id AS view_id,
            p.event_id AS purchase_id,
            v.user_id AS user_id,
-           CAST(v.ts AS TIMESTAMP) AS view_ts,
-           CAST(p.ts AS TIMESTAMP) AS purchase_ts
-    FROM events v
-    JOIN events p
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM ev v
+    JOIN ev p
       ON v.user_id = p.user_id
      AND v.event_type = 'view'
      AND p.event_type = 'purchase'

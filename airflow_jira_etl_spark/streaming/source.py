@@ -16,6 +16,7 @@ micro-batch — a faithful, testable stand-in for the cursor loop.
 from __future__ import annotations
 
 import contextlib
+import hashlib
 import os
 import shutil
 
@@ -28,12 +29,23 @@ from airflow_jira_etl_spark.catalog import (
     file_schema,
     table_path,
 )
+from airflow_jira_etl_spark.scratch import SCRATCH as _SCRATCH
 
 
-_SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".scratch",
-)
+def _sf_tag(sf_dir: str) -> str:
+    """Identity tag for per-source scratch dirs: readable basename plus
+    a short hash of the ABSOLUTE path. Basename alone is not an
+    identity — two fixtures at /a/sf0.01 and /b/sf0.01 would share one
+    staged-stream dir and one page cache, and since their
+    wanted-link-sets/meta idents differ, every query would rebuild the
+    shared dir under the OTHER session's running stream (the flock
+    serializes builders against each other, not against a reader that
+    already started)."""
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    return (
+        f"{os.path.basename(ap)}_"
+        f"{hashlib.sha256(ap.encode()).hexdigest()[:8]}"
+    )
 
 
 def _staged_events_dir(sf_dir: str) -> str:
@@ -47,10 +59,14 @@ def _staged_events_dir(sf_dir: str) -> str:
     stream silently read ZERO rows (measured while building the
     streaming scale probe). Both layouts re-stage whenever the expected
     link set changes."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    d = os.path.join(_SCRATCH, "stream_src", tag)
+    d = os.path.join(_SCRATCH, "stream_src", _sf_tag(sf_dir))
     os.makedirs(d, exist_ok=True)
-    src = table_path(sf_dir, "events")
+    # absolute targets: a RELATIVE sf_dir would store the relative
+    # string in the link, which the kernel resolves against the link's
+    # own directory (.scratch/stream_src/<tag>/), not the cwd —
+    # dangling links that the _current()==wanted check would then
+    # consider "correctly staged" forever
+    src = os.path.abspath(table_path(sf_dir, "events"))
     if os.path.isdir(src):
         wanted = {
             f"events_{f}": os.path.join(src, f)
@@ -97,19 +113,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     staged = _staged_events_dir(sf_dir)
+    # file_schema keys its cache on per-part stats for dir-shaped
+    # sources (an in-place part rewrite leaves the dir stat unchanged),
+    # so the sniff stays fresh across fixture regenerations here too
     actual = file_schema(spark, table_path(sf_dir, "events"))
     raw = spark.readStream.schema(actual).parquet(staged)
     return conform(raw, SCHEMAS["events"])
 
 
 def pages_dir_for(scratch: str, sf_dir: str) -> str:
-    """Per-scale-factor page directory. The page cache is keyed by
-    source mtime/size in its meta file, but two SESSIONS at different
-    scale factors sharing one directory would rewrite it back and
-    forth under each other's running streams — the dir name itself
-    must carry the source identity."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(scratch, f"event_pages_{tag}")
+    """Per-source page directory. The page cache is keyed by source
+    mtime/size in its meta file, but two SESSIONS on different sources
+    sharing one directory would rewrite it back and forth under each
+    other's running streams — the dir name itself must carry the
+    source identity (_sf_tag: basename + abspath hash, so same-named
+    fixtures at different paths get distinct caches)."""
+    return os.path.join(scratch, f"event_pages_{_sf_tag(sf_dir)}")
 
 
 def _src_fingerprint(src: str) -> list:
@@ -185,11 +204,26 @@ def write_event_pages(
     from airflow_jira_etl_spark import catalog
 
     events = catalog.load(spark, sf_dir, "events")
-    max_id = events.agg(F.max("event_id")).collect()[0][0]
+    stats = events.agg(
+        F.max("event_id"),
+        F.min("event_id"),
+        F.count(F.lit(1)) - F.count("event_id"),
+    ).collect()[0]
+    max_id, min_id, n_null = stats[0], stats[1], stats[2]
     if max_id is None:
         raise ValueError(
             f"events table at {src} is empty — cannot page a zero-row "
             f"stream source"
+        )
+    if n_null or min_id < 0:
+        # page ids derive from event_id: a NULL lands in pg=NULL and a
+        # negative below page 0 — both outside the rename loop's
+        # range(n_pages), where the _tmp cleanup would DELETE the rows
+        # silently while the meta file commits the build as complete
+        raise ValueError(
+            f"events.event_id must be non-null and non-negative to "
+            f"page deterministically (found {n_null} NULLs, "
+            f"min={min_id})"
         )
     total = int(max_id) + 1
     page_size = -(-total // n_pages)  # ceil
@@ -225,10 +259,15 @@ def _build_event_pages(
     tmp = os.path.join(out_dir, "_tmp")
     (
         events.withColumn(
+            # `div`, NOT `/`: the latter is DOUBLE division, which
+            # rounds for event_id beyond 2^53 (the same hazard
+            # range_bucketer documents) — and a rounded-UP id at the
+            # top page boundary would land at pg == n_pages, outside
+            # the rename loop, where the _tmp cleanup deletes the rows
+            # silently. Integer div over the validated 0..max range is
+            # exact by construction.
             "pg",
-            F.format_string(
-                "%05d", (F.col("event_id") / page_size).cast("int")
-            ),
+            F.format_string("%05d", F.expr(f"event_id div {page_size}")),
         )
         .repartition(n_pages, "pg")
         .write.partitionBy("pg")
@@ -302,6 +341,23 @@ def scoped_shuffle_partitions(spark, n: str = STREAM_STATE_PARTITIONS):
                 spark.conf.unset(_PROVIDER_KEY)
 
 
+def run_to_completion(spark, checkpoint: str, start) -> None:
+    """The ONE availableNow run lifecycle — fresh throwaway checkpoint,
+    state partitions scoped for the run, blocking await, checkpoint
+    removed on every exit path (crashed runs leave theirs for the
+    caller's dead-session reaper). ``start`` receives the checkpoint
+    path and must return the started StreamingQuery; the memory-sink
+    harness below and custom sinks (foreachBatch upsert) share this so
+    a lifecycle fix can never apply to one start site and miss the
+    other."""
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    try:
+        with scoped_shuffle_partitions(spark):
+            start(checkpoint).awaitTermination()
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint: str,
@@ -309,23 +365,18 @@ def run_available_now(
     output_mode: str = "complete",
 ) -> DataFrame:
     """Run a streaming DataFrame to completion with availableNow into a
-    memory sink; return the result as a batch DataFrame. The checkpoint
-    is a per-run throwaway (the result lives in the memory sink), so it
-    is removed after completion — crashed runs leave theirs for the
-    caller's dead-session reaper."""
-    shutil.rmtree(checkpoint, ignore_errors=True)
+    memory sink; return the result as a batch DataFrame."""
     spark = stream_df.sparkSession
-    try:
-        with scoped_shuffle_partitions(spark):
-            q = (
-                stream_df.writeStream.outputMode(output_mode)
-                .format("memory")
-                .queryName(name)
-                .option("checkpointLocation", checkpoint)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        shutil.rmtree(checkpoint, ignore_errors=True)
+
+    def start(ck: str):
+        return (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_to_completion(spark, checkpoint, start)
     return spark.sql(f"SELECT * FROM {name}")

@@ -26,26 +26,38 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, total_value double, peak_value double"
 )
-STATE_SCHEMA = "n long, total double, peak double"
+STATE_SCHEMA = "n long, n_vals long, total double, peak double"
 
 
 def _update_profile(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    # SQL aggregate semantics on NULLs: sum/max SKIP them, and a user
+    # whose values are ALL null yields NULL, not 0.0 / a -inf sentinel
+    # (Spark nulls arrive in pandas as NaN; a naive .sum() over
+    # all-NaN returns 0.0 and max(-inf, nan) keeps -inf — both would
+    # leak into the output where the SQL oracle says NULL). n_vals
+    # counts non-null values seen so far so "any value yet?" survives
+    # checkpoint recovery; n counts ROWS (count(*) semantics).
     (user_id,) = key
-    n, total, peak = state.get if state.exists else (0, 0.0, float("-inf"))
+    n, n_vals, total, peak = (
+        state.get if state.exists else (0, 0, 0.0, 0.0)
+    )
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-        if len(pdf):
-            peak = max(peak, float(pdf["value"].max()))
-    state.update((n, total, peak))
+        vals = pdf["value"].dropna()
+        if len(vals):
+            mx = float(vals.max())
+            peak = mx if n_vals == 0 else max(peak, mx)
+            total += float(vals.sum())
+            n_vals += len(vals)
+    state.update((n, n_vals, total, peak))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [total],
-            "peak_value": [peak],
+            "total_value": [total if n_vals else None],
+            "peak_value": [peak if n_vals else None],
         }
     )
 

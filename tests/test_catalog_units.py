@@ -311,3 +311,30 @@ def test_load_casts_drifted_array_element_type(spark, tmp_path):
     rows = df.orderBy("vec_id").collect()
     assert rows[0].embedding == [0.5, 1.5]
     assert rows[1].label == 1
+
+
+def test_file_schema_cache_catches_in_place_part_rewrite(spark, tmp_path):
+    """For a DIRECTORY-shaped table the schema cache must key on the
+    per-part stats: an in-place part rewrite (same file names, new
+    bytes — e.g. a fixture regeneration flipping the ts unit) leaves
+    the directory's own mtime/size unchanged, and a dir-stat key would
+    serve the STALE schema to every later read of the session."""
+    import time
+
+    d = str(tmp_path / "events.parquet")
+    os.makedirs(d)
+    part = os.path.join(d, "part-0.parquet")
+    pq.write_table(pa.table({"x": pa.array([1], pa.int64())}), part)
+    first = catalog.file_schema(spark, d)
+    assert dict.fromkeys(f.name for f in first) == {"x": None}
+
+    time.sleep(0.01)  # ensure the part's mtime_ns can differ
+    pq.write_table(
+        pa.table({"x": pa.array([1], pa.int64()),
+                  "y": pa.array(["a"], pa.string())}),
+        part,
+    )
+    # assert the OUTCOME (fresh schema), not the dir-stat mechanics —
+    # whether the rewrite bumps the dir mtime is filesystem-dependent
+    second = catalog.file_schema(spark, d)
+    assert [f.name for f in second] == ["x", "y"]

@@ -151,3 +151,107 @@ def test_stream_cost_probe_decomposition_smoke(spark, tmp_path):
     assert "floor" in steady
     assert set(steady) >= {"floor", "pystate_profile", "window_tumbling", "dedup_keys"}
     assert all(w > 0 for w in steady.values())
+
+
+def test_stateful_profile_all_null_values_emit_sql_null(spark):
+    """SQL aggregate semantics on NULLs for the custom stateful
+    operator: a user whose values are ALL null must emit NULL
+    total/peak (the oracle's sum/max over all-NULL), never the 0.0 /
+    -inf the naive pandas fold produces; a user with MIXED nulls skips
+    them. Driven through the real applyInPandasWithState plan over a
+    rate-less two-batch memory run."""
+    import pandas as pd
+
+    from airflow_jira_etl_spark.streaming.stateful import _update_profile
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def run(batches, state):
+        out = list(_update_profile((7,), iter(batches), state))
+        assert len(out) == 1
+        return out[0].iloc[0]
+
+    # batch 1: all-null values -> NULL aggregates, n counts rows
+    st = FakeState()
+    r = run([pd.DataFrame({"value": [None, None]}, dtype="float64")], st)
+    assert r["n_events"] == 2
+    assert pd.isna(r["total_value"]) and pd.isna(r["peak_value"])
+
+    # batch 2 (same state): real values arrive -> nulls skipped,
+    # aggregates over the non-null subset only
+    r = run([pd.DataFrame({"value": [3.0, None, 5.0]})], st)
+    assert r["n_events"] == 5
+    assert r["total_value"] == 8.0 and r["peak_value"] == 5.0
+
+    # negative-only values: peak must NOT be polluted by a 0.0 or
+    # -inf initialization sentinel
+    st2 = FakeState()
+    r = run([pd.DataFrame({"value": [-4.0, -9.0]})], st2)
+    assert r["total_value"] == -13.0 and r["peak_value"] == -4.0
+
+
+def test_write_event_pages_rejects_null_and_negative_ids(spark, tmp_path):
+    """Page ids derive from event_id: a NULL lands in pg=NULL and a
+    negative below page 0 — both outside the rename loop's
+    range(n_pages), where the _tmp cleanup would DELETE the rows
+    silently while the meta commits the build as complete. The build
+    must refuse loudly instead."""
+    import os
+
+    import pytest
+
+    from airflow_jira_etl_spark.streaming.source import write_event_pages
+
+    fix = str(tmp_path / "badfix")
+    os.makedirs(fix)
+    spark.createDataFrame(
+        [(-1, None, 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(fix, "events.parquet"))
+    with pytest.raises(ValueError, match="non-negative"):
+        write_event_pages(spark, fix, str(tmp_path / "pages"), n_pages=2)
+
+
+def test_staged_stream_dir_is_identity_and_cwd_proof(tmp_path):
+    """Two fixtures sharing a BASENAME must stage to distinct dirs
+    (basename alone would let two sessions rebuild one shared dir
+    under each other's running streams), and a RELATIVE sf_dir must
+    produce absolute symlink targets (a relative target resolves
+    against the link's own directory — a dangling link the staleness
+    check would consider correctly staged forever)."""
+    import os
+
+    from airflow_jira_etl_spark.streaming.source import (
+        _sf_tag,
+        _staged_events_dir,
+    )
+
+    a = tmp_path / "a" / "sfX"
+    b = tmp_path / "b" / "sfX"
+    for d in (a, b):
+        os.makedirs(d)
+        with open(d / "events.parquet", "wb") as f:
+            f.write(b"stub")
+    assert _sf_tag(str(a)) != _sf_tag(str(b))
+
+    rel = os.path.relpath(a, os.getcwd())
+    staged = _staged_events_dir(rel)
+    links = [
+        os.readlink(os.path.join(staged, e))
+        for e in os.listdir(staged)
+        if os.path.islink(os.path.join(staged, e))
+    ]
+    assert links and all(os.path.isabs(t) for t in links)
+    assert all(os.path.exists(t) for t in links)
