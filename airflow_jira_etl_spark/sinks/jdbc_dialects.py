@@ -23,18 +23,37 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 
+# Per-dialect identifier quoting. NOT optional: the reference's own
+# Jira schema has a column literally named ``key``
+# (``db_ops.py``/``jira_base_processor.py``), which is a RESERVED word
+# in MySQL and T-SQL — unquoted, the generated statement is a syntax
+# error on exactly the reference's workload. Table names quote per
+# dot-segment so schema-qualified targets ('dbo.issues') stay valid.
+_QUOTES = {"postgres": '"{}"', "mysql": "`{}`", "mssql": "[{}]"}
+
+
+def _q(dialect: str, ident: str) -> str:
+    return _QUOTES[dialect].format(ident)
+
+
+def _q_table(dialect: str, table: str) -> str:
+    return ".".join(_q(dialect, seg) for seg in table.split("."))
+
 
 def postgres_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
     """INSERT ... ON CONFLICT (key) DO UPDATE SET c = EXCLUDED.c.
     A key-only table degrades to DO NOTHING — an empty SET list is a
     syntax error at execute time."""
-    cols = ", ".join(columns)
+    q = lambda c: _q("postgres", c)  # noqa: E731
+    cols = ", ".join(q(c) for c in columns)
     ph = ", ".join(["%s"] * len(columns))
-    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns if c != key)
+    sets = ", ".join(
+        f"{q(c)} = EXCLUDED.{q(c)}" for c in columns if c != key
+    )
     action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
     return (
-        f"INSERT INTO {table} ({cols}) VALUES ({ph}) "
-        f"ON CONFLICT ({key}) {action}"
+        f"INSERT INTO {_q_table('postgres', table)} ({cols}) "
+        f"VALUES ({ph}) ON CONFLICT ({q(key)}) {action}"
     )
 
 
@@ -43,12 +62,13 @@ def mysql_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
     table degrades to the idempotent no-op assignment ``key = key``
     (MySQL has no DO NOTHING form; an empty UPDATE list is a syntax
     error)."""
-    cols = ", ".join(columns)
+    q = lambda c: _q("mysql", c)  # noqa: E731
+    cols = ", ".join(q(c) for c in columns)
     ph = ", ".join(["%s"] * len(columns))
-    sets = ", ".join(f"{c} = VALUES({c})" for c in columns if c != key)
+    sets = ", ".join(f"{q(c)} = VALUES({q(c)})" for c in columns if c != key)
     return (
-        f"INSERT INTO {table} ({cols}) VALUES ({ph}) "
-        f"ON DUPLICATE KEY UPDATE {sets or f'{key} = {key}'}"
+        f"INSERT INTO {_q_table('mysql', table)} ({cols}) VALUES ({ph}) "
+        f"ON DUPLICATE KEY UPDATE {sets or f'{q(key)} = {q(key)}'}"
     )
 
 
@@ -58,17 +78,20 @@ def mssql_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
     version, which emits placeholders in both the UPDATE and INSERT
     branches and therefore binds 2n parameters for n values
     (``db_ops.py:92,97`` vs ``:89,98``); this generator fixes that."""
-    cols = ", ".join(columns)
+    q = lambda c: _q("mssql", c)  # noqa: E731
+    cols = ", ".join(q(c) for c in columns)
     ph = ", ".join(["%s"] * len(columns))
-    src_cols = ", ".join(f"src.{c}" for c in columns)
-    sets = ", ".join(f"target.{c} = src.{c}" for c in columns if c != key)
+    src_cols = ", ".join(f"src.{q(c)}" for c in columns)
+    sets = ", ".join(
+        f"target.{q(c)} = src.{q(c)}" for c in columns if c != key
+    )
     # key-only table: drop the WHEN MATCHED clause entirely (an empty
     # SET list is a syntax error; there is nothing to update)
     matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
     return (
-        f"MERGE INTO {table} AS target "
+        f"MERGE INTO {_q_table('mssql', table)} AS target "
         f"USING (VALUES ({ph})) AS src ({cols}) "
-        f"ON target.{key} = src.{key} "
+        f"ON target.{q(key)} = src.{q(key)} "
         f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({src_cols});"
     )
@@ -80,19 +103,42 @@ _DIALECTS = {
     "mssql": mssql_upsert_sql,
 }
 
+# DBAPI paramstyles the executors' driver may use: the generators emit
+# 'format' (%s — psycopg2, pymysql, pymssql); 'qmark' (?) covers
+# pyodbc, the dominant MSSQL driver. Placeholders never collide with
+# identifier text (identifiers are quoted, never %-formatted), so the
+# rewrite is a plain substitution.
+_PARAMSTYLES = {"format": "%s", "qmark": "?"}
 
-def upsert_sql(dialect_or_conn_id: str, table: str, columns: Sequence[str], key: str) -> str:
+
+def upsert_sql(
+    dialect_or_conn_id: str,
+    table: str,
+    columns: Sequence[str],
+    key: str,
+    paramstyle: str = "format",
+) -> str:
     """Dialect factory (reference A12, ``db_ops.py:102-112``): route a
     dialect name or a conn-id-style prefix ('postgres_default', ...) to
-    its generator."""
+    its generator; ``paramstyle`` matches the executor driver's DBAPI
+    paramstyle ('format' for psycopg2/pymysql/pymssql, 'qmark' for
+    pyodbc)."""
     prefix = dialect_or_conn_id.split("_")[0].lower()
     try:
-        return _DIALECTS[prefix](table, columns, key)
+        sql = _DIALECTS[prefix](table, columns, key)
     except KeyError:
         raise ValueError(
             f"unsupported dialect {dialect_or_conn_id!r}; "
             f"expected prefix in {sorted(_DIALECTS)}"
         ) from None
+    try:
+        marker = _PARAMSTYLES[paramstyle]
+    except KeyError:
+        raise ValueError(
+            f"unsupported paramstyle {paramstyle!r}; "
+            f"expected one of {sorted(_PARAMSTYLES)}"
+        ) from None
+    return sql if marker == "%s" else sql.replace("%s", marker)
 
 
 def write_upsert_jdbc(
@@ -104,6 +150,7 @@ def write_upsert_jdbc(
     batch_size: int = 1000,
     ordinal_col: str | None = None,
     num_partitions: int | None = None,
+    paramstyle: str = "format",
 ) -> None:
     """Distributed batched upsert: each partition opens one connection
     and executes the dialect upsert with ``executemany`` per
@@ -158,7 +205,8 @@ def write_upsert_jdbc(
         )
     df = deduped.repartition(n_parts, F.col(key))
     columns = df.columns
-    sql = upsert_sql(dialect, table, columns, key)
+    key_idx = columns.index(key)
+    sql = upsert_sql(dialect, table, columns, key, paramstyle=paramstyle)
 
     def write_partition(rows) -> None:
         rows = iter(rows)
@@ -166,12 +214,33 @@ def write_upsert_jdbc(
             first = next(rows)
         except StopIteration:
             return  # empty partition: no connection, no round-trip
+
+        def check(row) -> tuple:
+            # NULL keys break BOTH halves of the contract before the
+            # database ever complains: the dedup window collapses all
+            # NULL-key rows to one arbitrary survivor (silent data
+            # loss), and the conflict clause never matches a NULL
+            # (unique indexes treat NULLs as distinct), so every RETRY
+            # of the batch would INSERT a fresh NULL-key row — the
+            # exact replay the idempotency contract promises is safe.
+            # Checked executor-side per row: no extra driver-side job
+            # over the input plan.
+            t = tuple(row)
+            if t[key_idx] is None:
+                raise ValueError(
+                    f"NULL {key!r} in upsert batch — keys must be "
+                    f"non-null (a NULL key is collapsed by the dedup "
+                    f"and never matches the conflict clause, so "
+                    f"replays would duplicate rows)"
+                )
+            return t
+
         conn = connect()
         try:
             cur = conn.cursor()
-            batch = [tuple(first)]
+            batch = [check(first)]
             for row in rows:
-                batch.append(tuple(row))
+                batch.append(check(row))
                 if len(batch) >= batch_size:
                     cur.executemany(sql, batch)
                     batch.clear()

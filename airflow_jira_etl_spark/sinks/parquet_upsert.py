@@ -107,6 +107,19 @@ def _bucketer_fingerprint(bucketer: Bucketer) -> str:
     return fp
 
 
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+)
+
+
+def _is_numeric_type(simple: str) -> bool:
+    """True for Spark simpleString type names whose pairwise set-op
+    widening is lossless numeric promotion (the only cross-type batch
+    apply() accepts; the post-merge check still pins the resolved type
+    to the stored one exactly)."""
+    return simple.startswith(_NUMERIC_PREFIXES)
+
+
 def _gen_number(gen: str | None) -> int:
     """Generation ordinal from a ``gen_NNNNNN`` dir name or path; -1 for
     an empty table. The ONE parse — read(), _next_generation() and
@@ -244,32 +257,40 @@ class ParquetUpsertTable:
                 )
         # schema contract lives in the manifest (bucket dirs may not
         # overlap, so comparing against read-back files is not enough):
-        # same-name/different-type always raises; a column set change
-        # raises unless evolve_schema, which unions the sets (ADD
-        # COLUMN — removed-in-batch columns stay, new ones backfill
-        # NULL on old rows via mergeSchema reads)
-        upd_fields = [
-            [f.name, f.dataType.simpleString()] for f in updates.schema.fields
-        ]
+        # the column-SET check runs here (names are known up front); the
+        # TYPE check runs against the MERGED plan's schema below — the
+        # manifest must record what the files will actually hold, and a
+        # combining merge WIDENS types (sum: int->bigint, float->double,
+        # decimal(p,s)->decimal(p+10,s)), so recording the batch's types
+        # would wedge every subsequent read (manifest says int, files
+        # say INT64)
         table_schema = manifest.get("schema") if manifest else None
         if table_schema is not None:
-            old_t, new_t = dict(table_schema), dict(upd_fields)
-            for nm in set(old_t) & set(new_t):
-                if old_t[nm] != new_t[nm]:
-                    raise ValueError(
-                        f"type change for column {nm!r}: "
-                        f"{old_t[nm]} -> {new_t[nm]} (unsupported)"
-                    )
-            if set(new_t) != set(old_t) and not self.evolve_schema:
+            old_names = {nm for nm, _ in table_schema}
+            upd_names = set(updates.columns)
+            if upd_names != old_names and not self.evolve_schema:
                 raise ValueError(
                     f"schema mismatch (evolve_schema=False): table has "
-                    f"{sorted(old_t)}, batch has {sorted(new_t)}"
+                    f"{sorted(old_names)}, batch has {sorted(upd_names)}"
                 )
-            merged_schema = list(table_schema) + [
-                [nm, ty] for nm, ty in upd_fields if nm not in old_t
-            ]
-        else:
-            merged_schema = upd_fields
+            # early same-name compat gate: identical, or numeric→numeric
+            # (whose union-widened RESULT the merged check below pins to
+            # the stored type exactly). Anything else — e.g. a string
+            # batch into a numeric column — must raise HERE: union
+            # coercion would resolve string→bigint and then fail row-by
+            # -row at write time (or worse, silently stringify numbers
+            # for a numeric batch into a string column)
+            old_t = dict(table_schema)
+            for f in updates.schema.fields:
+                ot = old_t.get(f.name)
+                nt = f.dataType.simpleString()
+                if ot is not None and ot != nt and not (
+                    _is_numeric_type(ot) and _is_numeric_type(nt)
+                ):
+                    raise ValueError(
+                        f"type change for column {f.name!r}: "
+                        f"{ot} -> {nt} (unsupported)"
+                    )
         # materialized ONCE (localCheckpoint — lineage truncation), not
         # just lazily tagged or persisted: the batch is evaluated for
         # the dirty-bucket set AND again for the merge write — without
@@ -285,22 +306,45 @@ class ParquetUpsertTable:
             _BUCKET, self.bucketer(updates, self.keys, n_buckets)
         ).localCheckpoint(eager=False)
         try:
-            # the dirty-bucket set is <= n_buckets small ints — a scalar
-            # collect, same class as a COUNT, not a data collect
-            raw = [r[0] for r in upd.select(_BUCKET).distinct().collect()]
-            if any(b is None for b in raw):
-                # a NULL bucket (range_bucketer on a NULL or non-numeric
-                # key: CAST AS BIGINT yields NULL silently) would write
-                # to __HIVE_DEFAULT_PARTITION__ while the manifest
-                # records ".../__bucket=None" — a dir that never exists,
+            # the dirty-bucket set is <= n_buckets small (bucket,
+            # has_null_key) rows — a scalar collect, same class as a
+            # COUNT, not a data collect. The null-KEY flag rides the
+            # same job: with the default hash_bucketer a NULL key still
+            # hashes to a valid bucket (xxhash64 of NULL is the seed),
+            # so without this check all NULL-key rows would pass the
+            # bucket guard and then silently COLLAPSE to one arbitrary
+            # row in the upsert window — data loss, not an error.
+            from functools import reduce
+            from operator import or_
+
+            null_key = reduce(
+                or_, [F.col(k).isNull() for k in self.keys]
+            )
+            raw = (
+                upd.groupBy(_BUCKET)
+                .agg(F.max(null_key).alias("has_null_key"))
+                .collect()
+            )
+            if any(r["has_null_key"] for r in raw):
+                raise ValueError(
+                    "upsert keys must be non-null: the batch carries "
+                    "NULL in a key column — NULL keys would silently "
+                    "collapse to one arbitrary row in the merge "
+                    "(reference db_ops.py treats the key as a primary "
+                    "key, which is NOT NULL by definition)"
+                )
+            if any(r[0] is None for r in raw):
+                # a NULL bucket (range_bucketer on a non-numeric key:
+                # CAST AS BIGINT yields NULL silently) would write to
+                # __HIVE_DEFAULT_PARTITION__ while the manifest records
+                # ".../__bucket=None" — a dir that never exists,
                 # wedging every subsequent read of the table
                 raise ValueError(
                     "bucketer produced NULL bucket ids — upsert keys "
-                    "must be non-null and bucket to integers (a "
-                    "range_bucketer over a non-numeric key CASTs to "
-                    "NULL silently)"
+                    "must bucket to integers (a range_bucketer over a "
+                    "non-numeric key CASTs to NULL silently)"
                 )
-            dirty = sorted(raw)
+            dirty = sorted(r[0] for r in raw)
             if manifest is not None:
                 base_paths = self._bucket_paths(manifest, dirty)
             else:
@@ -334,6 +378,32 @@ class ParquetUpsertTable:
                     evolve_schema=self.evolve_schema,
                 )
 
+            # type contract, checked on what the files WILL hold: the
+            # merged plan's schema (union widening already reconciled a
+            # stored-bigint/batch-int pair; a genuinely incompatible
+            # batch — string vs stored numeric — surfaces here as a
+            # changed resolved type). Same-name/different-type raises;
+            # evolve_schema appends batch-only columns (ADD COLUMN —
+            # removed-in-batch columns stay, new ones backfill NULL on
+            # old rows via the manifest-schema read).
+            merged_fields = [
+                [f.name, f.dataType.simpleString()]
+                for f in merged.schema.fields
+                if f.name != _BUCKET
+            ]
+            if table_schema is not None:
+                old_t, new_t = dict(table_schema), dict(merged_fields)
+                for nm in set(old_t) & set(new_t):
+                    if old_t[nm] != new_t[nm]:
+                        raise ValueError(
+                            f"type change for column {nm!r}: "
+                            f"{old_t[nm]} -> {new_t[nm]} (unsupported)"
+                        )
+                merged_schema = list(table_schema) + [
+                    [nm, ty] for nm, ty in merged_fields if nm not in old_t
+                ]
+            else:
+                merged_schema = merged_fields
             gen_name, staging = self._next_generation()
             merged.write.partitionBy(_BUCKET).mode("overwrite").parquet(staging)
         finally:

@@ -52,23 +52,27 @@ def _load_fetcher(spec: str, options: dict):
     return factory(options)
 
 
+def _string_cell(v):
+    """The ONE flatten rule for a STRING-typed cell: None and str pass
+    through, anything structured lands as its JSON text. Shared by the
+    row encoder and the Arrow fast path so the two transports can never
+    encode the same record differently."""
+    return v if v is None or isinstance(v, str) else json.dumps(v)
+
+
 def _row_encoder(schema: StructType):
     """record dict -> row tuple under the declared schema: STRING fields
-    JSON-encode structured values (the flatten contract — a nested
-    object lands as its JSON text), while TYPED fields pass raw values
-    through for Spark's own verification. JSON-encoding a typed cell
-    (the old behavior) handed "5" to an IntegerType field — a
-    type-verification error at best, silent corruption at worst."""
+    go through ``_string_cell`` (the flatten contract — a nested object
+    lands as its JSON text), while TYPED fields pass raw values through
+    for Spark's own verification. JSON-encoding a typed cell (the old
+    behavior) handed "5" to an IntegerType field — a type-verification
+    error at best, silent corruption at worst."""
     names = schema.fieldNames()
     is_str = [isinstance(f.dataType, StringType) for f in schema.fields]
 
     def encode(rec: dict) -> tuple:
         return tuple(
-            (
-                v
-                if v is None or not s or isinstance(v, str)
-                else json.dumps(v)
-            )
+            _string_cell(v) if s else v
             for v, s in zip((rec.get(n) for n in names), is_str)
         )
 
@@ -158,10 +162,7 @@ class PagedRestReader(DataSourceReader):
         for n in names:
             cols.append(
                 pa.array(
-                    [
-                        v if isinstance(v, str) or v is None else json.dumps(v)
-                        for v in (rec.get(n) for rec in records)
-                    ],
+                    [_string_cell(rec.get(n)) for rec in records],
                     pa.string(),
                 )
             )
@@ -225,23 +226,37 @@ class PagedRestStreamReader(SimpleDataSourceStreamReader):
                 break
             rows.extend(self._rows(page))
             start_at += stride
-        # the stride rides in the offset so a recovery REPLAY of this
-        # batch re-pages with the stride the original read used, even if
-        # the server's maxResults changed in between
+        # the stride rides in the offset for continuation bookkeeping
+        # (and as a diagnostic of what the original read paged with);
+        # replay correctness does NOT depend on it — readBetweenOffsets
+        # reconstructs [start, end) by consumed-record count
         return iter(rows), {"startAt": start_at, "stride": stride}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
-        # deterministic replay for recovery: re-fetch the page range
-        # under the ORIGINAL stride when the committed offset carries
-        # one (older checkpoints fall back to the live response's)
+        """Deterministic replay for recovery: emit EXACTLY the records
+        at offsets [start, end) — never a function of the server's LIVE
+        page size. Each fetch returns records from ``startAt`` onward;
+        we consume as many as fall inside the committed range and fetch
+        again at the first uncovered offset, so a server whose
+        maxResults grew since the original batch cannot leak later
+        offsets' rows into this one (duplicates downstream), and one
+        whose maxResults shrank just takes more round trips. (The old
+        form advanced by a pinned stride but extended EVERY fetched
+        record — overlapping replays whenever live page size exceeded
+        the pin.) If the source itself shrank below the committed range
+        (a nondeterministic upstream), we stop short: a truncated
+        replay is detectable; invented rows are not."""
         start_at = int(start["startAt"])
         end_at = int(end["startAt"])
-        pinned = int(end.get("stride", 0))
         rows: list[tuple] = []
         while start_at < end_at:
             page = self._fetch_page(start_at)
-            rows.extend(self._rows(page))
-            start_at += pinned or page_plan(page)[1]
+            recs = list(self._rows(page))
+            if not recs:
+                break  # source shrank below the committed range
+            take = min(len(recs), end_at - start_at)
+            rows.extend(recs[:take])
+            start_at += take
         return iter(rows)
 
     def commit(self, end: dict) -> None:

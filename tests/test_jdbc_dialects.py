@@ -22,16 +22,16 @@ KEY = "tempo_worklog_id"
 def test_postgres_shape():
     sql = postgres_upsert_sql("af_jira_worklogs", COLS, KEY)
     assert sql.count("%s") == len(COLS)
-    assert "ON CONFLICT (tempo_worklog_id) DO UPDATE" in sql
-    assert "url = EXCLUDED.url" in sql
-    assert f"{KEY} = EXCLUDED" not in sql  # key never self-assigned
+    assert 'ON CONFLICT ("tempo_worklog_id") DO UPDATE' in sql
+    assert '"url" = EXCLUDED."url"' in sql
+    assert f'"{KEY}" = EXCLUDED' not in sql  # key never self-assigned
 
 
 def test_mysql_shape():
     sql = mysql_upsert_sql("af_jira_worklogs", COLS, KEY)
     assert sql.count("%s") == len(COLS)
     assert "ON DUPLICATE KEY UPDATE" in sql
-    assert "url = VALUES(url)" in sql
+    assert "`url` = VALUES(`url`)" in sql
 
 
 def test_mssql_binds_exactly_n_placeholders():
@@ -39,10 +39,10 @@ def test_mssql_binds_exactly_n_placeholders():
     # the fixed property: one placeholder per column, total — the
     # reference emits 2n (update branch + insert branch)
     assert sql.count("%s") == len(COLS)
-    assert "MERGE INTO af_jira_worklogs AS target" in sql
+    assert "MERGE INTO [af_jira_worklogs] AS target" in sql
     assert "WHEN MATCHED THEN UPDATE SET" in sql
     assert "WHEN NOT MATCHED THEN INSERT" in sql
-    assert "src.url" in sql
+    assert "src.[url]" in sql
 
 
 def test_factory_routes_conn_id_prefixes():
@@ -67,7 +67,7 @@ def test_key_only_tables_generate_valid_sql():
     pg = postgres_upsert_sql("t", ["id"], "id")
     assert pg.endswith("DO NOTHING") and "SET" not in pg
     my = mysql_upsert_sql("t", ["id"], "id")
-    assert my.endswith("ON DUPLICATE KEY UPDATE id = id")
+    assert my.endswith("ON DUPLICATE KEY UPDATE `id` = `id`")
     ms = mssql_upsert_sql("t", ["id"], "id")
     assert "WHEN MATCHED" not in ms and "WHEN NOT MATCHED" in ms
 
@@ -190,3 +190,59 @@ def test_write_upsert_jdbc_connection_economy(spark, tmp_path):
             write_upsert_jdbc(
                 df, "postgres", "t", "id", CountingConn, num_partitions=bad
             )
+
+
+def test_reserved_word_identifiers_are_quoted():
+    """The reference's own Jira schema has a column literally named
+    'key' — a RESERVED word in MySQL and T-SQL. Unquoted, the generated
+    statement is a syntax error on exactly the reference's workload;
+    every identifier (and each dot-segment of a qualified table name)
+    must carry the dialect's quoting."""
+    cols = ["id", "key", "self"]
+    my = mysql_upsert_sql("issues", cols, "id")
+    assert "(`id`, `key`, `self`)" in my and " key" not in my
+    ms = mssql_upsert_sql("dbo.issues", cols, "id")
+    assert "MERGE INTO [dbo].[issues]" in ms
+    assert "([id], [key], [self])" in ms
+    pg = postgres_upsert_sql("public.issues", cols, "id")
+    assert 'INSERT INTO "public"."issues"' in pg
+    assert '("id", "key", "self")' in pg
+
+
+def test_paramstyle_qmark_for_pyodbc():
+    """pyodbc (the dominant MSSQL driver) uses qmark paramstyle — %s
+    placeholders raise at executemany. The factory rewrites markers;
+    identifiers are quoted so the substitution can never touch one."""
+    sql = upsert_sql("mssql", "t", COLS, KEY, paramstyle="qmark")
+    assert sql.count("?") == len(COLS) and "%s" not in sql
+    assert upsert_sql("mssql", "t", COLS, KEY).count("%s") == len(COLS)
+    with pytest.raises(ValueError, match="paramstyle"):
+        upsert_sql("mssql", "t", COLS, KEY, paramstyle="numeric")
+
+
+def test_write_upsert_jdbc_rejects_null_keys(spark, tmp_path):
+    """A NULL key breaks both halves of the write contract before the
+    database complains: the dedup collapses all NULL-key rows to one
+    arbitrary survivor, and the conflict clause never matches NULL
+    (unique indexes treat NULLs as distinct) so every batch RETRY
+    inserts a fresh NULL-key row. The executor-side check refuses."""
+    from airflow_jira_etl_spark.sinks.jdbc_dialects import write_upsert_jdbc
+
+    class NopConn:
+        def cursor(self):
+            return self
+
+        def executemany(self, sql, batch):
+            pass
+
+        def commit(self):
+            pass
+
+        def close(self):
+            pass
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "id long, v string"
+    )
+    with pytest.raises(Exception, match="NULL 'id'"):
+        write_upsert_jdbc(df, "postgres", "t", "id", NopConn)

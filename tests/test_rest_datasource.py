@@ -225,3 +225,59 @@ def test_conform_rejects_missing_declared_column(spark):
     raw = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(ValueError, match="lacks declared columns"):
         conform(raw, declared)
+
+
+def test_replay_emits_exactly_the_committed_range(spark):
+    """readBetweenOffsets must emit EXACTLY offsets [start, end) no
+    matter what page size the server serves at replay time: a GROWN
+    maxResults must not leak later offsets' rows into the batch
+    (duplicates downstream of recovery), and a SHRUNK one just takes
+    more round trips."""
+    from pyspark.sql.types import StructType
+
+    from airflow_jira_etl_spark.sources.rest_datasource import (
+        PagedRestStreamReader,
+    )
+
+    schema = StructType.fromDDL("id string")
+    r = PagedRestStreamReader(
+        schema,
+        {
+            "url": "https://api/x",
+            "fetcher": "airflow_jira_etl_spark.sources.fixture_fetchers:synthetic_issues_fetcher",
+        },
+    )
+    data = [{"id": str(i)} for i in range(20)]
+
+    def fake_pages(page_size):
+        def fetch(start_at):
+            return {
+                "total": 20,
+                "maxResults": page_size,
+                "issues": data[start_at : start_at + page_size],
+            }
+
+        return fetch
+
+    # committed batch was [0, 5); server now serves 25-row pages
+    r._fetch_page = fake_pages(25)
+    grown = [t[0] for t in r.readBetweenOffsets({"startAt": 0}, {"startAt": 5, "stride": 5})]
+    assert grown == ["0", "1", "2", "3", "4"]
+
+    # server now serves 2-row pages: same exact range, more fetches
+    r._fetch_page = fake_pages(2)
+    shrunk = [t[0] for t in r.readBetweenOffsets({"startAt": 0}, {"startAt": 5, "stride": 5})]
+    assert shrunk == ["0", "1", "2", "3", "4"]
+
+    # a mid-stream range replays correctly too
+    r._fetch_page = fake_pages(3)
+    mid = [t[0] for t in r.readBetweenOffsets({"startAt": 7, "stride": 5}, {"startAt": 12, "stride": 5})]
+    assert mid == ["7", "8", "9", "10", "11"]
+
+    # the source shrank below the committed range: stop short (a
+    # truncated replay is detectable; invented rows are not)
+    def empty_fetch(start_at):
+        return {"total": 0, "maxResults": 5, "issues": []}
+
+    r._fetch_page = empty_fetch
+    assert list(r.readBetweenOffsets({"startAt": 0}, {"startAt": 5})) == []

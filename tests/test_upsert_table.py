@@ -628,11 +628,13 @@ def test_null_bucket_ids_fail_loudly(spark, tmp_path):
     __bucket=None path that never exists, wedging every later read.
     Compaction must refuse the same corruption."""
     # mixed null/non-null long keys (previously a TypeError from
-    # sorted([None, 0]) at best, the manifest corruption at worst)
+    # sorted([None, 0]) at best, the manifest corruption at worst) —
+    # since the round-11 null-KEY guard this is caught one step
+    # earlier, as the key-contract violation it actually is
     t = ParquetUpsertTable(
         spark, str(tmp_path / "t"), key="k", bucketer=range_bucketer(100)
     )
-    with pytest.raises(ValueError, match="NULL bucket"):
+    with pytest.raises(ValueError, match="non-null"):
         t.apply(spark.createDataFrame([(None, 1), (7, 2)], "k long, v long"))
     assert t.read() is None  # nothing was committed
 
@@ -697,3 +699,55 @@ def test_merge_aggregate_validation(spark):
         merge_aggregate(df, df, "k", {"k": "max", "v": "sum"})
     with pytest.raises(ValueError, match="absent"):
         merge_aggregate(df, df, "k", {"v": "sum", "ghost": "sum"})
+
+
+def test_combine_with_int_column_survives_sum_widening(spark, tmp_path):
+    """sum() WIDENS types (int->bigint): the manifest must record the
+    merged files' actual types, not the batch's — a manifest saying
+    'int' over INT64 files wedges every subsequent read with a parquet
+    type-conversion error (and wedged means permanently: the next
+    apply()'s base read fails too)."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "mvw"), key="g", n_buckets=4)
+    combine = {"n": "sum"}
+    b = spark.createDataFrame([("a", 2), ("b", 1)], "g string, n int")
+    t.apply(b, combine=combine)
+    # read-back works AND reports the widened type the files hold
+    got1 = {r.g: r.n for r in t.read().collect()}
+    assert got1 == {"a": 2, "b": 1}
+    assert dict(t._read_manifest()["schema"])["n"] == "bigint"
+    # a second int batch folds into the widened stored state (set-op
+    # widening reconciles bigint vs int) and reads back again
+    t.apply(
+        spark.createDataFrame([("a", 3), ("c", 7)], "g string, n int"),
+        combine=combine,
+    )
+    got2 = {r.g: r.n for r in t.read().collect()}
+    assert got2 == {"a": 5, "b": 1, "c": 7}
+    # a genuinely incompatible batch still raises the type error
+    import pytest
+
+    with pytest.raises(ValueError, match="type change"):
+        t.apply(
+            spark.createDataFrame([("a", "x")], "g string, n string"),
+            combine={"n": "max"},
+        )
+
+
+def test_apply_rejects_null_keys_loudly(spark, tmp_path):
+    """With the default hash_bucketer a NULL key still hashes to a
+    valid bucket (xxhash64 of NULL returns the seed), so NULL-key rows
+    passed the bucket guard and silently COLLAPSED to one arbitrary
+    row in the merge window. The batch must be refused instead — the
+    key is the table's primary key, which is NOT NULL by definition."""
+    import pytest
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "nk"), key="k", n_buckets=4)
+    bad = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c")], "k long, v string"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        t.apply(bad)
+    # the table stays usable (nothing committed)
+    assert t.read() is None or t.read().count() == 0
+    t.apply(spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert t.read().count() == 1
