@@ -59,9 +59,20 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
     # pair generation
     edges = pairs.select("id1", "id2").distinct().cache()
     try:
-        if edges.count() <= SMALL_EDGE_LIMIT:
+        n_edges = edges.count()
+        if n_edges <= SMALL_EDGE_LIMIT:
             return _union_find_local(spark, pairs, edges)
-        with scoped_shuffle_partitions(spark, 8):
+        # shuffle width scales with the edge count (~100k edges per
+        # reducer, capped at the cluster's task width): a fixed small
+        # number would funnel a billion-edge graph's per-round joins
+        # through a handful of spilling straggler tasks, while the
+        # session default (sized for fact scans) over-schedules the
+        # just-past-the-limit graphs that dominate in practice
+        width = min(
+            spark.sparkContext.defaultParallelism,
+            max(8, n_edges // 100_000),
+        )
+        with scoped_shuffle_partitions(spark, str(width)):
             return _connected_components(edges, max_iters)
     finally:
         edges.unpersist()
@@ -111,83 +122,99 @@ def _connected_components(pairs: DataFrame, max_iters: int) -> DataFrame:
         .cache()
     )
     prev_ckpt: DataFrame | None = None
-    for it in range(max_iters):
-        # (1) min-label propagation along edges
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        stepped = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce("nbr_component", "component")
-            ).alias("component"),
-        )
-        # (2) pointer jump: component ← label(component). Labels point at
-        # vertex ids whose own label is never larger, so one jump halves
-        # the remaining path — propagation + jumping converges in
-        # O(log diameter) rounds instead of O(diameter).
-        ptr = stepped.select(
-            F.col("id").alias("cid"), F.col("component").alias("ccomp")
-        )
-        jumped = (
-            stepped.join(ptr, stepped.component == ptr.cid, "left")
-            .select("id", F.coalesce("ccomp", "component").alias("component"))
-        )
-        # hygiene: truncate the growing lineage every 3rd round
-        # (localCheckpoint materializes to executor storage), cache the
-        # others. unpersist() releases CACHED generations immediately;
-        # for checkpointed ones it is a no-op — those are released
-        # below via release_local_checkpoint once a NEWER checkpoint
-        # has materialized (every frame built after checkpoint C(k+1)
-        # derives from it, never from C(k), so C(k) has no live
-        # consumer from that point). Without the explicit release the
-        # superseded generations wait for the ContextCleaner's
-        # periodic GC — at billion-vertex scale several full label
-        # frames of executor storage instead of one.
-        is_ckpt_round = (it + 1) % 3 == 0
-        if is_ckpt_round:
-            new_labels = jumped.localCheckpoint()
-        else:
-            new_labels = jumped.cache()
-        # full count, deliberately NOT limit(1): the count must drain
-        # every partition so new_labels is fully cached before the old
-        # generation is unpersisted — an early-exiting probe would leave
-        # later rounds recomputing uncached partitions through joins
-        # reaching back to the last checkpoint
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+    converged = False
+    try:
+        for it in range(max_iters):
+            # (1) min-label propagation along edges
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            stepped = labels.join(
+                neighbor_min, labels.id == neighbor_min.src, "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            # (2) pointer jump: component ← label(component). Labels point at
+            # vertex ids whose own label is never larger, so one jump halves
+            # the remaining path — propagation + jumping converges in
+            # O(log diameter) rounds instead of O(diameter).
+            ptr = stepped.select(
+                F.col("id").alias("cid"), F.col("component").alias("ccomp")
+            )
+            jumped = (
+                stepped.join(ptr, stepped.component == ptr.cid, "left")
+                .select("id", F.coalesce("ccomp", "component").alias("component"))
+            )
+            # hygiene: truncate the growing lineage every 3rd round
+            # (localCheckpoint materializes to executor storage), cache the
+            # others. unpersist() releases CACHED generations immediately;
+            # for checkpointed ones it is a no-op — those are released
+            # below via release_local_checkpoint once a NEWER checkpoint
+            # has materialized (every frame built after checkpoint C(k+1)
+            # derives from it, never from C(k), so C(k) has no live
+            # consumer from that point). Without the explicit release the
+            # superseded generations wait for the ContextCleaner's
+            # periodic GC — at billion-vertex scale several full label
+            # frames of executor storage instead of one.
+            is_ckpt_round = (it + 1) % 3 == 0
+            if is_ckpt_round:
+                new_labels = jumped.localCheckpoint()
+            else:
+                new_labels = jumped.cache()
+            # full count, deliberately NOT limit(1): the count must drain
+            # every partition so new_labels is fully cached before the old
+            # generation is unpersisted — an early-exiting probe would leave
+            # later rounds recomputing uncached partitions through joins
+            # reaching back to the last checkpoint
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            if is_ckpt_round:
+                # the new checkpoint is materialized (eager) and the
+                # cached generations between the two checkpoints are
+                # already superseded/unpersisted, so the PREVIOUS
+                # checkpoint's blocks have no remaining consumer; the
+                # frame being RETURNED is never released (it is always
+                # the newest generation)
+                if prev_ckpt is not None:
+                    release_local_checkpoint(prev_ckpt)
+                prev_ckpt = new_labels
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            # silently returning non-converged labels would emit SPLIT
+            # clusters (multiple canonical rows per true duplicate group)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                f"rounds — with pointer jumping that implies a component "
+                f"diameter past 2^{max_iters} or a bug; raise max_iters "
+                f"explicitly if the former is real"
+            )
+    except BaseException:
+        # failure-path hygiene (non-convergence raise or any mid-round
+        # error): drop the last cached label generation and the last
+        # checkpoint's blocks — a long-lived driver retrying dedup
+        # sweeps would otherwise accumulate a full label set per failed
+        # run. The doubled-edges cache is released by the finally.
         labels.unpersist()
-        if is_ckpt_round:
-            # the new checkpoint is materialized (eager) and the
-            # cached generations between the two checkpoints are
-            # already superseded/unpersisted, so the PREVIOUS
-            # checkpoint's blocks have no remaining consumer; the
-            # frame being RETURNED is never released (it is always
-            # the newest generation)
-            if prev_ckpt is not None:
-                release_local_checkpoint(prev_ckpt)
-            prev_ckpt = new_labels
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # silently returning non-converged labels would emit SPLIT
-        # clusters (multiple canonical rows per true duplicate group)
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} "
-            f"rounds — with pointer jumping that implies a component "
-            f"diameter past 2^{max_iters} or a bug; raise max_iters "
-            f"explicitly if the former is real"
-        )
-    edges.unpersist()
+        if prev_ckpt is not None and prev_ckpt is not labels:
+            release_local_checkpoint(prev_ckpt)
+        if labels is not None:
+            release_local_checkpoint(labels)  # no-op on cached gens
+        raise
+    finally:
+        edges.unpersist()
     return labels
 
 

@@ -325,6 +325,14 @@ def ivf_topk(
     probe = emb.where(F.col("vec_id") == probe_id).select(
         F.col("embedding").alias("p")
     )
+    if probe.limit(1).count() == 0:
+        # an absent probe id would otherwise return an EMPTY top-k —
+        # indistinguishable from "no neighbors found", masking a typo'd
+        # or stale id (the build path raises the same way on an empty
+        # embedding frame)
+        raise ValueError(
+            f"probe vec_id {probe_id} not found in the embedding frame"
+        )
     if index_path is not None:
         indexed, centroids = build_index(spark, emb, k_clusters, index_path, index_tag)
     else:

@@ -60,8 +60,14 @@ def minhash_signature(hashes: Column, n_hashes: int = N_HASHES) -> list[Column]:
 
 def add_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    return df.withColumn("__sh", shingle_hashes(toks)).select(
-        "*", *minhash_signature(F.col("__sh"))
+    # the '__sh' shingle-hash array (hundreds of longs per doc) is an
+    # intermediate only — leaking it into the returned frame would make
+    # every downstream persist/shuffle pay its width, exactly the cost
+    # band_buckets' design avoids ("shingle sets do NOT travel")
+    return (
+        df.withColumn("__sh", shingle_hashes(toks))
+        .select("*", *minhash_signature(F.col("__sh")))
+        .drop("__sh")
     )
 
 

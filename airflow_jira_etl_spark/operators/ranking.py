@@ -72,6 +72,7 @@ _HELPER_COLS = (
     "_gr_cnt",
     "_gr_val",
     "_gr_lsum",
+    "_gr_label",  # grouped_rank_select's pivot label column
 )
 
 

@@ -40,6 +40,14 @@ def salted_agg(
     The salt is uniform-random per row (not key-derived): even a single
     key occupying 99% of rows spreads across all ``n_salts`` partials.
     """
+    if _SALT in df.columns:
+        # withColumn would silently REPLACE the user's column and the
+        # groupBy would then aggregate under fabricated salt values —
+        # the ranking module's _check_names collision class
+        raise ValueError(
+            f"input column {_SALT!r} collides with the salting helper "
+            f"column — rename it before salting"
+        )
     partial_exprs = [expr.alias(name) for name, (expr, _) in aggs.items()]
     final_exprs = [fexpr.alias(name) for name, (_, fexpr) in aggs.items()]
     salted = df.withColumn(_SALT, (F.rand(seed=42) * n_salts).cast("int"))

@@ -32,12 +32,14 @@ def scd2_merge(
     key: str,
     attrs: list[str],
     effective: str,
+    ordinal_col: str | None = None,
 ) -> DataFrame:
     """Apply ``changes`` (key + new attribute values) to an SCD2
     dimension as of ``effective`` (a ``YYYY-MM-DD`` date literal).
 
     ``dim`` must carry ``valid_from``/``valid_to``/``is_current``;
-    ``changes`` carries ``key`` + ``attrs`` only. Semantics:
+    ``changes`` carries ``key`` + ``attrs`` (plus ``ordinal_col`` if
+    given). Semantics:
 
     - key in changes, any attribute differs (null-safe): the current
       version is CLOSED (``valid_to = effective``, ``is_current=false``)
@@ -50,15 +52,31 @@ def scd2_merge(
     - key in changes but not in dim: brand-new member, inserted as
       current with ``valid_from = effective``;
     - non-current history rows always pass through unchanged.
-    """
+
+    Duplicate keys WITHIN the batch resolve last-writer-wins BEFORE the
+    merge (operators/upsert semantics; pass ``ordinal_col`` for an
+    explicit intra-batch order): without the dedup, the full-outer join
+    would fan the one current dim row out per duplicate — duplicated
+    closed rows plus multiple ``is_current=true`` versions of one key,
+    compounding on every later merge. NULL keys in the batch raise via
+    the same guard. A dim row whose ``is_current`` is NULL is history
+    (NULL is not current) — the null-safe split below keeps it; a plain
+    boolean filter pair would silently drop it from the output."""
+    from airflow_jira_etl_spark.operators.upsert import upsert
+
     eff = F.lit(effective).cast("date")
     # presence markers survive NULL attribute values (a change row may
     # legitimately set an attribute to NULL — NULL-ness of an attr
     # column cannot stand in for "this side matched")
-    cur = dim.where(F.col("is_current")).withColumn("__in_dim", F.lit(True))
-    hist = dim.where(~F.col("is_current"))
+    cur = dim.where(F.col("is_current").eqNullSafe(F.lit(True))).withColumn(
+        "__in_dim", F.lit(True)
+    )
+    hist = dim.where(~F.col("is_current").eqNullSafe(F.lit(True)))
 
-    upd = changes.select(
+    deduped = upsert(
+        changes.limit(0), changes, key, ordinal_col=ordinal_col
+    )
+    upd = deduped.select(
         F.col(key),
         *[F.col(a).alias(f"__u_{a}") for a in attrs],
         F.lit(True).alias("__in_upd"),

@@ -32,6 +32,54 @@ from pyspark.sql import functions as F
 _PRIORITY = "__src_priority"
 _ORD = "__batch_ord"
 _RN = "__rn"
+_HELPER_COLS = (_PRIORITY, _ORD, _RN)
+
+
+def _check_merge_inputs(
+    base: DataFrame, updates: DataFrame, keys: list[str]
+) -> None:
+    """Shared input guards for the merge operators.
+
+    Key columns must exist on BOTH sides — under evolve_schema a
+    missing key would be NULL-backfilled by unionByName, putting every
+    update row in ONE NULL window partition: the merge silently
+    degrades to 'base unchanged plus one arbitrary NULL-key row'.
+    Helper-column collisions must raise too: withColumn would REPLACE
+    a same-named input column and drop() would then delete the user's
+    data from the output (the ranking module's _check_names class)."""
+    for side, df in (("base", base), ("updates", updates)):
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise ValueError(
+                f"key column(s) {missing} absent from {side} — a merge "
+                f"cannot resolve rows without its key (evolve_schema "
+                f"only evolves VALUE columns)"
+            )
+        clash = [c for c in _HELPER_COLS if c in df.columns]
+        if clash:
+            raise ValueError(
+                f"column(s) {clash} in {side} collide with the merge's "
+                f"internal helper columns — rename them before merging"
+            )
+
+
+def _null_key_guard(col_name: str):
+    """Wrap a key column so a NULL key fails LOUDLY at execution
+    instead of silently collapsing: window partitioning groups all
+    NULLs together and row_number()==1 would keep one arbitrary row —
+    data loss indistinguishable from a normal merge. Evaluated inline
+    on the column itself (zero extra jobs; an assert_true side column
+    would be pruned away by the optimizer)."""
+    return F.when(
+        F.col(col_name).isNull(),
+        F.raise_error(
+            F.lit(
+                f"NULL key {col_name!r} in merge input — upsert keys "
+                f"must be non-null (NULL keys silently collapse to one "
+                f"arbitrary row)"
+            )
+        ),
+    ).otherwise(F.col(col_name))
 
 
 def upsert(
@@ -68,6 +116,7 @@ def upsert(
     the safe behavior for fixed-DDL sinks.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    _check_merge_inputs(base, updates, keys)
     base_tagged = base.withColumn(_PRIORITY, F.lit(0)).withColumn(
         _ORD, F.lit(0).cast("long")
     )
@@ -80,9 +129,13 @@ def upsert(
     w = Window.partitionBy(*(cluster_cols or []), *keys).orderBy(
         F.col(_PRIORITY).desc(), F.col(_ORD).desc()
     )
+    merged = base_tagged.unionByName(
+        upd_tagged, allowMissingColumns=evolve_schema
+    )
+    for k in keys:  # NULL keys fail loudly at execution, never collapse
+        merged = merged.withColumn(k, _null_key_guard(k))
     return (
-        base_tagged.unionByName(upd_tagged, allowMissingColumns=evolve_schema)
-        .withColumn(_RN, F.row_number().over(w))
+        merged.withColumn(_RN, F.row_number().over(w))
         .where(F.col(_RN) == 1)
         .drop(_PRIORITY, _ORD, _RN)
     )
@@ -149,6 +202,9 @@ def merge_aggregate(
         raise ValueError(
             f"unsupported combiners {bad}: pick from {sorted(_COMBINE_FNS)}"
         )
+    _check_merge_inputs(base, updates, keys)
     union = base.unionByName(updates, allowMissingColumns=evolve_schema)
+    for k in keys:  # NULL keys fail loudly at execution, never collapse
+        union = union.withColumn(k, _null_key_guard(k))
     aggs = [_COMBINE_FNS[f](c).alias(c) for c, f in combine.items()]
     return union.groupBy(*group).agg(*aggs)

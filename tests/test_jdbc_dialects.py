@@ -244,5 +244,7 @@ def test_write_upsert_jdbc_rejects_null_keys(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a"), (None, "b")], "id long, v string"
     )
-    with pytest.raises(Exception, match="NULL 'id'"):
+    # the merge operator's inline guard fires first (plan-level raise);
+    # write_partition keeps a per-row defense behind it
+    with pytest.raises(Exception, match="NULL key 'id'"):
         write_upsert_jdbc(df, "postgres", "t", "id", NopConn)

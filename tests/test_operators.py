@@ -624,3 +624,77 @@ def test_udf_scalar_and_udtf_handle_null_and_typed_json(spark):
         ).collect()
     }
     assert got == {"a": "true", "b": None, "c": "5", "d": "x"}
+
+
+def test_upsert_rejects_missing_key_and_helper_collisions(spark):
+    """A key column absent from one side must raise — under
+    evolve_schema unionByName would NULL-backfill it and the window
+    would put EVERY update row in one NULL partition (merge silently
+    degrades to 'base unchanged + one arbitrary NULL-key row'). Helper
+    -column collisions must raise too (withColumn would replace the
+    user's data and drop() would delete it from the output)."""
+    import pytest
+
+    from airflow_jira_etl_spark.operators.upsert import merge_aggregate, upsert
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    no_key = spark.createDataFrame([("b",)], "v string")
+    with pytest.raises(ValueError, match="key column"):
+        upsert(base, no_key, "k", evolve_schema=True)
+    with pytest.raises(ValueError, match="key column"):
+        merge_aggregate(no_key, base, "k", {"v": "max"}, evolve_schema=True)
+
+    clash = spark.createDataFrame([(1, "a", 9)], "k long, v string, __rn long")
+    with pytest.raises(ValueError, match="helper"):
+        upsert(base, clash, "k", evolve_schema=True)
+
+
+def test_upsert_null_keys_raise_at_execution(spark):
+    """NULL keys must fail LOUDLY: the window groups all NULLs together
+    and row_number()==1 silently kept one arbitrary row — data loss
+    indistinguishable from a normal merge."""
+    import pytest
+
+    from airflow_jira_etl_spark.operators.upsert import merge_aggregate, upsert
+
+    base = spark.createDataFrame([(1, 5)], "k long, n long")
+    nulls = spark.createDataFrame([(None, 7), (None, 8)], "k long, n long")
+    with pytest.raises(Exception, match="NULL key 'k'"):
+        upsert(base, nulls, "k").collect()
+    with pytest.raises(Exception, match="NULL key 'k'"):
+        merge_aggregate(base, nulls, "k", {"n": "sum"}).collect()
+
+
+def test_salted_agg_rejects_salt_column_collision(spark):
+    import pytest
+
+    from airflow_jira_etl_spark.operators.salt import salted_agg
+
+    df = spark.createDataFrame([(1, 2, 3)], "k long, v long, __salt long")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_agg(df, ["k"], {"t": (F.sum("v"), F.sum("t"))})
+
+
+def test_add_signature_does_not_leak_shingle_array(spark):
+    """The '__sh' shingle-hash intermediate (hundreds of longs per doc)
+    must not ride along in the returned frame — downstream persists and
+    shuffles would pay its full width."""
+    from airflow_jira_etl_spark.operators.minhash import add_signature
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    out = add_signature(df)
+    assert "__sh" not in out.columns
+    assert any(c.startswith("mh_") for c in out.columns)
+
+
+def test_ivf_topk_rejects_absent_probe_id(spark):
+    import pytest
+
+    from airflow_jira_etl_spark.operators.ivf import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(32)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="probe vec_id"):
+        ivf_topk(spark, emb, probe_id=10_000, k_clusters=4)

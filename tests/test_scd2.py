@@ -118,3 +118,59 @@ def test_scd2_change_batch_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_scd2_duplicate_keys_in_batch_resolve_last_writer(spark):
+    """Duplicate keys WITHIN a change batch must resolve to ONE change
+    before the merge: un-deduped, the full-outer join fans the current
+    dim row out per duplicate — duplicated closed rows plus multiple
+    is_current=true versions, compounding on every later merge."""
+    from airflow_jira_etl_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(42, "old", "2020-01-01", None, True)],
+        "k long, attr string, valid_from string, valid_to string,"
+        " is_current boolean",
+    ).selectExpr(
+        "k", "attr", "CAST(valid_from AS DATE) valid_from",
+        "CAST(valid_to AS DATE) valid_to", "is_current",
+    )
+    changes = spark.createDataFrame(
+        [(42, "mid", 0), (42, "new", 1)], "k long, attr string, ord long"
+    )
+    out = scd2_merge(
+        dim, changes.select("k", "attr", "ord"), "k", ["attr"],
+        "2024-06-01", ordinal_col="ord",
+    ).drop("ord")
+    rows = sorted(
+        (r.attr, r.is_current) for r in out.where(F.col("k") == 42).collect()
+    )
+    # exactly one closed old version + one current row carrying the
+    # LAST duplicate's attributes
+    assert rows == [("new", True), ("old", False)]
+    cur = out.where(F.col("is_current") & (F.col("k") == 42)).collect()
+    assert len(cur) == 1 and cur[0].attr == "new"
+
+
+def test_scd2_null_is_current_rows_survive_as_history(spark):
+    """A dim row with is_current=NULL must not vanish: a plain boolean
+    filter pair excludes it from BOTH the current and history splits
+    (NULL is not true; ~NULL is NULL). The null-safe split keeps it as
+    history."""
+    from airflow_jira_etl_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            (1, "a", "2020-01-01", None, True),
+            (2, "b", "2020-01-01", "2021-01-01", None),  # NULL flag
+        ],
+        "k long, attr string, valid_from string, valid_to string,"
+        " is_current boolean",
+    ).selectExpr(
+        "k", "attr", "CAST(valid_from AS DATE) valid_from",
+        "CAST(valid_to AS DATE) valid_to", "is_current",
+    )
+    changes = spark.createDataFrame([(1, "a2")], "k long, attr string")
+    out = scd2_merge(dim, changes, "k", ["attr"], "2024-06-01")
+    ks = sorted(r.k for r in out.collect())
+    assert ks == [1, 1, 2]  # closed + opened for k=1, k=2 SURVIVES
