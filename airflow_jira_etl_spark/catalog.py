@@ -132,6 +132,43 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def source_tag(sf_dir: str) -> str:
+    """Identity tag for per-source scratch/cache directories: readable
+    basename plus a short hash of the ABSOLUTE path. Basename alone is
+    not an identity — two fixtures at /a/sf0.01 and /b/sf0.01 would
+    share one cache dir and, their content stamps differing, rebuild
+    it back and forth under each other (cache thrash at best, a
+    running reader's files unlinked at worst)."""
+    import hashlib
+
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    return (
+        f"{os.path.basename(ap)}_"
+        f"{hashlib.sha256(ap.encode()).hexdigest()[:8]}"
+    )
+
+
+def source_stamp(path: str) -> str:
+    """Content stamp of a parquet source for cache invalidation. For a
+    DIRECTORY-shaped table the stamp covers per-part (name, mtime_ns,
+    size) — the directory's own stat does not change when a part file
+    is rewritten in place (same staleness class file_schema's cache key
+    handles), so stat'ing just the dir would serve stale caches after a
+    fixture regeneration."""
+    if os.path.isdir(path):
+        parts = tuple(
+            (f, s.st_mtime_ns, s.st_size)
+            for f in sorted(os.listdir(path))
+            if not f.startswith((".", "_"))
+            for s in [os.stat(os.path.join(path, f))]
+        )
+        import hashlib
+
+        return hashlib.sha256(repr(parts).encode()).hexdigest()[:16]
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
 # (realpath, mtime_ns, size) -> StructType; footer-only schema
 # inference is cheap but load() is on every query's path, so memoize
 # per file state. A regenerated fixture (new mtime/size) re-sniffs.

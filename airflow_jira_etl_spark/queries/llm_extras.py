@@ -312,14 +312,19 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.load(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
-    # the tag fingerprints the SOURCE DATA (mtime+size), not just the
-    # sf name — regenerated fixtures at the same path must invalidate
-    # the materialized index, never serve stale assignments
+    # the tag fingerprints the SOURCE DATA — per-part for a directory-
+    # shaped fixture (catalog.source_stamp: a dir's own stat does not
+    # change when a part file is rewritten in place) — so regenerated
+    # fixtures at the same path invalidate the materialized index,
+    # never serve stale assignments; the index DIR is keyed by
+    # catalog.source_tag (basename + abspath hash) so two same-named
+    # fixtures at different paths cannot thrash one cache with
+    # alternating full rebuilds
     src = table_path(sf_dir, "embeddings")
-    st = os.stat(src)
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    tag = f"{sf_name}:{st.st_mtime_ns}:{st.st_size}"
-    index_dir = os.path.join(SCRATCH, "ivf_index", sf_name + "_k8")
+    tag = f"{catalog.source_tag(sf_dir)}:{catalog.source_stamp(src)}"
+    index_dir = os.path.join(
+        SCRATCH, "ivf_index", catalog.source_tag(sf_dir) + "_k8"
+    )
     indexed, centroids = build_index(spark, emb, 8, index_dir, tag)
     # the IVF "directory" is coordinator-resident by design — the meta
     # file carries the quantizer (k centroid vectors, a constant, never
@@ -948,7 +953,14 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grams.where(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(eval_grams), "g")
+        # NO broadcast hint: the eval-gram set SCALES with the corpus
+        # (distinct 5-grams of ~1/97 of all documents — hundreds of GB
+        # at the 100 TB point), so a forced broadcast would hard-fail
+        # at the 8 GB limit (or OOM the driver) exactly where the query
+        # matters. Unhinted, AQE still broadcasts the tiny test-SF set
+        # and degrades to a shuffle join at scale — the same frontier
+        # convention as report_local_supplier_volume's supplier dim.
+        .join(eval_grams, "g")
         # grams are per-doc distinct already, so a plain count IS the
         # distinct matched-gram count — no second dedup aggregate
         .groupBy("doc_id")

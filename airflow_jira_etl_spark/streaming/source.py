@@ -16,7 +16,6 @@ micro-batch — a faithful, testable stand-in for the cursor loop.
 from __future__ import annotations
 
 import contextlib
-import hashlib
 import os
 import shutil
 
@@ -33,19 +32,16 @@ from airflow_jira_etl_spark.scratch import SCRATCH as _SCRATCH
 
 
 def _sf_tag(sf_dir: str) -> str:
-    """Identity tag for per-source scratch dirs: readable basename plus
-    a short hash of the ABSOLUTE path. Basename alone is not an
-    identity — two fixtures at /a/sf0.01 and /b/sf0.01 would share one
-    staged-stream dir and one page cache, and since their
-    wanted-link-sets/meta idents differ, every query would rebuild the
-    shared dir under the OTHER session's running stream (the flock
-    serializes builders against each other, not against a reader that
-    already started)."""
-    ap = os.path.abspath(os.path.normpath(sf_dir))
-    return (
-        f"{os.path.basename(ap)}_"
-        f"{hashlib.sha256(ap.encode()).hexdigest()[:8]}"
-    )
+    """Identity tag for per-source scratch dirs (catalog.source_tag:
+    basename + abspath hash). Basename alone is not an identity — two
+    fixtures at /a/sf0.01 and /b/sf0.01 would share one staged-stream
+    dir and one page cache, and since their wanted-link-sets/meta
+    idents differ, every query would rebuild the shared dir under the
+    OTHER session's running stream (the flock serializes builders
+    against each other, not against a reader that already started)."""
+    from airflow_jira_etl_spark.catalog import source_tag
+
+    return source_tag(sf_dir)
 
 
 def _staged_events_dir(sf_dir: str) -> str:

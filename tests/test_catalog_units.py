@@ -338,3 +338,30 @@ def test_file_schema_cache_catches_in_place_part_rewrite(spark, tmp_path):
     # whether the rewrite bumps the dir mtime is filesystem-dependent
     second = catalog.file_schema(spark, d)
     assert [f.name for f in second] == ["x", "y"]
+
+
+def test_source_stamp_catches_in_place_part_rewrite(tmp_path):
+    """source_stamp must change when a directory-shaped table's part
+    file is rewritten in place (the dir's own stat does not), and
+    source_tag must distinguish same-named fixtures at different
+    paths — the cache-identity pair the IVF index and the streaming
+    scratch dirs key on."""
+    import time
+
+    d = str(tmp_path / "a" / "embeddings.parquet")
+    os.makedirs(d)
+    part = os.path.join(d, "part-0.parquet")
+    with open(part, "wb") as f:
+        f.write(b"v1")
+    s1 = catalog.source_stamp(d)
+    time.sleep(0.01)
+    with open(part, "wb") as f:
+        f.write(b"v2")  # same name+size, new mtime
+    assert catalog.source_stamp(d) != s1
+
+    other = str(tmp_path / "b" / "a")
+    os.makedirs(other)
+    same_base = str(tmp_path / "c" / "a")
+    os.makedirs(same_base)
+    assert catalog.source_tag(other) != catalog.source_tag(same_base)
+    assert catalog.source_tag(other).startswith("a_")
