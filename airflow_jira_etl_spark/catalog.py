@@ -152,9 +152,10 @@ def source_stamp(path: str) -> str:
     """Content stamp of a parquet source for cache invalidation. For a
     DIRECTORY-shaped table the stamp covers per-part (name, mtime_ns,
     size) — the directory's own stat does not change when a part file
-    is rewritten in place (same staleness class file_schema's cache key
-    handles), so stat'ing just the dir would serve stale caches after a
-    fixture regeneration."""
+    is rewritten in place, so stat'ing just the dir would serve stale
+    caches after a fixture regeneration. The ONE staleness rule:
+    file_schema's cache key and every per-source scratch cache (IVF
+    index, staged streams) delegate here."""
     if os.path.isdir(path):
         parts = tuple(
             (f, s.st_mtime_ns, s.st_size)
@@ -169,9 +170,9 @@ def source_stamp(path: str) -> str:
     return f"{st.st_mtime_ns}:{st.st_size}"
 
 
-# (realpath, mtime_ns, size) -> StructType; footer-only schema
+# (realpath, source_stamp) -> StructType; footer-only schema
 # inference is cheap but load() is on every query's path, so memoize
-# per file state. A regenerated fixture (new mtime/size) re-sniffs.
+# per source state. A regenerated fixture (new stamp) re-sniffs.
 _FILE_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
 
 
@@ -184,24 +185,12 @@ def file_schema(spark: SparkSession, path: str) -> T.StructType:
     from airflow_jira_etl_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
-    st = os.stat(path)
-    if os.path.isdir(path):
-        # a directory's own mtime/size do NOT change when a part file
-        # is overwritten in place (same names, new bytes) — key on the
-        # per-part stats instead, or a fixture regeneration would keep
-        # serving the stale schema (e.g. a nanos↔micros ts flip, which
-        # HAS happened across fixture generations) to every later read
-        key = (
-            os.path.realpath(path),
-            tuple(
-                (f, s.st_mtime_ns, s.st_size)
-                for f in sorted(os.listdir(path))
-                if not f.startswith((".", "_"))
-                for s in [os.stat(os.path.join(path, f))]
-            ),
-        )
-    else:
-        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    # source_stamp owns the staleness rule (per-part stats for a
+    # directory — its own mtime/size do NOT change when a part file is
+    # overwritten in place, e.g. a nanos↔micros ts flip across fixture
+    # generations; plain stat for a single file). ONE implementation:
+    # a fix to the rule must not have a second copy to miss.
+    key = (os.path.realpath(path), source_stamp(path))
     if key not in _FILE_SCHEMA_CACHE:
         _FILE_SCHEMA_CACHE[key] = spark.read.parquet(path).schema
     return _FILE_SCHEMA_CACHE[key]

@@ -122,6 +122,7 @@ def _connected_components(pairs: DataFrame, max_iters: int) -> DataFrame:
         .cache()
     )
     prev_ckpt: DataFrame | None = None
+    new_labels: DataFrame | None = None
     converged = False
     try:
         for it in range(max_iters):
@@ -207,6 +208,15 @@ def _connected_components(pairs: DataFrame, max_iters: int) -> DataFrame:
         # checkpoint's blocks — a long-lived driver retrying dedup
         # sweeps would otherwise accumulate a full label set per failed
         # run. The doubled-edges cache is released by the finally.
+        # new_labels covers the window where the just-materialized
+        # generation exists but has not yet been assigned to labels /
+        # prev_ckpt (an error during the `changed` count): on a
+        # checkpoint round it is EAGERLY materialized at creation, so
+        # skipping it here would leak a full label frame of executor
+        # storage until the ContextCleaner's periodic GC.
+        if new_labels is not None and new_labels is not labels:
+            new_labels.unpersist()
+            release_local_checkpoint(new_labels)
         labels.unpersist()
         if prev_ckpt is not None and prev_ckpt is not labels:
             release_local_checkpoint(prev_ckpt)

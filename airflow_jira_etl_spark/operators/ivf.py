@@ -325,14 +325,20 @@ def ivf_topk(
     probe = emb.where(F.col("vec_id") == probe_id).select(
         F.col("embedding").alias("p")
     )
-    if probe.limit(1).count() == 0:
-        # an absent probe id would otherwise return an EMPTY top-k —
-        # indistinguishable from "no neighbors found", masking a typo'd
-        # or stale id (the build path raises the same way on an empty
-        # embedding frame)
+    # take(1) both validates presence AND yields the probe row: an
+    # absent probe id would otherwise return an EMPTY top-k —
+    # indistinguishable from "no neighbors found", masking a typo'd or
+    # stale id (the build path raises the same way on an empty
+    # embedding frame). Rebuilding the one-row probe frame from the
+    # fetched row means the guard job IS the probe scan — search_index
+    # never re-reads the embeddings source for it (the previous
+    # limit(1).count() guard paid that scan twice).
+    probe_rows = probe.take(1)
+    if not probe_rows:
         raise ValueError(
             f"probe vec_id {probe_id} not found in the embedding frame"
         )
+    probe = spark.createDataFrame(probe_rows, probe.schema)
     if index_path is not None:
         indexed, centroids = build_index(spark, emb, k_clusters, index_path, index_tag)
     else:

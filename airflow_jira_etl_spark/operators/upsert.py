@@ -63,22 +63,39 @@ def _check_merge_inputs(
             )
 
 
-def _null_key_guard(col_name: str):
+_NULL_KEY_MESSAGES = {
+    # applied to each side SEPARATELY (before the union) so the error
+    # names the side that is actually poisoned: a NULL key in the
+    # stored base is a pre-existing-data problem with a different fix
+    # (rewrite the table) than a bad incoming batch (fix the producer)
+    # — one shared message misdiagnoses the former as the latter and
+    # leaves the operator retrying a batch that can never succeed.
+    "base": (
+        "NULL key {k!r} in the merge's BASE (stored) side — the stored "
+        "table already contains NULL-key rows (written before this "
+        "guard, or by a bucketer that hashes NULLs to a valid bucket). "
+        "Rewrite the stored table filtering NULL-key rows out before "
+        "merging; retrying the batch cannot succeed."
+    ),
+    "updates": (
+        "NULL key {k!r} in the merge's UPDATES batch — upsert keys "
+        "must be non-null (NULL keys silently collapse to one "
+        "arbitrary row). Fix or filter the incoming batch."
+    ),
+}
+
+
+def _null_key_guard(col_name: str, side: str = "updates"):
     """Wrap a key column so a NULL key fails LOUDLY at execution
     instead of silently collapsing: window partitioning groups all
     NULLs together and row_number()==1 would keep one arbitrary row —
     data loss indistinguishable from a normal merge. Evaluated inline
     on the column itself (zero extra jobs; an assert_true side column
-    would be pruned away by the optimizer)."""
+    would be pruned away by the optimizer). ``side`` selects the
+    diagnosis message (see _NULL_KEY_MESSAGES)."""
     return F.when(
         F.col(col_name).isNull(),
-        F.raise_error(
-            F.lit(
-                f"NULL key {col_name!r} in merge input — upsert keys "
-                f"must be non-null (NULL keys silently collapse to one "
-                f"arbitrary row)"
-            )
-        ),
+        F.raise_error(F.lit(_NULL_KEY_MESSAGES[side].format(k=col_name))),
     ).otherwise(F.col(col_name))
 
 
@@ -129,11 +146,12 @@ def upsert(
     w = Window.partitionBy(*(cluster_cols or []), *keys).orderBy(
         F.col(_PRIORITY).desc(), F.col(_ORD).desc()
     )
+    for k in keys:  # NULL keys fail loudly at execution, never collapse
+        base_tagged = base_tagged.withColumn(k, _null_key_guard(k, "base"))
+        upd_tagged = upd_tagged.withColumn(k, _null_key_guard(k, "updates"))
     merged = base_tagged.unionByName(
         upd_tagged, allowMissingColumns=evolve_schema
     )
-    for k in keys:  # NULL keys fail loudly at execution, never collapse
-        merged = merged.withColumn(k, _null_key_guard(k))
     return (
         merged.withColumn(_RN, F.row_number().over(w))
         .where(F.col(_RN) == 1)
@@ -203,8 +221,9 @@ def merge_aggregate(
             f"unsupported combiners {bad}: pick from {sorted(_COMBINE_FNS)}"
         )
     _check_merge_inputs(base, updates, keys)
-    union = base.unionByName(updates, allowMissingColumns=evolve_schema)
     for k in keys:  # NULL keys fail loudly at execution, never collapse
-        union = union.withColumn(k, _null_key_guard(k))
+        base = base.withColumn(k, _null_key_guard(k, "base"))
+        updates = updates.withColumn(k, _null_key_guard(k, "updates"))
+    union = base.unionByName(updates, allowMissingColumns=evolve_schema)
     aggs = [_COMBINE_FNS[f](c).alias(c) for c, f in combine.items()]
     return union.groupBy(*group).agg(*aggs)

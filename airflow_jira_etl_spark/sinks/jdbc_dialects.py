@@ -29,24 +29,32 @@ from pyspark.sql import DataFrame
 # in MySQL and T-SQL — unquoted, the generated statement is a syntax
 # error on exactly the reference's workload. Table names quote per
 # dot-segment so schema-qualified targets ('dbo.issues') stay valid.
-_QUOTES = {"postgres": '"{}"', "mysql": "`{}`", "mssql": "[{}]"}
+# Each dialect's closing quote char is escaped by DOUBLING it (the
+# standard rule in all three dialects): without it an identifier that
+# CONTAINS the quote char ('a"b', 'a`b', 'a]b' — all legal column
+# names) terminates the quoted region early, which is malformed SQL at
+# best and an identifier-injection vector at worst.
+_QUOTES = {"postgres": ('"', '"'), "mysql": ("`", "`"), "mssql": ("[", "]")}
 
 
 def _q(dialect: str, ident: str) -> str:
-    return _QUOTES[dialect].format(ident)
+    open_q, close_q = _QUOTES[dialect]
+    return f"{open_q}{ident.replace(close_q, close_q * 2)}{close_q}"
 
 
 def _q_table(dialect: str, table: str) -> str:
     return ".".join(_q(dialect, seg) for seg in table.split("."))
 
 
-def postgres_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
+def postgres_upsert_sql(
+    table: str, columns: Sequence[str], key: str, marker: str = "%s"
+) -> str:
     """INSERT ... ON CONFLICT (key) DO UPDATE SET c = EXCLUDED.c.
     A key-only table degrades to DO NOTHING — an empty SET list is a
     syntax error at execute time."""
     q = lambda c: _q("postgres", c)  # noqa: E731
     cols = ", ".join(q(c) for c in columns)
-    ph = ", ".join(["%s"] * len(columns))
+    ph = ", ".join([marker] * len(columns))
     sets = ", ".join(
         f"{q(c)} = EXCLUDED.{q(c)}" for c in columns if c != key
     )
@@ -57,14 +65,16 @@ def postgres_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
     )
 
 
-def mysql_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
+def mysql_upsert_sql(
+    table: str, columns: Sequence[str], key: str, marker: str = "%s"
+) -> str:
     """INSERT ... ON DUPLICATE KEY UPDATE c = VALUES(c). A key-only
     table degrades to the idempotent no-op assignment ``key = key``
     (MySQL has no DO NOTHING form; an empty UPDATE list is a syntax
     error)."""
     q = lambda c: _q("mysql", c)  # noqa: E731
     cols = ", ".join(q(c) for c in columns)
-    ph = ", ".join(["%s"] * len(columns))
+    ph = ", ".join([marker] * len(columns))
     sets = ", ".join(f"{q(c)} = VALUES({q(c)})" for c in columns if c != key)
     return (
         f"INSERT INTO {_q_table('mysql', table)} ({cols}) VALUES ({ph}) "
@@ -72,7 +82,9 @@ def mysql_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
     )
 
 
-def mssql_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
+def mssql_upsert_sql(
+    table: str, columns: Sequence[str], key: str, marker: str = "%s"
+) -> str:
     """MERGE INTO with a VALUES source row. One placeholder per column,
     referenced via the source alias everywhere — unlike the reference's
     version, which emits placeholders in both the UPDATE and INSERT
@@ -80,7 +92,7 @@ def mssql_upsert_sql(table: str, columns: Sequence[str], key: str) -> str:
     (``db_ops.py:92,97`` vs ``:89,98``); this generator fixes that."""
     q = lambda c: _q("mssql", c)  # noqa: E731
     cols = ", ".join(q(c) for c in columns)
-    ph = ", ".join(["%s"] * len(columns))
+    ph = ", ".join([marker] * len(columns))
     src_cols = ", ".join(f"src.{q(c)}" for c in columns)
     sets = ", ".join(
         f"target.{q(c)} = src.{q(c)}" for c in columns if c != key
@@ -103,11 +115,20 @@ _DIALECTS = {
     "mssql": mssql_upsert_sql,
 }
 
+# Default ceiling on concurrent JDBC write partitions (= connections):
+# wide enough for real parallel-write throughput, under the strictest
+# common server ceiling (Postgres ships max_connections=100). See the
+# write_upsert_jdbc docstring.
+_DEFAULT_MAX_WRITE_PARTITIONS = 64
+
 # DBAPI paramstyles the executors' driver may use: the generators emit
-# 'format' (%s — psycopg2, pymysql, pymssql); 'qmark' (?) covers
-# pyodbc, the dominant MSSQL driver. Placeholders never collide with
-# identifier text (identifiers are quoted, never %-formatted), so the
-# rewrite is a plain substitution.
+# 'format' (%s — psycopg2, pymysql, pymssql) by default; 'qmark' (?)
+# covers pyodbc, the dominant MSSQL driver. The marker is threaded
+# INTO the generators rather than textually substituted afterwards — a
+# post-hoc ``sql.replace("%s", "?")`` would also rewrite a '%s'
+# sequence INSIDE a quoted identifier (a column named '100%sales'
+# becomes '100?ales': a nonexistent column plus a phantom placeholder
+# that shifts every later binding).
 _PARAMSTYLES = {"format": "%s", "qmark": "?"}
 
 
@@ -125,20 +146,20 @@ def upsert_sql(
     pyodbc)."""
     prefix = dialect_or_conn_id.split("_")[0].lower()
     try:
-        sql = _DIALECTS[prefix](table, columns, key)
-    except KeyError:
-        raise ValueError(
-            f"unsupported dialect {dialect_or_conn_id!r}; "
-            f"expected prefix in {sorted(_DIALECTS)}"
-        ) from None
-    try:
         marker = _PARAMSTYLES[paramstyle]
     except KeyError:
         raise ValueError(
             f"unsupported paramstyle {paramstyle!r}; "
             f"expected one of {sorted(_PARAMSTYLES)}"
         ) from None
-    return sql if marker == "%s" else sql.replace("%s", marker)
+    try:
+        gen = _DIALECTS[prefix]
+    except KeyError:
+        raise ValueError(
+            f"unsupported dialect {dialect_or_conn_id!r}; "
+            f"expected prefix in {sorted(_DIALECTS)}"
+        ) from None
+    return gen(table, columns, key, marker=marker)
 
 
 def write_upsert_jdbc(
@@ -166,22 +187,30 @@ def write_upsert_jdbc(
     Connection economy: the key repartition width is ``num_partitions``
     when given (must be >= 1 — 0/negative raise rather than silently
     falling back), else ``max(sparkContext.defaultParallelism,
-    spark.sql.shuffle.partitions)``. Both terms matter: under dynamic
+    spark.sql.shuffle.partitions)`` CAPPED at
+    ``_DEFAULT_MAX_WRITE_PARTITIONS``. Both terms matter: under dynamic
     allocation defaultParallelism reflects only currently-REGISTERED
     cores (calling this before executors ramp up would collapse a
     large batch to ~2 serialized connections), while shuffle.partitions
-    is a static config that survives ramp-up; the wider of the two is
-    safe because each task peeks its iterator before ``connect()`` —
-    empty partitions open no connection, so over-width costs only
-    empty-task overhead, never idle connections. Total connections are
-    bounded by ``min(width, |distinct keys|)``. Both sources are read
-    without touching the input plan: the previous
-    ``df.rdd.getNumPartitions()`` probe forced RDD conversion, which
-    under AQE finalizes the physical plan and can execute the input's
-    upstream shuffle stages once just to read a partition count, then
-    again for the actual write. The database's connection ceiling, not
-    Spark's shuffle width, is the scarce resource at a JDBC sink; pass
-    ``num_partitions`` explicitly to pin it below the cluster width.
+    is a static config that survives ramp-up. The cap is the scale
+    guard: on a 1000-executor cluster the uncapped width would open
+    thousands of concurrent connections — past the strictest common
+    server default (Postgres ships max_connections=100) the writes
+    FAIL, and a database gains little write throughput past a few
+    dozen concurrent sessions anyway (Spark's own JDBC writer bounds
+    connections the same way, via its numPartitions option +
+    coalesce). Each task still peeks its iterator before ``connect()``
+    — empty partitions open no connection, so over-width within the
+    cap costs only empty-task overhead, never idle connections; total
+    connections are bounded by ``min(width, |distinct keys|)``. Both
+    width sources are read without touching the input plan: the
+    previous ``df.rdd.getNumPartitions()`` probe forced RDD
+    conversion, which under AQE finalizes the physical plan and can
+    execute the input's upstream shuffle stages once just to read a
+    partition count, then again for the actual write. The database's
+    connection ceiling, not Spark's shuffle width, is the scarce
+    resource at a JDBC sink; pass ``num_partitions`` explicitly to
+    pin it (in either direction) when the target's ceiling is known.
 
     Requires a DBAPI driver on the executors; none ships in this
     environment, so tests exercise the full partition-write path with
@@ -199,9 +228,12 @@ def write_upsert_jdbc(
         n_parts = num_partitions
     else:
         spark = df.sparkSession
-        n_parts = max(
-            spark.sparkContext.defaultParallelism,
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
+        n_parts = min(
+            max(
+                spark.sparkContext.defaultParallelism,
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+            ),
+            _DEFAULT_MAX_WRITE_PARTITIONS,
         )
     df = deduped.repartition(n_parts, F.col(key))
     columns = df.columns

@@ -206,30 +206,49 @@ class PagedRestStreamReader(SimpleDataSourceStreamReader):
             yield encode(rec)
 
     def read(self, start: dict):
+        """Live page loop. INVARIANT (replay correctness): the offset
+        advances by exactly the number of records EMITTED, never by the
+        server's advertised stride — ``readBetweenOffsets``
+        reconstructs a committed range by consumed-record count, so an
+        offset delta larger than the emitted rows (a short page, or an
+        A4 page smaller than its maxResults) would make every replay
+        of that range over-read: against a pathological server that
+        echoes records for any startAt, the replay re-consumes the
+        same page until the count is filled — silent duplicates."""
         start_at = int(start["startAt"])
         rows: list[tuple] = []
         stride = int(start.get("stride", 0))
         for _ in range(self.max_pages_per_batch):
             page = self._fetch_page(start_at)
             total, stride = page_plan(page)
+            before = len(rows)
             if total is None:
                 # A4 single-page shape (no reported total): page 0 is
                 # the whole dataset — ingest it once (matching the
                 # batch reader's one-partition behavior), advance the
-                # offset past it, and never trust a pathological server
-                # that keeps echoing records for later startAts
+                # offset by the records consumed, and never trust a
+                # pathological server that keeps echoing records for
+                # later startAts
                 if start_at == 0:
                     rows.extend(self._rows(page))
-                    start_at += stride
+                    start_at += len(rows) - before
                 break
             if start_at >= total:
                 break
             rows.extend(self._rows(page))
-            start_at += stride
+            got = len(rows) - before
+            if got == 0:
+                # the server reported total > start_at yet returned no
+                # records: stall WITHOUT advancing (the next trigger
+                # retries) — advancing by stride would commit offsets
+                # no replay could ever reconstruct
+                break
+            start_at += got
         # the stride rides in the offset for continuation bookkeeping
         # (and as a diagnostic of what the original read paged with);
         # replay correctness does NOT depend on it — readBetweenOffsets
-        # reconstructs [start, end) by consumed-record count
+        # reconstructs [start, end) by consumed-record count, which the
+        # emitted-count offset advance above guarantees is exact
         return iter(rows), {"startAt": start_at, "stride": stride}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802

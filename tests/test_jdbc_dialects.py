@@ -211,8 +211,9 @@ def test_reserved_word_identifiers_are_quoted():
 
 def test_paramstyle_qmark_for_pyodbc():
     """pyodbc (the dominant MSSQL driver) uses qmark paramstyle — %s
-    placeholders raise at executemany. The factory rewrites markers;
-    identifiers are quoted so the substitution can never touch one."""
+    placeholders raise at executemany. The marker is threaded into the
+    generators (see test_qmark_rewrite_never_touches_identifiers for
+    why a textual rewrite is not safe)."""
     sql = upsert_sql("mssql", "t", COLS, KEY, paramstyle="qmark")
     assert sql.count("?") == len(COLS) and "%s" not in sql
     assert upsert_sql("mssql", "t", COLS, KEY).count("%s") == len(COLS)
@@ -248,3 +249,78 @@ def test_write_upsert_jdbc_rejects_null_keys(spark, tmp_path):
     # write_partition keeps a per-row defense behind it
     with pytest.raises(Exception, match="NULL key 'id'"):
         write_upsert_jdbc(df, "postgres", "t", "id", NopConn)
+
+
+def test_quote_char_in_identifier_is_escaped():
+    """An identifier CONTAINING the dialect's quote char ('a"b', 'a`b',
+    'a]b' — all legal column names) must escape it by doubling (the
+    standard rule in all three dialects); unescaped it terminates the
+    quoted region early — malformed SQL at best, identifier-injection
+    at worst."""
+    pg = postgres_upsert_sql("t", ['id', 'a"b'], "id")
+    assert '"a""b"' in pg and '"a"b"' not in pg.replace('"a""b"', "")
+    my = mysql_upsert_sql("t", ["id", "a`b"], "id")
+    assert "`a``b`" in my
+    ms = mssql_upsert_sql("t", ["id", "a]b"], "id")
+    assert "[a]]b]" in ms
+    # table segments escape too
+    assert '"we""ird"' in postgres_upsert_sql('we"ird', ["id"], "id")
+
+
+def test_qmark_rewrite_never_touches_identifiers():
+    """The qmark marker is threaded INTO the generators, not textually
+    substituted afterwards: a column whose name contains the literal
+    '%s' sequence (e.g. '100%sales') must survive intact — a post-hoc
+    sql.replace('%s', '?') corrupted it to '100?ales' (a nonexistent
+    column plus a phantom placeholder shifting every later binding)."""
+    cols = ["id", "100%sales"]
+    sql = upsert_sql("mssql", "t", cols, "id", paramstyle="qmark")
+    assert "[100%sales]" in sql
+    assert sql.count("?") == len(cols)
+    pg = upsert_sql("postgres", "t", cols, "id", paramstyle="qmark")
+    assert '"100%sales"' in pg and pg.count("?") == len(cols)
+
+
+def test_default_write_width_is_capped(spark, tmp_path):
+    """Without an explicit num_partitions the write width is
+    max(defaultParallelism, shuffle.partitions) CAPPED at
+    _DEFAULT_MAX_WRITE_PARTITIONS: on a wide cluster the uncapped
+    width would open cluster-width concurrent connections — past
+    common server ceilings (Postgres ships max_connections=100).
+    Simulated by raising shuffle.partitions above the cap: with more
+    distinct keys than the cap, connections stay <= cap."""
+    import os
+    import uuid
+
+    from airflow_jira_etl_spark.session import scoped_shuffle_partitions
+    from airflow_jira_etl_spark.sinks.jdbc_dialects import (
+        _DEFAULT_MAX_WRITE_PARTITIONS,
+        write_upsert_jdbc,
+    )
+
+    out = str(tmp_path / "conns")
+    os.makedirs(out)
+
+    class CountingConn:
+        def __init__(self):
+            with open(os.path.join(out, uuid.uuid4().hex), "w"):
+                pass
+
+        def cursor(self):
+            return self
+
+        def executemany(self, sql, batch):
+            pass
+
+        def commit(self):
+            pass
+
+        def close(self):
+            pass
+
+    df = spark.range(300).withColumn("v", F.col("id").cast("string"))
+    with scoped_shuffle_partitions(spark, 200):
+        write_upsert_jdbc(df, "postgres", "t", "id", CountingConn)
+    # 300 distinct keys over an uncapped 200-partition write would
+    # open ~150+ connections; the cap bounds it
+    assert 1 <= len(os.listdir(out)) <= _DEFAULT_MAX_WRITE_PARTITIONS

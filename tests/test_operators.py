@@ -665,6 +665,29 @@ def test_upsert_null_keys_raise_at_execution(spark):
         merge_aggregate(base, nulls, "k", {"n": "sum"}).collect()
 
 
+def test_upsert_null_key_error_names_the_poisoned_side(spark):
+    """The guard must DIAGNOSE, not just refuse: a NULL key in the
+    stored BASE (data written before the guard existed, or by a
+    bucketer that hashes NULLs to a valid bucket) has a different fix
+    (rewrite the table) than a bad incoming batch (fix the producer) —
+    and a base-side raise that blamed 'the merge input' would leave an
+    operator retrying a batch that can never succeed."""
+    import pytest
+
+    from airflow_jira_etl_spark.operators.upsert import merge_aggregate, upsert
+
+    good = spark.createDataFrame([(1, 5)], "k long, n long")
+    poisoned = spark.createDataFrame([(None, 7)], "k long, n long")
+    with pytest.raises(Exception, match="BASE"):
+        upsert(poisoned, good, "k").collect()
+    with pytest.raises(Exception, match="UPDATES"):
+        upsert(good, poisoned, "k").collect()
+    with pytest.raises(Exception, match="BASE"):
+        merge_aggregate(poisoned, good, "k", {"n": "sum"}).collect()
+    with pytest.raises(Exception, match="UPDATES"):
+        merge_aggregate(good, poisoned, "k", {"n": "sum"}).collect()
+
+
 def test_salted_agg_rejects_salt_column_collision(spark):
     import pytest
 

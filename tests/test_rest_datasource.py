@@ -281,3 +281,80 @@ def test_replay_emits_exactly_the_committed_range(spark):
 
     r._fetch_page = empty_fetch
     assert list(r.readBetweenOffsets({"startAt": 0}, {"startAt": 5})) == []
+
+
+def _stream_reader():
+    from pyspark.sql.types import StructType
+
+    from airflow_jira_etl_spark.sources.rest_datasource import (
+        PagedRestStreamReader,
+    )
+
+    return PagedRestStreamReader(
+        StructType.fromDDL("id string"),
+        {
+            "url": "https://api/x",
+            "fetcher": "airflow_jira_etl_spark.sources.fixture_fetchers:synthetic_issues_fetcher",
+        },
+    )
+
+
+def test_offset_advance_equals_emitted_count(spark):
+    """read() must advance the committed offset by exactly the number
+    of records EMITTED — the invariant readBetweenOffsets reconstructs
+    a range by. Advancing by the server's advertised stride instead
+    (the old behavior) breaks replay in two ways this test pins:
+
+    1. A4 (total-less) page smaller than its maxResults: the old code
+       committed [0, maxResults) for a 3-record page, and a replay
+       against a pathological server that echoes records for ANY
+       startAt re-consumed the page until maxResults rows were
+       filled — silent duplicates after recovery.
+    2. A3 short mid-scan page (server hiccup returns fewer than
+       stride): the old code skipped the offsets between got and
+       stride AND committed a range wider than the emitted rows.
+    """
+    # --- A4 echo server: 3 records, maxResults=100, no total, and it
+    # echoes the same records for every startAt (the pathological
+    # shape read()'s A4 branch explicitly distrusts)
+    data = [{"id": str(i)} for i in range(3)]
+
+    r = _stream_reader()
+    r._fetch_page = lambda start_at: {"maxResults": 100, "issues": data}
+    rows, off = r.read({"startAt": 0})
+    assert len(list(rows)) == 3
+    assert off["startAt"] == 3  # emitted count, NOT maxResults
+    replay = [t[0] for t in r.readBetweenOffsets({"startAt": 0}, off)]
+    assert replay == ["0", "1", "2"]  # exactly once, no echo-refill
+
+    # --- A3 short mid-scan page: total=20, stride=5, but the page at
+    # startAt=0 carries only 3 records
+    r = _stream_reader()
+    r._fetch_page = lambda start_at: {
+        "total": 20,
+        "maxResults": 5,
+        "issues": data if start_at == 0 else [],
+    }
+    rows, off = r.read({"startAt": 0})
+    assert len(list(rows)) == 3
+    assert off["startAt"] == 3  # next fetch resumes at the first
+    # unserved offset — no skipped records, no over-wide commit
+    replay = [t[0] for t in r.readBetweenOffsets({"startAt": 0}, off)]
+    assert replay == ["0", "1", "2"]
+
+
+def test_zero_record_page_stalls_without_advancing(spark):
+    """A server reporting total > startAt yet returning no records is
+    upstream-broken: read() must stall (offset unchanged, retried next
+    trigger) rather than advance — advancing would commit offsets no
+    replay could ever reconstruct (and silently skip the records if
+    they appear later)."""
+    r = _stream_reader()
+    r._fetch_page = lambda start_at: {
+        "total": 20,
+        "maxResults": 5,
+        "issues": [],
+    }
+    rows, off = r.read({"startAt": 10, "stride": 5})
+    assert list(rows) == []
+    assert off["startAt"] == 10
