@@ -231,6 +231,56 @@ def test_connected_components_distributed_path_matches_local(spark, monkeypatch)
     assert result.count() == len(expected)
 
 
+def test_connected_components_failure_path_releases_all_generations(
+    spark, monkeypatch
+):
+    """A mid-round failure must release EVERY label generation —
+    including the just-materialized checkpoint that has not yet been
+    assigned to labels/prev_ckpt (the window between its eager
+    localCheckpoint and the `changed` count). Before the fix, a
+    failure in that window leaked a full label frame of executor
+    storage until the ContextCleaner's periodic GC; verified here as
+    zero NEW resident RDDs after an injected failure at the first
+    checkpoint round (the pre-fix code leaves exactly one — the
+    checkpointed generation's blocks)."""
+    import pytest
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    import airflow_jira_etl_spark.operators.components as C
+
+    sc = spark.sparkContext
+
+    def resident_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = resident_ids()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id1 long, id2 long"
+    )
+    state = {"n": 0}
+    orig_count = ClassicDF.count
+
+    def failing_count(self):
+        # the `changed` probe is the only count over an (id, component)
+        # projection; the 3rd one runs on the first checkpoint round
+        # ((it+1) % 3 == 0), right after new_labels materialized
+        if set(self.columns) == {"id", "component"}:
+            state["n"] += 1
+            if state["n"] == 3:
+                raise RuntimeError("injected failure during changed count")
+        return orig_count(self)
+
+    monkeypatch.setattr(ClassicDF, "count", failing_count)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        C._connected_components(pairs, max_iters=10)
+    monkeypatch.setattr(ClassicDF, "count", orig_count)
+    assert state["n"] == 3  # the injection actually hit a ckpt round
+    import time
+
+    time.sleep(2)  # let async unpersist/block removal settle
+    assert resident_ids() - before == set()
+
+
 def test_connected_components_raises_on_iteration_exhaustion(spark, monkeypatch):
     """Exhausting the round cap must RAISE, never silently return
     non-converged labels — split clusters would propagate downstream as
