@@ -54,10 +54,33 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
     spark = pairs.sparkSession
     from airflow_jira_etl_spark.session import scoped_shuffle_partitions
 
+    # NULL edge ids fail LOUDLY here, the same contract as the merge
+    # operators' key guard: without it the two paths diverge on one
+    # defect — the driver union-find crashes with a bare TypeError
+    # ('<' unsupported between NoneType and int) while the distributed
+    # loop silently emits a NULL-component row that dedup_clusters
+    # coalesces into a phantom singleton. Inline when/raise_error:
+    # zero extra jobs, fires on whichever path first executes.
+    def _guard(c: str):
+        return (
+            F.when(
+                F.col(c).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"NULL {c} in connected_components edge input — "
+                        f"edge endpoints must be non-null (an upstream "
+                        f"pair generator leaked an unkeyed row)"
+                    )
+                ),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+        )
+
     # narrow (id1, id2) cached once: the size probe and whichever path
     # wins both read it without recomputing the (expensive) upstream
     # pair generation
-    edges = pairs.select("id1", "id2").distinct().cache()
+    edges = pairs.select(_guard("id1"), _guard("id2")).distinct().cache()
     try:
         n_edges = edges.count()
         if n_edges <= SMALL_EDGE_LIMIT:

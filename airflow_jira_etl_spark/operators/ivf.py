@@ -342,6 +342,15 @@ def ivf_topk(
     if index_path is not None:
         indexed, centroids = build_index(spark, emb, k_clusters, index_path, index_tag)
     else:
-        centroids = train_quantizer(emb, k_clusters).cache()
+        # collapse the trained quantizer to a k-row LITERAL frame (the
+        # same driver-resident treatment build_index's meta gives it):
+        # Lloyd's deep iterative plan runs exactly once at the collect,
+        # and downstream actions re-read k in-plan rows instead of
+        # either recomputing the training (uncached) or leaking one
+        # orphaned cached frame per ad-hoc call (a .cache() nothing
+        # ever unpersisted — a long-lived driver accumulated one per
+        # search until the ContextCleaner's periodic GC)
+        trained = train_quantizer(emb, k_clusters)
+        centroids = spark.createDataFrame(trained.collect(), trained.schema)
         indexed = assign_clusters(emb, centroids)
     return search_index(indexed, centroids, probe, probe_id, top_k, n_probe)

@@ -53,6 +53,26 @@ def compile_mapping(
     nesting level; it is used to (a) emit NULL for paths absent from the
     data and (b) detect array leaves that need the ``'//'`` join.
     """
+    if not path and not parent:
+        # top-level call: reject duplicate FLAT output names up front.
+        # Two leaves resolving to one name (e.g. {'id': 'id', 'fields':
+        # {'id': 'fields_id'}} is fine, but {'id': 'id', 'key': 'id'}
+        # is not) would emit two identically-aliased columns — a later
+        # select raises AMBIGUOUS_REFERENCE and a parquet write fails
+        # with 'Found duplicate column(s)', both far from the
+        # misconfigured mapping. The reference's dict-assignment
+        # interpreter silently lets the LAST leaf win
+        # (jira_base_processor.py:96 record[name] = value) — a silent
+        # overwrite that hides the config bug; raising here is the
+        # deliberate divergence.
+        names = _flat_names(mapping, "")
+        dups = sorted({n for n in names if names.count(n) > 1})
+        if dups:
+            raise ValueError(
+                f"MAPPING resolves multiple leaves to the same flat "
+                f"column name(s) {dups} — rename the mapped targets "
+                f"(the reference would silently keep only the last)"
+            )
     cols: list[Column] = []
     fields = {f.name: f for f in schema.fields} if schema is not None else None
     for key, mapped in mapping.items():
@@ -115,6 +135,18 @@ def _quote(key: str) -> str:
 
 def _chain(parent: str, key: str) -> str:
     return f"{parent}_{key}" if parent else key
+
+
+def _flat_names(mapping: Mapping, parent: str) -> list[str]:
+    """Every flat output name a mapping resolves to, in declaration
+    order — the same naming walk as compile_mapping/_null_leaves."""
+    out: list[str] = []
+    for key, mapped in mapping.items():
+        if isinstance(mapped, dict):
+            out.extend(_flat_names(mapped, _chain(parent, key)))
+        else:
+            out.append(_leaf_name(parent, mapped))
+    return out
 
 
 def _null_leaves(mapping: Mapping, parent: str) -> list[Column]:

@@ -42,13 +42,20 @@ RESIZE_SCHEMA = (
 def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Build a multimodal table from the documents fixture: the text
     bytes stand in for an opaque media payload (deterministic)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
     return df.select(
         "doc_id",
         F.lit("image/fake").alias("media_type"),
-        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        payload.alias("payload"),
         F.struct(
             F.col("source").alias("source"),
-            F.length(text_col).cast("long").alias("declared_len"),
+            # declared_len describes the PAYLOAD, so it must count the
+            # payload's BYTES — length() over the source text counts
+            # characters, which disagrees with the encoded payload for
+            # any multi-byte text ('café' is 4 chars, 5 bytes): a
+            # consumer validating payload integrity against
+            # declared_len would flag every non-ASCII document corrupt
+            F.length(payload).cast("long").alias("declared_len"),
         ).alias("meta"),
     )
 

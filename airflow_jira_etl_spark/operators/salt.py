@@ -48,6 +48,18 @@ def salted_agg(
             f"input column {_SALT!r} collides with the salting helper "
             f"column — rename it before salting"
         )
+    bad_out = set(aggs) & (set(keys) | {_SALT})
+    if bad_out:
+        # an output name shadowing a grouping key builds a partial
+        # frame with two same-named columns; the final groupBy then
+        # dies with AMBIGUOUS_REFERENCE pointing at internal plan state
+        # instead of the misnamed aggregate — same loud-guard class as
+        # the input collision above
+        raise ValueError(
+            f"aggregate output name(s) {sorted(bad_out)} collide with "
+            f"the grouping keys / salting helper — pick different "
+            f"output names"
+        )
     partial_exprs = [expr.alias(name) for name, (expr, _) in aggs.items()]
     final_exprs = [fexpr.alias(name) for name, (_, fexpr) in aggs.items()]
     salted = df.withColumn(_SALT, (F.rand(seed=42) * n_salts).cast("int"))

@@ -11,9 +11,28 @@ slice of the dimension — the dimension itself is never shuffled, and
 rows whose key is absent from the batch stream through untouched. At
 100 TB the dimension is the big side (billions of customers), the
 daily change batch is the small side (thousands of rows); a shuffle
-join keyed on the dimension would be the classic mistake here. For a
-change batch too large to broadcast, drop the ``F.broadcast`` hint and
-let AQE pick the join side — the plan stays otherwise identical.
+join keyed on the dimension would be the classic mistake here.
+
+The merge deliberately avoids a single FULL OUTER join: Spark's
+BroadcastHashJoin does not support full outer, so a broadcast hint on
+one is SILENTLY IGNORED and the plan degrades to a SortMergeJoin that
+hash-exchanges and sorts BOTH sides — the exact dimension shuffle this
+module exists to avoid (verified on the executed plan; AQE cannot
+rescue it either, its broadcast conversion skips full outer). Instead:
+
+- ``cur LEFT OUTER JOIN broadcast(upd)`` (BroadcastHashJoin supports
+  left-outer with a broadcast right/build side) covers passthrough,
+  close-old-version, and open-changed-version rows in ONE unshuffled
+  pass over the dimension;
+- brand-new keys come from a key-only ``cur SEMI broadcast(upd)``
+  probe (a column-pruned second scan of the dimension — cheap next to
+  any shuffle of it) anti-joined back against the batch; both plans
+  are broadcast-build-right and leave the dimension unexchanged.
+
+Two dimension scans beat one dimension shuffle+sort by orders of
+magnitude at the design scale. For a change batch too large to
+broadcast, drop the hints and let AQE pick join sides — the plan
+shape stays otherwise identical.
 """
 
 from __future__ import annotations
@@ -64,51 +83,76 @@ def scd2_merge(
     boolean filter pair would silently drop it from the output."""
     from airflow_jira_etl_spark.operators.upsert import upsert
 
+    if not attrs:
+        raise ValueError(
+            "scd2_merge: attrs must be non-empty — with no tracked "
+            "attributes there is nothing to diff, so no change could "
+            "ever close or open a version (a key-only dimension wants "
+            "a plain keyed upsert, not SCD2)"
+        )
     eff = F.lit(effective).cast("date")
-    # presence markers survive NULL attribute values (a change row may
-    # legitimately set an attribute to NULL — NULL-ness of an attr
-    # column cannot stand in for "this side matched")
-    cur = dim.where(F.col("is_current").eqNullSafe(F.lit(True))).withColumn(
-        "__in_dim", F.lit(True)
-    )
+    cur = dim.where(F.col("is_current").eqNullSafe(F.lit(True)))
     hist = dim.where(~F.col("is_current").eqNullSafe(F.lit(True)))
 
     deduped = upsert(
         changes.limit(0), changes, key, ordinal_col=ordinal_col
     )
+    # presence marker survives NULL attribute values (a change row may
+    # legitimately set an attribute to NULL — NULL-ness of an attr
+    # column cannot stand in for "this side matched")
     upd = deduped.select(
         F.col(key),
         *[F.col(a).alias(f"__u_{a}") for a in attrs],
         F.lit(True).alias("__in_upd"),
     )
-    j = cur.join(F.broadcast(upd), on=key, how="full_outer")
+    # one unshuffled pass over the dimension (broadcast left outer —
+    # see module docstring for why NOT a full outer)
+    j = cur.join(F.broadcast(upd), on=key, how="left")
 
-    in_dim = F.col("__in_dim").isNotNull()
     in_upd = F.col("__in_upd").isNotNull()
     differs: Column = reduce(
         lambda a, b: a | b,
         [~F.col(a).eqNullSafe(F.col(f"__u_{a}")) for a in attrs],
     )
-    changed = in_dim & in_upd & differs
+    changed = in_upd & differs  # unmatched rows have __u_* NULL, so
+    # `differs` alone would misfire on them — gate on the marker
 
     # surviving current version of matched-but-unchanged / untouched keys
-    passthrough = j.where(in_dim & ~changed).select(
-        key, *attrs, *VERSION_COLS
-    )
-    closed = j.where(changed & in_dim).select(
+    passthrough = j.where(~changed).select(key, *attrs, *VERSION_COLS)
+    closed = j.where(changed).select(
         key,
         *attrs,
         "valid_from",
         eff.alias("valid_to"),
         F.lit(False).alias("is_current"),
     )
-    opened = j.where(in_upd & (~in_dim | differs)).select(
+    opened_changed = j.where(changed).select(
         key,
         *[F.col(f"__u_{a}").alias(a) for a in attrs],
         eff.alias("valid_from"),
         F.lit(None).cast("date").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    return hist.select(key, *attrs, *VERSION_COLS).unionByName(
-        passthrough
-    ).unionByName(closed).unionByName(opened)
+    # brand-new keys: probe the dimension's KEY COLUMN ONLY (a pruned
+    # second scan) for keys the batch matched, then anti-join the
+    # batch against that ≤|batch|-row set — both joins broadcast the
+    # small side, the dimension is never exchanged
+    matched_keys = cur.select(key).join(
+        F.broadcast(deduped.select(key)), on=key, how="semi"
+    )
+    opened_new = deduped.join(
+        F.broadcast(matched_keys), on=key, how="anti"
+    ).select(
+        key,
+        *attrs,
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        hist.select(key, *attrs, *VERSION_COLS)
+        .unionByName(passthrough)
+        .unionByName(closed)
+        .unionByName(opened_changed)
+        .unionByName(opened_new)
+    )

@@ -15,9 +15,17 @@ anti-pattern the reference itself suffers from — 1 INSERT per row).
 The distributed equivalent: union base + updates with a source
 priority, then keep exactly one row per key with a window
 ``row_number() = 1`` ordered by (priority desc, batch ordinal desc).
-One shuffle on the key; map-side nothing to pre-aggregate, but AQE
-coalesces and skew-splits the shuffle. Both invariants hold by
-construction: replays add rows that lose/tie deterministically.
+One shuffle on the key; AQE coalesces small partitions, but its skew
+SPLITTING is join-only (it cannot split a window partition — the same
+limitation operators/ranking.py and operators/salt.py design around),
+so a single key carrying millions of duplicate rows (e.g. replayed
+pages of one hot entity) lands in ONE window task. Correctness
+requires exactly one partition per key, so salting cannot help here;
+the mitigation is to PRE-REDUCE such a batch per key before merging
+(a groupBy max_by((cols), (ordinal)) partial-aggregates map-side, so
+the hot key arrives at the shuffle already collapsed to one row per
+map task). Both invariants hold by construction: replays add rows
+that lose/tie deterministically.
 
 For a transactional table format (Delta/Iceberg) this operator lowers
 to ``MERGE INTO``; on plain parquet the caller persists via

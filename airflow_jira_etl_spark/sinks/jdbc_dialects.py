@@ -37,13 +37,23 @@ from pyspark.sql import DataFrame
 _QUOTES = {"postgres": ('"', '"'), "mysql": ("`", "`"), "mssql": ("[", "]")}
 
 
-def _q(dialect: str, ident: str) -> str:
+def _q(dialect: str, ident: str, marker: str = "%s") -> str:
     open_q, close_q = _QUOTES[dialect]
-    return f"{open_q}{ident.replace(close_q, close_q * 2)}{close_q}"
+    quoted = f"{open_q}{ident.replace(close_q, close_q * 2)}{close_q}"
+    if marker == "%s":
+        # format-paramstyle drivers (psycopg2/pymysql/pymssql) scan the
+        # WHOLE statement for %-markers client-side, quoting included —
+        # an identifier containing '%' ('100%sales') reads as a bogus
+        # placeholder (or 'unsupported format character') at
+        # executemany. Literal '%' must ship as '%%' under this
+        # paramstyle; qmark drivers (pyodbc) do no %-interpolation, so
+        # there the identifier stays verbatim.
+        quoted = quoted.replace("%", "%%")
+    return quoted
 
 
-def _q_table(dialect: str, table: str) -> str:
-    return ".".join(_q(dialect, seg) for seg in table.split("."))
+def _q_table(dialect: str, table: str, marker: str = "%s") -> str:
+    return ".".join(_q(dialect, seg, marker) for seg in table.split("."))
 
 
 def postgres_upsert_sql(
@@ -52,7 +62,7 @@ def postgres_upsert_sql(
     """INSERT ... ON CONFLICT (key) DO UPDATE SET c = EXCLUDED.c.
     A key-only table degrades to DO NOTHING — an empty SET list is a
     syntax error at execute time."""
-    q = lambda c: _q("postgres", c)  # noqa: E731
+    q = lambda c: _q("postgres", c, marker)  # noqa: E731
     cols = ", ".join(q(c) for c in columns)
     ph = ", ".join([marker] * len(columns))
     sets = ", ".join(
@@ -60,7 +70,7 @@ def postgres_upsert_sql(
     )
     action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
     return (
-        f"INSERT INTO {_q_table('postgres', table)} ({cols}) "
+        f"INSERT INTO {_q_table('postgres', table, marker)} ({cols}) "
         f"VALUES ({ph}) ON CONFLICT ({q(key)}) {action}"
     )
 
@@ -72,12 +82,20 @@ def mysql_upsert_sql(
     table degrades to the idempotent no-op assignment ``key = key``
     (MySQL has no DO NOTHING form; an empty UPDATE list is a syntax
     error)."""
-    q = lambda c: _q("mysql", c)  # noqa: E731
+    q = lambda c: _q("mysql", c, marker)  # noqa: E731
     cols = ", ".join(q(c) for c in columns)
     ph = ", ".join([marker] * len(columns))
+    # VALUES(col) is deprecated since MySQL 8.0.20 (warns per statement)
+    # in favor of the `AS new ... = new.col` row alias — but the alias
+    # form is a SYNTAX ERROR on every server before 8.0.19, while
+    # VALUES() still executes on all current versions. The reference
+    # targets an unspecified MySQL (db_ops.py:56-70 uses VALUES());
+    # keeping the universally-valid form is the compatibility call,
+    # revisit when 9.x removes it.
     sets = ", ".join(f"{q(c)} = VALUES({q(c)})" for c in columns if c != key)
     return (
-        f"INSERT INTO {_q_table('mysql', table)} ({cols}) VALUES ({ph}) "
+        f"INSERT INTO {_q_table('mysql', table, marker)} ({cols}) "
+        f"VALUES ({ph}) "
         f"ON DUPLICATE KEY UPDATE {sets or f'{q(key)} = {q(key)}'}"
     )
 
@@ -90,7 +108,7 @@ def mssql_upsert_sql(
     version, which emits placeholders in both the UPDATE and INSERT
     branches and therefore binds 2n parameters for n values
     (``db_ops.py:92,97`` vs ``:89,98``); this generator fixes that."""
-    q = lambda c: _q("mssql", c)  # noqa: E731
+    q = lambda c: _q("mssql", c, marker)  # noqa: E731
     cols = ", ".join(q(c) for c in columns)
     ph = ", ".join([marker] * len(columns))
     src_cols = ", ".join(f"src.{q(c)}" for c in columns)
@@ -101,7 +119,7 @@ def mssql_upsert_sql(
     # SET list is a syntax error; there is nothing to update)
     matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
     return (
-        f"MERGE INTO {_q_table('mssql', table)} AS target "
+        f"MERGE INTO {_q_table('mssql', table, marker)} AS target "
         f"USING (VALUES ({ph})) AS src ({cols}) "
         f"ON target.{q(key)} = src.{q(key)} "
         f"{matched}"
@@ -248,15 +266,17 @@ def write_upsert_jdbc(
             return  # empty partition: no connection, no round-trip
 
         def check(row) -> tuple:
-            # NULL keys break BOTH halves of the contract before the
-            # database ever complains: the dedup window collapses all
-            # NULL-key rows to one arbitrary survivor (silent data
-            # loss), and the conflict clause never matches a NULL
-            # (unique indexes treat NULLs as distinct), so every RETRY
-            # of the batch would INSERT a fresh NULL-key row — the
-            # exact replay the idempotency contract promises is safe.
-            # Checked executor-side per row: no extra driver-side job
-            # over the input plan.
+            # Executor-side BACKSTOP: operators/upsert's inline
+            # _null_key_guard already raises on NULL batch keys during
+            # the dedup stage, so under the current wiring no NULL key
+            # reaches this partition. The per-row branch stays anyway —
+            # a database write is the one boundary where defense in
+            # depth is worth one comparison per row, because the
+            # failure it prevents is not an error but silent growth:
+            # the conflict clause never matches a NULL (unique indexes
+            # treat NULLs as distinct), so every RETRY of a NULL-key
+            # batch would INSERT a fresh row — breaking exactly the
+            # replay the idempotency contract promises is safe.
             t = tuple(row)
             if t[key_idx] is None:
                 raise ValueError(

@@ -107,8 +107,8 @@ def _bucketer_fingerprint(bucketer: Bucketer) -> str:
     return fp
 
 
-_NUMERIC_PREFIXES = (
-    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+_NUMERIC_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double"
 )
 
 
@@ -116,8 +116,13 @@ def _is_numeric_type(simple: str) -> bool:
     """True for Spark simpleString type names whose pairwise set-op
     widening is lossless numeric promotion (the only cross-type batch
     apply() accepts; the post-merge check still pins the resolved type
-    to the stored one exactly)."""
-    return simple.startswith(_NUMERIC_PREFIXES)
+    to the stored one exactly). Exact names for the fixed-width types
+    plus the parameterized 'decimal(p,s)' prefix — a bare prefix match
+    classified 'interval ...' as numeric ('interval'.startswith('int')),
+    letting an interval-typed batch column slip past this early gate to
+    die later in an opaque unionByName error instead of the clear
+    type-change refusal this check exists to raise."""
+    return simple in _NUMERIC_TYPES or simple.startswith("decimal")
 
 
 def _gen_number(gen: str | None) -> int:
@@ -524,12 +529,39 @@ class ParquetUpsertTable:
                 os.rename(staging, out)
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
+            # Durability of the commit RECORD itself: fsync the
+            # manifest and the pointer's tmp file before the rename,
+            # then fsync the containing directories after. Without
+            # these a kernel crash / power loss (process crashes are
+            # already safe) can persist the RENAME metadata without
+            # the DATA blocks — a zero-byte _CURRENT that reads as "no
+            # table" (letting the next merge's crash-garbage branch
+            # rmtree a COMMITTED generation) or an empty manifest that
+            # kills every read in json.load forever. Scope: this makes
+            # the pointer flip the true durability point for the
+            # commit record; the parquet part files delegate to the
+            # filesystem as with any Spark write — a power loss that
+            # eats unsynced data files loses the generation either
+            # way, but it can no longer DESTROY an older committed one.
             with open(os.path.join(out, _MANIFEST), "w") as f:
                 json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
             tmp = self._pointer_path() + ".tmp"
             with open(tmp, "w") as f:
                 f.write(gen_name)
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, self._pointer_path())
+            for d in (out, self.root):
+                try:  # directory fsync persists the rename entries;
+                    dfd = os.open(d, os.O_RDONLY)  # unsupported on
+                    try:  # some mounts — best effort there
+                        os.fsync(dfd)
+                    finally:
+                        os.close(dfd)
+                except OSError:
+                    pass
 
     # -------------------------------------------------------- compaction
 

@@ -84,6 +84,17 @@ def page_plan(page: dict) -> tuple[int | None, int]:
     guard diverged between two hand-rolled copies once already."""
     total = page.get("total")
     stride = int(page.get("maxResults", 100) or 100)
+    if stride <= 0:
+        # e.g. the common 'maxResults: -1 = unlimited' convention —
+        # as a range() step it silently yields ZERO offset partitions
+        # (the whole scan, prefetched page 0 included, returns 0 rows)
+        # or an empty parallel fan-out; no caller can paginate on a
+        # non-positive stride, so the ONE shared parse refuses it
+        raise ValueError(
+            f"paged response reports non-positive maxResults {stride} "
+            f"— cannot derive a pagination stride (an 'unlimited' "
+            f"sentinel? fetch with an explicit maxResults param)"
+        )
     return (int(total) if total is not None else None, stride)
 
 

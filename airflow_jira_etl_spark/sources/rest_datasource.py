@@ -191,6 +191,12 @@ class PagedRestStreamReader(SimpleDataSourceStreamReader):
         self.fetcher_spec = options["fetcher"]
         self.records_key = options.get("records_key", "issues")
         self.max_pages_per_batch = int(options.get("max_pages_per_batch", 1))
+        # same contract (and default) as Spark's Kafka source: a replay
+        # that cannot reconstruct its committed range FAILS unless the
+        # operator explicitly opts into tolerating upstream data loss
+        self.fail_on_data_loss = (
+            str(options.get("fail_on_data_loss", "true")).lower() != "false"
+        )
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"startAt": 0}
@@ -263,8 +269,11 @@ class PagedRestStreamReader(SimpleDataSourceStreamReader):
         form advanced by a pinned stride but extended EVERY fetched
         record — overlapping replays whenever live page size exceeded
         the pin.) If the source itself shrank below the committed range
-        (a nondeterministic upstream), we stop short: a truncated
-        replay is detectable; invented rows are not."""
+        (a nondeterministic upstream), the replay RAISES by default —
+        silently committing a partial batch downstream would break the
+        exactly-once promise with no signal anywhere; pass
+        ``fail_on_data_loss=false`` to tolerate the truncation instead
+        (the Kafka-source convention, and the same default)."""
         start_at = int(start["startAt"])
         end_at = int(end["startAt"])
         rows: list[tuple] = []
@@ -272,7 +281,17 @@ class PagedRestStreamReader(SimpleDataSourceStreamReader):
             page = self._fetch_page(start_at)
             recs = list(self._rows(page))
             if not recs:
-                break  # source shrank below the committed range
+                if self.fail_on_data_loss:
+                    raise RuntimeError(
+                        f"replay of committed range [{start['startAt']}, "
+                        f"{end_at}) could only reconstruct "
+                        f"{len(rows)} of {end_at - int(start['startAt'])} "
+                        f"records (source returned no records at offset "
+                        f"{start_at}) — the upstream shrank or drifted; "
+                        f"set fail_on_data_loss=false to tolerate "
+                        f"truncated replays"
+                    )
+                break  # tolerated: source shrank below the range
             take = min(len(recs), end_at - start_at)
             rows.extend(recs[:take])
             start_at += take

@@ -33,23 +33,35 @@ def _update_profile(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     # SQL aggregate semantics on NULLs: sum/max SKIP them, and a user
-    # whose values are ALL null yields NULL, not 0.0 / a -inf sentinel
-    # (Spark nulls arrive in pandas as NaN; a naive .sum() over
-    # all-NaN returns 0.0 and max(-inf, nan) keeps -inf — both would
-    # leak into the output where the SQL oracle says NULL). n_vals
-    # counts non-null values seen so far so "any value yet?" survives
-    # checkpoint recovery; n counts ROWS (count(*) semantics).
+    # whose values are ALL null yields NULL, not 0.0 / a -inf sentinel.
+    # NULL and real NaN are INDISTINGUISHABLE after Arrow's float64
+    # conversion (both arrive as NaN), so the Spark side ships an
+    # explicit value_is_null marker and the kernel filters on THAT —
+    # a dropna() here would also eat genuine NaN values, which SQL
+    # does NOT skip (sum propagates NaN; max treats NaN as greatest,
+    # so any NaN makes the running max NaN). skipna=False + explicit
+    # NaN handling on the running peak (Python's max() is
+    # order-dependent under NaN) keep both aggregates SQL-faithful.
+    # n_vals counts non-null values seen so far so "any value yet?"
+    # survives checkpoint recovery; n counts ROWS (count(*) semantics).
+    import math
+
     (user_id,) = key
     n, n_vals, total, peak = (
         state.get if state.exists else (0, 0, 0.0, 0.0)
     )
     for pdf in batches:
         n += len(pdf)
-        vals = pdf["value"].dropna()
+        vals = pdf["value"][~pdf["value_is_null"]]
         if len(vals):
-            mx = float(vals.max())
-            peak = mx if n_vals == 0 else max(peak, mx)
-            total += float(vals.sum())
+            mx = float(vals.max(skipna=False))
+            if n_vals == 0:
+                peak = mx
+            elif math.isnan(mx) or math.isnan(peak):
+                peak = float("nan")
+            else:
+                peak = max(peak, mx)
+            total += float(vals.sum(skipna=False))
             n_vals += len(vals)
     state.update((n, n_vals, total, peak))
     yield pd.DataFrame(
@@ -69,8 +81,17 @@ def running_user_profile(events_stream: DataFrame) -> DataFrame:
     across a user's emissions, so consumers reduce to final state with
     ``max_by(col, n_events)`` — no monotonicity assumption on the value
     columns themselves."""
+    from pyspark.sql import functions as F
+
     return (
-        events_stream.select("user_id", "value")
+        events_stream.select(
+            "user_id",
+            "value",
+            # NULL-ness travels as its own column: after Arrow float64
+            # conversion the kernel cannot tell NULL from NaN (module
+            # comment in _update_profile)
+            F.col("value").isNull().alias("value_is_null"),
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_profile,

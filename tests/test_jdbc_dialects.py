@@ -281,6 +281,23 @@ def test_qmark_rewrite_never_touches_identifiers():
     assert '"100%sales"' in pg and pg.count("?") == len(cols)
 
 
+def test_format_paramstyle_escapes_percent_in_identifiers():
+    """format-paramstyle drivers (psycopg2/pymysql/pymssql) %-scan the
+    WHOLE statement client-side, quoted identifiers included: a literal
+    '%' in an identifier must ship as '%%' or executemany dies with a
+    bogus-placeholder/format error. qmark drivers do no interpolation,
+    so there the '%' stays verbatim (previous test)."""
+    cols = ["id", "100%sales"]
+    pg = upsert_sql("postgres", "t", cols, "id")  # format default
+    assert '"100%%sales"' in pg
+    # exactly the value placeholders survive as lone %s: strip the
+    # escaped %% pairs first, then count
+    assert pg.replace("%%", "").count("%s") == len(cols)
+    my = upsert_sql("mysql", "t", cols, "id")
+    assert "`100%%sales`" in my
+    assert my.replace("%%", "").count("%s") == len(cols)
+
+
 def test_default_write_width_is_capped(spark, tmp_path):
     """Without an explicit num_partitions the write width is
     max(defaultParallelism, shuffle.partitions) CAPPED at

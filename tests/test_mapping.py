@@ -136,3 +136,26 @@ def test_mapping_keys_with_dots_resolve_as_one_field(spark):
     df = spark.createDataFrame([("s1", "x")], "`sprint.name` string, other string")
     out = flatten(df, {"sprint.name": "sprint"})
     assert out.collect()[0].sprint == "s1"
+
+
+def test_duplicate_flat_output_names_rejected(spark):
+    """Two leaves resolving to one flat name would emit two
+    identically-aliased columns (AMBIGUOUS_REFERENCE on any later
+    select, 'Found duplicate column(s)' on a parquet write — both far
+    from the misconfigured mapping). The reference's dict interpreter
+    silently keeps the LAST leaf (jira_base_processor.py:96); raising
+    up front is the deliberate divergence."""
+    import pytest
+
+    from airflow_jira_etl_spark.operators.mapping import flatten
+
+    df = spark.createDataFrame([("a", "b")], "id string, key string")
+    with pytest.raises(ValueError, match="same flat column"):
+        flatten(df, {"id": "id", "key": "id"})
+    # same-NAME leaves under different parents flatten to distinct
+    # prefixed names — legal, must not trip the guard
+    nested = spark.sql(
+        "SELECT 'x' AS id, named_struct('id', 'y') AS fields"
+    )
+    out = flatten(nested, {"id": "id", "fields": {"id": "fid"}})
+    assert sorted(out.columns) == ["fields_fid", "id"]

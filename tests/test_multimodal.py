@@ -146,3 +146,19 @@ def test_kernel_params_validated_at_api_boundary(spark):
         sample_frames(media, n_frames=0)
     with pytest.raises(ValueError, match="target_bytes"):
         resize_media(media, target_bytes=0)
+
+
+def test_declared_len_counts_payload_bytes_not_chars(spark):
+    """meta.declared_len describes the PAYLOAD, so it must equal the
+    encoded byte length — char count disagrees for any multi-byte text
+    ('café' is 4 chars, 5 bytes), and a consumer validating payload
+    integrity against declared_len would flag every non-ASCII document
+    as corrupt."""
+    from airflow_jira_etl_spark.operators.multimodal import attach_media
+
+    docs = spark.createDataFrame(
+        [(1, "café", "s"), (2, "emoji 🚀", "s"), (3, "ascii", "s")],
+        "doc_id long, text string, source string",
+    )
+    for r in attach_media(docs).collect():
+        assert r.meta.declared_len == len(r.payload)

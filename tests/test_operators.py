@@ -231,6 +231,41 @@ def test_connected_components_distributed_path_matches_local(spark, monkeypatch)
     assert result.count() == len(expected)
 
 
+def test_connected_components_rejects_null_edge_ids(spark, monkeypatch):
+    """A NULL edge endpoint must fail LOUDLY on BOTH adaptive paths —
+    before the guard, the driver union-find crashed with a bare
+    TypeError ('<' unsupported between NoneType and int) while the
+    distributed loop silently emitted a NULL-component row that
+    dedup_clusters coalesced into a phantom singleton: two behaviors
+    for one upstream defect, neither diagnosable."""
+    import pytest
+
+    import airflow_jira_etl_spark.operators.components as C
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3)], "id1 long, id2 long"
+    )
+    with pytest.raises(Exception, match="NULL id1"):
+        C.connected_components(pairs).collect()
+    monkeypatch.setattr(C, "SMALL_EDGE_LIMIT", 0)  # distributed path
+    with pytest.raises(Exception, match="NULL id1"):
+        C.connected_components(pairs).collect()
+
+
+def test_salted_agg_rejects_output_name_collisions(spark):
+    """An aggregate output named like a grouping key builds a partial
+    frame with two same-named columns; the final groupBy then dies
+    with AMBIGUOUS_REFERENCE pointing at internal plan state instead
+    of the misnamed aggregate."""
+    import pytest
+
+    from airflow_jira_etl_spark.operators.salt import salted_agg
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="output name"):
+        salted_agg(df, ["k"], {"k": (F.sum("v"), F.sum("k"))})
+
+
 def test_connected_components_failure_path_releases_all_generations(
     spark, monkeypatch
 ):

@@ -274,12 +274,17 @@ def test_replay_emits_exactly_the_committed_range(spark):
     mid = [t[0] for t in r.readBetweenOffsets({"startAt": 7, "stride": 5}, {"startAt": 12, "stride": 5})]
     assert mid == ["7", "8", "9", "10", "11"]
 
-    # the source shrank below the committed range: stop short (a
-    # truncated replay is detectable; invented rows are not)
+    # the source shrank below the committed range: FAIL by default
+    # (silently committing a partial batch breaks exactly-once with no
+    # signal — the Kafka-source failOnDataLoss contract), tolerate
+    # only on explicit opt-in
     def empty_fetch(start_at):
         return {"total": 0, "maxResults": 5, "issues": []}
 
     r._fetch_page = empty_fetch
+    with pytest.raises(RuntimeError, match="could only reconstruct"):
+        list(r.readBetweenOffsets({"startAt": 0}, {"startAt": 5}))
+    r.fail_on_data_loss = False
     assert list(r.readBetweenOffsets({"startAt": 0}, {"startAt": 5})) == []
 
 
@@ -358,3 +363,16 @@ def test_zero_record_page_stalls_without_advancing(spark):
     rows, off = r.read({"startAt": 10, "stride": 5})
     assert list(rows) == []
     assert off["startAt"] == 10
+
+
+def test_page_plan_rejects_non_positive_stride():
+    """A server replying maxResults=-1 ('unlimited' convention) would
+    silently yield ZERO offset partitions (range step -1) — the whole
+    scan returns 0 rows including the already-prefetched page 0. The
+    one shared parse refuses; maxResults=0 keeps the documented
+    fall-back to the default stride."""
+    from airflow_jira_etl_spark.sources.paged_rest import page_plan
+
+    with pytest.raises(ValueError, match="non-positive maxResults"):
+        page_plan({"total": 137, "maxResults": -1, "issues": []})
+    assert page_plan({"total": 10, "maxResults": 0}) == (10, 100)

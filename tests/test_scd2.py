@@ -174,3 +174,50 @@ def test_scd2_null_is_current_rows_survive_as_history(spark):
     out = scd2_merge(dim, changes, "k", ["attr"], "2024-06-01")
     ks = sorted(r.k for r in out.collect())
     assert ks == [1, 1, 2]  # closed + opened for k=1, k=2 SURVIVES
+
+
+def test_scd2_plan_never_shuffles_the_dimension(spark):
+    """The module's core scale claim, pinned on the PHYSICAL plan: a
+    broadcast hint on a FULL OUTER join is silently ignored (Spark's
+    BroadcastHashJoin does not support full outer), degrading to a
+    SortMergeJoin that hash-exchanges and sorts BOTH sides — the exact
+    dimension shuffle the operator exists to avoid. The merge is built
+    from broadcast-supported join shapes (left outer / semi / anti,
+    all BuildRight), so the plan must carry NO SortMergeJoin and NO
+    hash exchange anywhere."""
+    from airflow_jira_etl_spark.operators.scd2 import scd2_merge
+
+    dim = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("attr"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = spark.range(20).select(
+        F.col("id").alias("k"), F.lit("new").alias("attr")
+    )
+    out = scd2_merge(dim, changes, "k", ["attr"], "2024-06-01")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the batch-dedup window exchanges the 20-row BATCH (hash on k over
+    # the change rows) — fine; the dimension side must show none
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_scd2_rejects_empty_attrs(spark):
+    """attrs=[] has nothing to diff — no change could ever close or
+    open a version. The old code crashed in reduce() with an opaque
+    TypeError; the contract error must name the requirement."""
+    import pytest
+
+    from airflow_jira_etl_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "2020-01-01", None, True)],
+        "k long, valid_from string, valid_to string, is_current boolean",
+    )
+    changes = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="attrs must be non-empty"):
+        scd2_merge(dim, changes, "k", [], "2024-06-01")

@@ -182,23 +182,47 @@ def test_stateful_profile_all_null_values_emit_sql_null(spark):
         assert len(out) == 1
         return out[0].iloc[0]
 
+    def batch(values, nulls):
+        # the Spark plan ships NULL-ness as its own column: after
+        # Arrow float64 conversion the kernel cannot tell NULL from a
+        # genuine NaN (running_user_profile's value_is_null marker)
+        return pd.DataFrame(
+            {
+                "value": pd.Series(values, dtype="float64"),
+                "value_is_null": nulls,
+            }
+        )
+
     # batch 1: all-null values -> NULL aggregates, n counts rows
     st = FakeState()
-    r = run([pd.DataFrame({"value": [None, None]}, dtype="float64")], st)
+    r = run([batch([None, None], [True, True])], st)
     assert r["n_events"] == 2
     assert pd.isna(r["total_value"]) and pd.isna(r["peak_value"])
 
     # batch 2 (same state): real values arrive -> nulls skipped,
     # aggregates over the non-null subset only
-    r = run([pd.DataFrame({"value": [3.0, None, 5.0]})], st)
+    r = run([batch([3.0, None, 5.0], [False, True, False])], st)
     assert r["n_events"] == 5
     assert r["total_value"] == 8.0 and r["peak_value"] == 5.0
 
     # negative-only values: peak must NOT be polluted by a 0.0 or
     # -inf initialization sentinel
     st2 = FakeState()
-    r = run([pd.DataFrame({"value": [-4.0, -9.0]})], st2)
+    r = run([batch([-4.0, -9.0], [False, False])], st2)
     assert r["total_value"] == -13.0 and r["peak_value"] == -4.0
+
+    # a GENUINE NaN value (not a NULL) follows SQL semantics: sum
+    # propagates NaN and max treats NaN as greatest — a dropna() fold
+    # would silently skip it and disagree with the oracle
+    st3 = FakeState()
+    r = run([batch([2.0, float("nan")], [False, False])], st3)
+    assert r["n_events"] == 2
+    import math
+
+    assert math.isnan(r["total_value"]) and math.isnan(r["peak_value"])
+    # and the NaN peak STAYS NaN across later batches (running max)
+    r = run([batch([99.0], [False])], st3)
+    assert math.isnan(r["peak_value"]) and math.isnan(r["total_value"])
 
 
 def test_write_event_pages_rejects_null_and_negative_ids(spark, tmp_path):

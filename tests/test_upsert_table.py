@@ -751,3 +751,19 @@ def test_apply_rejects_null_keys_loudly(spark, tmp_path):
     assert t.read() is None or t.read().count() == 0
     t.apply(spark.createDataFrame([(1, "a")], "k long, v string"))
     assert t.read().count() == 1
+
+
+def test_interval_batch_column_hits_the_clear_type_gate():
+    """'interval day'.startswith('int') is True, so the old numeric
+    prefix match classified interval types as numeric and let an
+    interval-typed batch column through the early type gate — to die
+    later in an opaque unionByName/write error. The gate must classify
+    interval as NON-numeric so the clear 'type change ... unsupported'
+    refusal fires."""
+    from airflow_jira_etl_spark.sinks.parquet_upsert import _is_numeric_type
+
+    assert _is_numeric_type("int") and _is_numeric_type("bigint")
+    assert _is_numeric_type("decimal(10,2)") and _is_numeric_type("double")
+    assert not _is_numeric_type("interval day")
+    assert not _is_numeric_type("interval")
+    assert not _is_numeric_type("string")
