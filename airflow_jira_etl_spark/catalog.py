@@ -29,10 +29,6 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimension tables that should always be broadcast in joins
-# (region: 5 rows, nation: 25 rows — fixed size regardless of scale factor).
-BROADCAST_DIMS = frozenset({"region", "nation"})
-
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
         [

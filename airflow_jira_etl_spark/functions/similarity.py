@@ -35,12 +35,15 @@ def cosine(a: Column, b: Column) -> Column:
     A NULL input array stays NULL — an unconditional coalesce would
     rank an absent embedding as 0.0 (ABOVE genuinely negative
     similarities) while the SQL side's NULL sorts last; the 0.0
-    convention is reserved for the zero-NORM case alone."""
+    convention is reserved for the zero-NORM case alone. That is why
+    the zero-norm case is an EXPLICIT guard and not a
+    coalesce(try_divide(...), 0.0): the coalesce form also caught the
+    NULL a try_divide yields for a NULL dot product — a vector with a
+    NULL ELEMENT, or a length-mismatched pair (zip_with pads with
+    NULLs) — silently scoring corrupt embeddings 0.0 where the SQL
+    side keeps them NULL (hash divergence on any fixture drift that
+    ships one). Those now propagate NULL on both engines."""
+    denom = F.sqrt(norm2(a)) * F.sqrt(norm2(b))
     return F.when(
         a.isNull() | b.isNull(), F.lit(None).cast("double")
-    ).otherwise(
-        F.coalesce(
-            F.try_divide(dot(a, b), F.sqrt(norm2(a)) * F.sqrt(norm2(b))),
-            F.lit(0.0),
-        )
-    )
+    ).when(denom == 0, F.lit(0.0)).otherwise(F.try_divide(dot(a, b), denom))

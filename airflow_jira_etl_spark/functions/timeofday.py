@@ -17,27 +17,34 @@ from pyspark.sql import functions as F
 
 def time_to_seconds(col: Column) -> Column:
     """'HH:mm:ss' → seconds since midnight (int). NULL-safe: malformed
-    strings produce NULL, not errors (split yields non-numeric parts →
-    try_cast semantics via nullable casts)."""
+    strings produce NULL, not errors — via explicit ``try_cast``, NOT
+    plain cast: under ANSI mode (the Spark 4 default, and this
+    engine's) ``'ab'.cast('int')`` is a job-killing CAST_INVALID_INPUT,
+    so one bad API time string would fail the whole query instead of
+    NULLing one row."""
     parts = F.split(col, ":")
     return (
-        parts.getItem(0).cast("int") * 3600
-        + parts.getItem(1).cast("int") * 60
-        + parts.getItem(2).cast("int")
+        parts.getItem(0).try_cast("int") * 3600
+        + parts.getItem(1).try_cast("int") * 60
+        + parts.getItem(2).try_cast("int")
     ).alias("seconds_of_day")
 
 
 def seconds_to_time(col: Column) -> Column:
-    """Seconds since midnight → 'HH:mm:ss' string."""
-    h = F.floor(col / 3600).cast("int")
-    m = F.floor((col % 3600) / 60).cast("int")
-    s = (col % 60).cast("int")
-    return F.concat_ws(
-        ":",
-        F.lpad(h.cast("string"), 2, "0"),
-        F.lpad(m.cast("string"), 2, "0"),
-        F.lpad(s.cast("string"), 2, "0"),
+    """Seconds since midnight → 'HH:mm:ss' string. Inputs outside the
+    time-of-day domain [0, 86400) yield NULL — ``lpad(str, 2)`` (the
+    old form) TRUNCATES strings longer than 2, so a 100-hour input
+    rendered as a plausible-looking '10:00:00' and negatives produced
+    '-1:-1:…' garbage; there is no correct 'HH:mm:ss' for either.
+    NULL in → NULL out (the unmatched ``when``)."""
+    c = col.cast("long")
+    formatted = F.format_string(
+        "%02d:%02d:%02d",
+        F.floor(c / 3600).cast("int"),
+        F.floor((c % 3600) / 60).cast("int"),
+        (c % 60).cast("int"),
     )
+    return F.when((c >= 0) & (c < 86400), formatted)
 
 
 def time_of_day(ts: Column) -> Column:

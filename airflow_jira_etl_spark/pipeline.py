@@ -152,11 +152,20 @@ def worklog_pipeline(
 
     @p.task("ingest_pages", upstream=["ensure_table"])
     def ingest_pages(ctx: dict) -> None:
-        pages = cursor_scan(fetcher, initial_url)
-        batches: list[DataFrame] = [
-            records_to_flat_df(spark, page, WORKLOG_MAPPING) for page in pages if page
-        ]
-        ctx["batches"] = batches
+        # LAZY: the cursor generator flows through the context and each
+        # page becomes a (LocalRelation) DataFrame only when
+        # merge_upsert reaches it — peak driver memory stays O(page),
+        # matching the reference's fetch-then-persist loop
+        # (worklog_processor.py:80-106). The previous list
+        # comprehension exhausted the whole cursor up front, pinning
+        # EVERY page's rows in driver-held plans until the merge task
+        # finished: O(total extract) driver memory, an OOM on a long
+        # backfill.
+        ctx["batches"] = (
+            records_to_flat_df(spark, page, WORKLOG_MAPPING)
+            for page in cursor_scan(fetcher, initial_url)
+            if page
+        )
 
     @p.task("merge_upsert", upstream=["ingest_pages"])
     def merge_upsert(ctx: dict) -> None:

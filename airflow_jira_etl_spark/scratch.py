@@ -41,11 +41,32 @@ def reap_dead_session_dirs(parent: str) -> None:
             pass  # alive under another uid — leave it
 
 
+# paths this PROCESS has already claimed: the first claim per path
+# wipes any leftover from a previous owner, later claims keep the
+# session's own live state
+_CLAIMED: set[str] = set()
+
+
 def session_scratch(kind: str, tag: str = "") -> str:
     """A per-session scratch path ``.scratch/<kind>/<tag>_<pid>``,
-    reaping the kind's dead-session leftovers on the way."""
+    reaping the kind's dead-session leftovers on the way.
+
+    PID RECYCLING makes the pid suffix alone an unsound identity: the
+    reaper must skip entries matching our own pid, so a fresh process
+    whose pid matches a CRASHED session's leftover dir would silently
+    inherit that stranger's half-written state. The first claim of a
+    path per process therefore removes whatever is already there —
+    making the 'fresh per session' guarantee real instead of resting
+    on every caller destroying/overwriting first. (A dead dir whose
+    pid was recycled to some OTHER live process survives reaping until
+    that pid dies — bounded-growth erosion, not a correctness hazard,
+    since no live session ever reads it.)"""
     parent = os.path.join(SCRATCH, kind)
     os.makedirs(parent, exist_ok=True)
     reap_dead_session_dirs(parent)
     name = f"{tag}_{os.getpid()}" if tag else str(os.getpid())
-    return os.path.join(parent, name)
+    path = os.path.join(parent, name)
+    if path not in _CLAIMED:
+        shutil.rmtree(path, ignore_errors=True)
+        _CLAIMED.add(path)
+    return path

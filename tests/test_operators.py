@@ -806,3 +806,63 @@ def test_ivf_topk_rejects_absent_probe_id(spark):
     )
     with pytest.raises(ValueError, match="probe vec_id"):
         ivf_topk(spark, emb, probe_id=10_000, k_clusters=4)
+
+
+def test_time_helpers_null_on_malformed_and_out_of_domain(spark):
+    """time_to_seconds must NULL a malformed time string, not abort the
+    job: under ANSI mode (this engine's default) a plain cast('int') on
+    'ab' is CAST_INVALID_INPUT — one bad API record killed the whole
+    query before the try_cast fix. seconds_to_time must NULL inputs
+    outside [0, 86400): lpad(str, 2) TRUNCATES, so 100 hours rendered
+    as a plausible-looking '10:00:00' and negatives as '-1:-1:…'."""
+    from airflow_jira_etl_spark.functions.timeofday import (
+        seconds_to_time,
+        time_to_seconds,
+    )
+
+    t = spark.createDataFrame(
+        [("12:34:56",), ("12:ab:30",), (None,), ("99:99:99",)],
+        "t string",
+    ).select(time_to_seconds(F.col("t")).alias("s"))
+    got = [r.s for r in t.collect()]
+    assert got[0] == 12 * 3600 + 34 * 60 + 56
+    assert got[1] is None and got[2] is None
+    assert got[3] == 99 * 3600 + 99 * 60 + 99  # numeric junk passes
+
+    s = spark.createDataFrame(
+        [(45296,), (360000,), (-5,), (None,), (0,), (86399,)], "v long"
+    ).select(seconds_to_time(F.col("v")).alias("t"))
+    got = [r.t for r in s.collect()]
+    assert got[0] == "12:34:56"
+    assert got[1] is None  # 100h: NOT a truncated '10:00:00'
+    assert got[2] is None and got[3] is None
+    assert got[4] == "00:00:00" and got[5] == "23:59:59"
+
+
+def test_cosine_corrupt_vectors_stay_null(spark):
+    """The 0.0 convention is reserved for the zero-NORM case alone: a
+    NULL element or a length-mismatched pair must propagate NULL (as
+    the SQL side does), never score 0.0 — which would rank a corrupt
+    embedding ABOVE genuinely negative similarities. The old
+    coalesce(try_divide(...), 0.0) form caught those NULLs too."""
+    from airflow_jira_etl_spark.functions.similarity import cosine
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], [1.0, 2.0]),      # cs = 1
+            (2, [0.0, 0.0], [1.0, 2.0]),      # zero norm -> 0.0
+            (3, [1.0, None], [1.0, 2.0]),     # NULL element -> NULL
+            (4, [1.0], [1.0, 2.0]),           # length mismatch -> NULL
+            (5, None, [1.0, 2.0]),            # NULL vector -> NULL
+            (6, [-1.0, -2.0], [1.0, 2.0]),    # cs = -1
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r.id: r.cs
+        for r in df.select("id", cosine(F.col("a"), F.col("b")).alias("cs")).collect()
+    }
+    assert abs(got[1] - 1.0) < 1e-12
+    assert got[2] == 0.0
+    assert got[3] is None and got[4] is None and got[5] is None
+    assert abs(got[6] + 1.0) < 1e-12
