@@ -42,8 +42,64 @@ def cosine(a: Column, b: Column) -> Column:
     NULL ELEMENT, or a length-mismatched pair (zip_with pads with
     NULLs) — silently scoring corrupt embeddings 0.0 where the SQL
     side keeps them NULL (hash divergence on any fixture drift that
-    ships one). Those now propagate NULL on both engines."""
+    ships one). Those now propagate NULL on both engines.
+
+    The guard LADDER here and in :func:`cosine_sql` must stay
+    branch-for-branch identical — it IS the cross-engine contract:
+    NULL vector → NULL; length mismatch → NULL (checked BEFORE the
+    zero-norm branch, or a zero vector paired with a short one scores
+    0.0 on one engine and NULL on the other); NULL element → NULL
+    (here: NULL norms make denom NULL, so every later branch
+    propagates); zero norm (incl. empty vectors) → 0.0."""
     denom = F.sqrt(norm2(a)) * F.sqrt(norm2(b))
-    return F.when(
-        a.isNull() | b.isNull(), F.lit(None).cast("double")
-    ).when(denom == 0, F.lit(0.0)).otherwise(F.try_divide(dot(a, b), denom))
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
+        .when(F.size(a) != F.size(b), F.lit(None).cast("double"))
+        .when(denom == 0, F.lit(0.0))
+        .otherwise(F.try_divide(dot(a, b), denom))
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """The DuckDB mirror of :func:`cosine` for oracle SQL — ONE
+    implementation of the guard ladder shared by every
+    similarity-exposing oracle. Raw ``list_cosine_similarity`` is NOT
+    drift-safe: it hard-errors on a list containing a NULL element
+    ('can not contain NULL values') and on mismatched dimensions
+    ('list dimensions must be equal') — inputs the Spark side
+    deliberately scores NULL — and returns -1.0 on a zero vector where
+    the engine convention is 0.0.
+
+    CRITICALLY, a CASE guard around ``list_cosine_similarity`` is NOT
+    enough: DuckDB's vectorized executor evaluates list-function
+    branches EAGERLY over the whole chunk (verified on 1.0 — one
+    corrupt row in a batch throws even when its CASE branch would
+    discard the result), so the ELSE must be built from THROW-FREE
+    arithmetic. ``list_zip`` pads a mismatch with NULLs, ``list_sum``
+    skips them, and x/0 is NULL in DuckDB — the eager garbage those
+    produce for corrupt rows is then discarded by the guards, which
+    alone decide the OUTPUT. The dot/norm expansion is numerically
+    identical to list_cosine_similarity (double accumulation, same
+    order) and to the Spark fold. Empty vectors fold into the
+    zero-norm branch via the coalesce (``list_sum([]) IS NULL``),
+    matching Spark's empty-fold 0.0."""
+    null_el = (
+        f"len(list_filter({a}, x -> x IS NULL)) > 0 "
+        f"OR len(list_filter({b}, x -> x IS NULL)) > 0"
+    )
+    zero_norm = (
+        f"coalesce(list_sum([x * x FOR x IN {a}]), 0) = 0 "
+        f"OR coalesce(list_sum([x * x FOR x IN {b}]), 0) = 0"
+    )
+    dot = f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    norms = (
+        f"sqrt(list_sum([x * x FOR x IN {a}])) "
+        f"* sqrt(list_sum([x * x FOR x IN {b}]))"
+    )
+    return (
+        f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL "
+        f"WHEN len({a}) <> len({b}) THEN NULL "
+        f"WHEN {null_el} THEN NULL "
+        f"WHEN {zero_norm} THEN 0.0 "
+        f"ELSE {dot} / ({norms}) END"
+    )

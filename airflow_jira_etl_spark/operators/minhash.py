@@ -33,10 +33,20 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     """k-shingles (word n-grams) of a token array. NOT deduplicated:
     every consumer is duplicate-insensitive (min-hash ignores repeats;
     array_intersect/array_union have set semantics), and array_distinct
-    costs more than the whole signature pass."""
+    costs more than the whole signature pass.
+
+    NULL tokens (a NULL document) yield NULL, not shingles: without
+    the gate, ``greatest(size(NULL)-k, 0)`` silently skips the NULL
+    and produces the EMPTY-STRING document's shingle set — a NULL doc
+    would then minhash byte-identically to every empty doc (jaccard-1
+    false 'duplicates') and DIVERGE from the row form
+    (``shingle_hash_rows``), whose posexplode drops NULL docs; the two
+    forms' byte-identical-signature contract requires both to treat a
+    NULL doc as 'contributes nothing'."""
     n = F.size(tokens)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
+    out = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
+    return F.when(tokens.isNull(), F.lit(None)).otherwise(out)
 
 
 def shingle_hashes(tokens: Column, k: int = 3) -> Column:
@@ -59,6 +69,9 @@ def minhash_signature(hashes: Column, n_hashes: int = N_HASHES) -> list[Column]:
 
 
 def add_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach mh_0..mh_{H-1} per row (array form). A NULL document
+    carries a NULL signature — band/bucket consumers must filter those
+    out, exactly as the row form drops them at posexplode."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     # the '__sh' shingle-hash array (hundreds of longs per doc) is an
     # intermediate only — leaking it into the returned frame would make

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.functions.rounding import fround
-from airflow_jira_etl_spark.functions.similarity import cosine, norm2
+from airflow_jira_etl_spark.functions.similarity import cosine, cosine_sql, norm2
 from airflow_jira_etl_spark.registry import query
 
 
@@ -86,18 +86,13 @@ def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM expl GROUP BY label
     ),
     scored AS (
-        -- zero-norm guard evaluated BEFORE the cosine (CASE
-        -- short-circuits): a zero vector or zero centroid defines
-        -- cs = 0.0 on both engines instead of NaN/divide-by-zero
+        -- __CS__ expands to functions/similarity.cosine_sql: the
+        -- shared guard ladder (NULL list / dim mismatch / NULL
+        -- element -> NULL, zero norm -> 0.0) mirroring the Spark
+        -- side's cosine branch-for-branch; CASE short-circuits so
+        -- list_cosine_similarity never sees a corrupt input
         SELECT e.vec_id, e.label, c.c_label,
-               CASE WHEN list_sum([CAST(x * x AS DOUBLE)
-                                   FOR x IN CAST(e.embedding AS DOUBLE[])]) = 0
-                      OR list_sum([x * x FOR x IN c.c]) = 0
-                    THEN 0.0
-                    ELSE round(list_cosine_similarity(
-                           CAST(e.embedding AS DOUBLE[]), c.c)
-                         + 1e-9, 4) + 0.0
-               END AS cs
+               round(__CS__ + 1e-9, 4) + 0.0 AS cs
         FROM embeddings e, cent c
     ),
     ranked AS (
@@ -115,7 +110,9 @@ def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS assigned_label,
            cs AS cos_sim
     FROM ranked WHERE rn = 1
-    """,
+    """.replace(
+        "__CS__", cosine_sql("CAST(e.embedding AS DOUBLE[])", "c.c")
+    ),
 )
 def llm_embed_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment (1-NN against class prototypes):

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.functions.rounding import fround
+from airflow_jira_etl_spark.functions.similarity import cosine_sql
 from airflow_jira_etl_spark.functions.textgrams import char_gram_sql
 from airflow_jira_etl_spark.queries.sampling import _PCT_SQL, _pct_bucket
 from airflow_jira_etl_spark.operators.ranking import grouped_row_number
@@ -152,11 +153,12 @@ def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_sim_lsh_topk",
-    oracle="""
+    oracle=f"""
     WITH sig AS (
-        -- rows WITHOUT an embedding cannot participate in similarity
-        -- (list_cosine_similarity hard-errors on NULL); same filter as
-        -- the Spark side
+        -- rows WITHOUT an embedding cannot participate in similarity;
+        -- same filter as the Spark side (a NULL LIST would only score
+        -- NULL — the filter is about membership parity, not crashes:
+        -- corrupt ELEMENTS are what cosine_sql's ladder guards)
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
                CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
                + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
@@ -168,13 +170,7 @@ def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe AS (SELECT vec_id AS pid, e AS p, bucket AS pb FROM sig
               WHERE vec_id = (SELECT min(vec_id) FROM sig))
     SELECT vec_id, label, bucket,
-           -- zero-norm guard: engine convention is cs = 0.0 (DuckDB's
-           -- list_cosine_similarity returns -1.0 on a zero vector)
-           round(CASE WHEN list_sum([x * x FOR x IN e]) = 0
-                        OR list_sum([x * x FOR x IN probe.p]) = 0
-                 THEN 0.0
-                 ELSE list_cosine_similarity(e, probe.p)
-                 END + 1e-9, 4) AS cos_sim
+           round({cosine_sql("e", "probe.p")} + 1e-9, 4) AS cos_sim
     FROM sig, probe
     WHERE vec_id <> probe.pid AND bucket = probe.pb
     ORDER BY cos_sim DESC, vec_id
@@ -275,7 +271,9 @@ def _py_cos(a: list, b: list) -> float:
     # engines derive the same id, so the column still hash-checks.
     oracle="""
     SELECT CAST((SELECT min(vec_id) FROM embeddings
-                 WHERE embedding IS NOT NULL) AS BIGINT) AS probe_id,
+                 WHERE embedding IS NOT NULL
+                   AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                ) AS BIGINT) AS probe_id,
            10 AS k,
            TRUE AS k_exhausted,
            TRUE AS subset_exact,
@@ -306,11 +304,14 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from airflow_jira_etl_spark.queries.scans import SCRATCH
 
-    # un-embeddable rows cannot be indexed (assignment argmax over
-    # all-NULL similarities has no meaning); mirrored in the oracle's
-    # probe-id subquery
+    # un-embeddable rows cannot be indexed: a NULL vector AND a vector
+    # carrying a NULL ELEMENT both cosine to NULL against every
+    # centroid, so the assignment argmax has no meaning (the stored
+    # cluster would be arbitrary and assign_parity's re-argmax could
+    # never reproduce it); mirrored in the oracle's probe-id subquery
     emb = catalog.load(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
     )
     # the tag fingerprints the SOURCE DATA — per-part for a directory-
     # shaped fixture (catalog.source_stamp: a dir's own stat does not
@@ -636,11 +637,13 @@ def _sem_clusters_oracle() -> str:
     )
 
 
-_SEM_CLUSTERS_ORACLE = """
+_SEM_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE sig AS (
-        -- rows WITHOUT an embedding cannot pair (list_cosine_similarity
-        -- hard-errors on NULL); they still appear downstream as
-        -- singleton components via the lbl seed over ALL ids
+        -- rows WITHOUT an embedding cannot pair (same membership
+        -- filter as the Spark side — a NULL list scores NULL, never
+        -- >= tau; corrupt ELEMENTS are guarded inside cosine_sql);
+        -- they still appear downstream as singleton components via
+        -- the lbl seed over ALL ids
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                __BUCKET__ AS bucket
         FROM embeddings
@@ -650,7 +653,7 @@ _SEM_CLUSTERS_ORACLE = """
         SELECT a.vec_id AS id1, b.vec_id AS id2
         FROM sig a
         JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.e, b.e) + 1e-9, 4) >= 0.8
+        WHERE round({cosine_sql("a.e", "b.e")} + 1e-9, 4) >= 0.8
     ),
     edges AS (
         SELECT id1 AS src, id2 AS dst FROM p

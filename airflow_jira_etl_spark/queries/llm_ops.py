@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 
 from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.functions.rounding import fround
-from airflow_jira_etl_spark.functions.similarity import cosine
+from airflow_jira_etl_spark.functions.similarity import cosine, cosine_sql
 from airflow_jira_etl_spark.functions.textgrams import (
     char_gram_sql,
     with_char_gram_hashes,
@@ -459,14 +459,10 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with prob 1-(1-j^6)^3 ≈ 0.97+ (the planted-recall test's one-char
 # edits sit at j≈0.96 → ≈0.99).
 _NG_P = 1048573
-_NG_SEEDS = [
-    (37, 126), (101, 4373), (499, 9973),
-    (1009, 11317), (2003, 30011), (4999, 70001),
-    (7919, 104729), (12553, 131071), (17389, 262139),
-    (27449, 524287), (39161, 2), (52361, 777),
-    (65437, 88888), (78787, 12345), (93179, 55555),
-    (104681, 99991), (115249, 65599), (122887, 40503),
-]
+# the first 16 (A, B) pairs ARE the minhash family's — stated as a
+# derivation, not re-typed, so a future seed edit cannot drift the two
+# tables apart; the n-gram family just needs 18 (3 bands × 6 rows)
+_NG_SEEDS = [*_MH_SEEDS, (115249, 65599), (122887, 40503)]
 _NG_BANDS = 3
 _NG_ROWS = 6  # minhashes per band
 # Verify threshold on band-collided candidates. NOTE the geometry, not
@@ -503,7 +499,8 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     any id-window convenience key, so near-duplicates are found no
     matter how far apart their doc_ids are. Same shape as
     operators/minhash.py: linear signature pass → narrow band-bucket
-    self-join (band_id + 4 minhash longs per row) → exact Jaccard
+    self-join (band_id + 6 minhash longs per row — this family's
+    R = _NG_ROWS, not the 4 of the minhash family) → exact Jaccard
     verify only on surviving pairs, with the gram sets re-attached
     after the join; pairs below τ=0.5 are dropped (a dedup pair list,
     not an all-similarities dump).
@@ -560,21 +557,18 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_sim_topk",
-    oracle="""
+    oracle=f"""
     WITH probe AS (
         SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS p
         FROM embeddings
         WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
     )
     SELECT vec_id, label,
-           -- zero-norm guard: engine convention is cs = 0.0 (DuckDB's
-           -- list_cosine_similarity returns -1.0 on a zero vector,
-           -- Spark's unguarded division is an ANSI error)
-           round(CASE WHEN list_sum([x * x FOR x IN CAST(embedding AS DOUBLE[])]) = 0
-                        OR list_sum([x * x FOR x IN probe.p]) = 0
-                 THEN 0.0
-                 ELSE list_cosine_similarity(CAST(embedding AS DOUBLE[]), probe.p)
-                 END + 1e-9, 4) AS cos_sim
+           -- cosine_sql: the shared guard ladder (zero norm -> 0.0,
+           -- NULL element / dim mismatch -> NULL) mirroring the Spark
+           -- side's functions/similarity.cosine branch-for-branch
+           round({cosine_sql("CAST(embedding AS DOUBLE[])", "probe.p")}
+                 + 1e-9, 4) AS cos_sim
     FROM embeddings, probe
     WHERE vec_id <> probe.pid
     ORDER BY cos_sim DESC, vec_id
@@ -706,15 +700,15 @@ def _hyperplane_bucket_sql(tbl: str) -> str:
         FROM embeddings
     )
     SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])) + 1e-9, 4)
+           round({cosine_sql("CAST(a.embedding AS DOUBLE[])",
+                             "CAST(b.embedding AS DOUBLE[])")} + 1e-9, 4)
              AS cos_sim
     FROM sig a
     JOIN sig b
       ON a.bucket = b.bucket
      AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[]))
+    WHERE round({cosine_sql("CAST(a.embedding AS DOUBLE[])",
+                            "CAST(b.embedding AS DOUBLE[])")}
                 + 1e-9, 4) >= 0.25
     """,
 )

@@ -50,6 +50,13 @@ def _adversarial_vectors() -> list[tuple[int, list[float], int]]:
     # knn assignment must be NULL (no nearest centroid exists), and the
     # LSH sign bits must read 0 — all verified against the oracles
     rows.append((200_003, None, 3))
+    # a NULL ELEMENT: raw list_cosine_similarity hard-errors on it
+    # ('can not contain NULL values') — the cosine_sql guard ladder
+    # must score it NULL on both engines instead of crashing the
+    # oracle mid-sweep (round 11)
+    corrupt = [1.0 / 64.0] * DIM
+    corrupt[7] = None  # type: ignore[call-overload]
+    rows.append((200_004, corrupt, 4))
     return rows
 
 

@@ -602,6 +602,8 @@ def test_minhash_array_form_matches_row_form(spark):
         (2, "one two"),  # shorter than the shingle width k=3
         (3, "single"),
         (4, "the quick brown fox jumps over the lazy cat today"),
+        (5, ""),  # empty doc: one empty-string shingle, both forms
+        (6, None),  # NULL doc: contributes nothing, both forms
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     cols = [f"mh_{i}" for i in range(N_HASHES)]
@@ -610,6 +612,14 @@ def test_minhash_array_form_matches_row_form(spark):
         r.doc_id: tuple(r[c] for c in cols)
         for r in minhash_table(shingle_hash_rows(df, "doc_id"), "doc_id").collect()
     }
+    # a NULL doc: the row form drops it at posexplode; the array form
+    # keeps the row but with an all-NULL signature — NOT the empty
+    # document's signature (the old behavior), which made every NULL
+    # doc a jaccard-1.0 'duplicate' of every empty doc
+    null_sig = arr.pop(6)
+    assert null_sig == (None,) * N_HASHES
+    assert 6 not in row
+    assert arr[5] != null_sig  # empty doc has a REAL signature
     assert arr == row
 
 
@@ -866,3 +876,51 @@ def test_cosine_corrupt_vectors_stay_null(spark):
     assert got[2] == 0.0
     assert got[3] is None and got[4] is None and got[5] is None
     assert abs(got[6] + 1.0) < 1e-12
+
+
+def test_cosine_sql_mirrors_spark_cosine_on_adversarial_vectors(spark):
+    """cosine_sql (the shared oracle fragment) and functions.cosine
+    must agree branch-for-branch on every corrupt-input class: raw
+    list_cosine_similarity HARD-ERRORS on NULL elements and dimension
+    mismatches (inputs a fixture regen can ship), returns -1.0 on a
+    zero vector, and errors on empty lists — the guard ladder is what
+    keeps every similarity oracle comparable instead of crashing."""
+    import duckdb
+
+    from airflow_jira_etl_spark.functions.similarity import cosine, cosine_sql
+
+    cases = [
+        (1, [1.0, 2.0], [1.0, 2.0]),
+        (2, [0.0, 0.0], [1.0, 2.0]),   # zero norm -> 0.0
+        (3, [1.0, None], [1.0, 2.0]),  # NULL element -> NULL
+        (4, [1.0], [1.0, 2.0]),        # dim mismatch -> NULL
+        (5, None, [1.0, 2.0]),         # NULL list -> NULL
+        (6, [-1.0, -2.0], [1.0, 2.0]),
+        (7, [], []),                   # empty -> zero norm -> 0.0
+        (8, [0.0, 0.0], [1.0]),        # zero norm BUT mismatched -> NULL
+    ]
+    df = spark.createDataFrame(cases, "id long, a array<double>, b array<double>")
+    sp = {
+        r.id: r.cs
+        for r in df.select("id", cosine(F.col("a"), F.col("b")).alias("cs")).collect()
+    }
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({i}, {'NULL' if a is None else [x if x is not None else None for x in a]}::DOUBLE[], "
+        f"{'NULL' if b is None else [x if x is not None else None for x in b]}::DOUBLE[])".replace(
+            "None", "NULL"
+        )
+        for i, a, b in cases
+    )
+    du = dict(
+        con.execute(
+            f"SELECT id, {cosine_sql('a', 'b')} FROM (VALUES {values}) t(id, a, b)"
+        ).fetchall()
+    )
+    for i, _, _ in cases:
+        if sp[i] is None:
+            assert du[i] is None, f"case {i}: spark NULL, duckdb {du[i]}"
+        else:
+            assert du[i] is not None and abs(sp[i] - du[i]) < 1e-9, (
+                f"case {i}: spark {sp[i]}, duckdb {du[i]}"
+            )
