@@ -10,18 +10,12 @@ preserving attribute history as an SCD Type 2 dimension.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
 from airflow_jira_etl_spark.functions.rounding import fround, sql_fround
 from airflow_jira_etl_spark.registry import query
-
-SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
-)
 
 
 @query(

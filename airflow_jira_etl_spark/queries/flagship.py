@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.registry import query
 
 
@@ -43,10 +44,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
         )
         .agg(
-            F.round(
+            fround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + F.lit(1e-9),
-                4,
             ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )

@@ -283,7 +283,13 @@ def join_self_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair count LINEAR in table size — an unblocked label-only
     self-join is quadratic per label and dies at scale."""
     emb = catalog.load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", (F.col("vec_id") / 100).cast("long").alias("band")
+        "vec_id",
+        "label",
+        # floor, not a truncating cast: cast("long") rounds toward
+        # zero, so a NEGATIVE vec_id (-5 -> band 0, not -1) would band
+        # differently than the oracle's floor() — sign-safe integer
+        # math is the engine convention (win_concurrency_sweep)
+        F.floor(F.col("vec_id") / 100).cast("long").alias("band"),
     )
     a = emb.alias("a")
     b = emb.alias("b")
@@ -326,17 +332,20 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
 
-    from airflow_jira_etl_spark.catalog import table_path
-    from airflow_jira_etl_spark.scratch import SCRATCH, session_scratch
+    from airflow_jira_etl_spark.catalog import source_stamp, source_tag, table_path
+    from airflow_jira_etl_spark.scratch import SCRATCH
 
     wh = os.path.join(SCRATCH, "bucketed_wh")
-    # identifier-safe tag (sf dirs contain dots: sf0.01)
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    # identity = catalog.source_tag (basename + abspath hash, so two
+    # same-named fixtures at different paths get separate cache slots
+    # instead of thrashing one), made identifier-safe (sf dirs contain
+    # dots: sf0.01); content = catalog.source_stamp per table — a raw
+    # stat of the table path misses in-place part rewrites of a
+    # DIRECTORY-shaped source (its own mtime/size do not change), the
+    # staleness class every other shared cache already keys against
+    tag = source_tag(sf_dir).replace(".", "_")
     meta_path = os.path.join(wh, f"_META_{tag}.json")
-    meta = {}
-    for t in ("lineitem", "orders"):
-        st = os.stat(table_path(sf_dir, t))
-        meta[t] = [st.st_mtime_ns, st.st_size]
+    meta = {t: source_stamp(table_path(sf_dir, t)) for t in ("lineitem", "orders")}
     spark.sql(f"CREATE DATABASE IF NOT EXISTS buck_q LOCATION '{wh}'")
     li_name, o_name = f"buck_q.lineitem_{tag}", f"buck_q.orders_{tag}"
 
@@ -536,18 +545,36 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching directories is ever listed or read. At 100 TB this is THE
     star-join mechanism: date/tenant-partitioned facts are pruned by
     dimension predicates the fact table never mentions."""
+    import json
     import os
 
-    from airflow_jira_etl_spark.scratch import SCRATCH, session_scratch
+    from airflow_jira_etl_spark.catalog import source_stamp, source_tag, table_path
+    from airflow_jira_etl_spark.scratch import session_scratch
 
-    out_dir = session_scratch(
-        "events_dpp", os.path.basename(os.path.normpath(sf_dir))
-    )
+    # cache identity: source_tag (basename + abspath hash — two
+    # same-named fixtures at different paths must not share a slot)
+    # plus a content stamp checked per call — a bare _SUCCESS
+    # existence check (the old form) served STALE partitions for an
+    # in-place fixture regen within one session, the staleness class
+    # every shared cache keys against (streaming/source._src_fingerprint)
+    out_dir = session_scratch("events_dpp", source_tag(sf_dir))
+    stamp_path = os.path.join(out_dir, "_SRC_STAMP.json")
+    stamp = source_stamp(table_path(sf_dir, "events"))
     events = catalog.load(spark, sf_dir, "events").select(
         "event_id", "user_id", fround(F.col("value")).alias("value"), "event_type"
     )
-    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+
+    def _current() -> bool:
+        try:
+            with open(stamp_path) as f:
+                return json.load(f) == stamp
+        except (FileNotFoundError, json.JSONDecodeError):
+            return False
+
+    if not (os.path.exists(os.path.join(out_dir, "_SUCCESS")) and _current()):
         events.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+        with open(stamp_path, "w") as f:
+            json.dump(stamp, f)
     fact = spark.read.parquet(out_dir)
     dim = spark.createDataFrame(
         [("click", "Click"), ("view", "View"), ("error", "Error"),
@@ -582,15 +609,21 @@ def join_bnl_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; band tables are kept tiny precisely so they never shuffle
     the fact."""
     events = catalog.load(spark, sf_dir, "events")
+    # the top band is OPEN-ENDED (hi = NULL, no upper conjunct), as
+    # the oracle's 'value >= 50' is: a sentinel cap like 1e18 silently
+    # DROPS rows at or above it (value = 1e18 / +inf matches no band)
+    # — restating an open interval as a closed one is how band tables
+    # lose their tail
     bands = spark.createDataFrame(
         [(0.0, 2.0, "low"), (2.0, 10.0, "mid"),
-         (10.0, 50.0, "high"), (50.0, 1e18, "xl")],
-        ["lo", "hi", "band"],
+         (10.0, 50.0, "high"), (50.0, None, "xl")],
+        "lo double, hi double, band string",
     )
     return (
         events.join(
             F.broadcast(bands),
-            (events.value >= bands.lo) & (events.value < bands.hi),
+            (events.value >= bands.lo)
+            & (bands.hi.isNull() | (events.value < bands.hi)),
         )
         .select("event_id", fround(F.col("value")).alias("value"), "band")
     )

@@ -302,7 +302,7 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_meta,
         search_index,
     )
-    from airflow_jira_etl_spark.queries.scans import SCRATCH
+    from airflow_jira_etl_spark.scratch import SCRATCH
 
     # un-embeddable rows cannot be indexed: a NULL vector AND a vector
     # carrying a NULL ELEMENT both cosine to NULL against every

@@ -17,7 +17,7 @@ from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.operators.upsert import upsert
 from airflow_jira_etl_spark.registry import query
 
-from airflow_jira_etl_spark.scratch import SCRATCH, session_scratch
+from airflow_jira_etl_spark.scratch import session_scratch
 
 
 @query(
@@ -70,12 +70,18 @@ N_PAGES = 16
     "source_paged_union",
     oracle=f"""
     WITH bounds AS (
+        -- offset pagination is defined over NON-NEGATIVE ids only
+        -- (a paged protocol has no page below offset 0); the domain
+        -- filter is explicit on BOTH engines so a drifted fixture
+        -- with a NULL/negative event_id stays comparable instead of
+        -- silently disagreeing about its page
         SELECT CAST(ceil((max(event_id) + 1) / {N_PAGES}.0) AS BIGINT) AS page_size
-        FROM events
+        FROM events WHERE event_id >= 0
     )
     SELECT event_id, ts, user_id, event_type, value, props,
            CAST(floor(event_id / page_size) AS INTEGER) AS page_ord
     FROM events, bounds
+    WHERE event_id >= 0
     """,
 )
 def source_paged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,9 +90,21 @@ def source_paged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the A3 capture at :141-142), then N_PAGES offset ranges are
     fetched as independent page DataFrames and unioned with a page
     ordinal — the fan-out parallelism the serial reference loop cannot
-    do. Each page filter prunes its scan to the offset range."""
-    events = catalog.load(spark, sf_dir, "events")
-    total = events.agg(F.max("event_id")).collect()[0][0] + 1
+    do. Each page filter prunes its scan to the offset range. The
+    explicit ``event_id >= 0`` domain filter (both engines — see the
+    oracle comment) makes the paged protocol's offset domain a stated
+    contract rather than an accident of the page predicates; an empty
+    (or all-out-of-domain) table raises the same loud error as the
+    streaming page builder instead of a bare ``None + 1`` TypeError."""
+    events = catalog.load(spark, sf_dir, "events").where(F.col("event_id") >= 0)
+    max_id = events.agg(F.max("event_id")).collect()[0][0]
+    if max_id is None:
+        raise ValueError(
+            "source_paged_union: events has no rows with event_id >= 0 "
+            "— an offset-paged protocol cannot be derived from an "
+            "empty source (same refusal class as write_event_pages)"
+        )
+    total = max_id + 1
     page_size = -(-total // N_PAGES)  # ceil
     pages = [
         events.where(

@@ -22,6 +22,18 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
     con = duckdb.connect()
+    # pin the session timezone: DuckDB's ICU extension defaults
+    # TimeZone to the HOST zone, so any oracle that round-trips
+    # through TIMESTAMPTZ (to_timestamp + cast to naive) would shift
+    # by the host's UTC offset on a non-UTC machine while the Spark
+    # side is pinned to UTC in session.py — a whole-row red that only
+    # reproduces on some hosts. Guarded with try: the ICU extension
+    # (which owns the setting) may be absent in a minimal build, and
+    # without ICU there is no TIMESTAMPTZ conversion to drift.
+    try:
+        con.execute("SET TimeZone='UTC'")
+    except duckdb.Error:
+        pass
     for name in TABLES:
         path = table_path(sf_dir, name)
         # a fixture may ship as one file or a Spark-style directory of
