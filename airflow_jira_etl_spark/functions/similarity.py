@@ -45,18 +45,34 @@ def cosine(a: Column, b: Column) -> Column:
     ships one). Those now propagate NULL on both engines.
 
     The guard LADDER here and in :func:`cosine_sql` must stay
-    branch-for-branch identical — it IS the cross-engine contract:
-    NULL vector → NULL; length mismatch → NULL (checked BEFORE the
-    zero-norm branch, or a zero vector paired with a short one scores
-    0.0 on one engine and NULL on the other); NULL element → NULL
-    (here: NULL norms make denom NULL, so every later branch
-    propagates); zero norm (incl. empty vectors) → 0.0."""
-    denom = F.sqrt(norm2(a)) * F.sqrt(norm2(b))
-    return (
-        F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
-        .when(F.size(a) != F.size(b), F.lit(None).cast("double"))
-        .when(denom == 0, F.lit(0.0))
-        .otherwise(F.try_divide(dot(a, b), denom))
+    decision-for-decision identical — it IS the cross-engine contract:
+    NULL vector → NULL; length mismatch → NULL (decided BEFORE the
+    zero-norm outcome, or a zero vector paired with a short one scores
+    0.0 on one engine and NULL on the other); NULL element → NULL;
+    zero norm (incl. empty vectors) → 0.0.
+
+    Cost note: the corrupt-input tests are size/isNull scans (no
+    multiplies), and the division keeps the single
+    coalesce(try_divide) shape so the norm product is EVALUATED ONCE —
+    an earlier form tested ``denom == 0`` in a when-branch and divided
+    by denom in another, and codegen evaluated the two norm folds
+    twice (~+70% on the pair-threshold query). For CLEAN inputs
+    try_divide is NULL exactly when the norm product is 0 (a zero-norm
+    side also zeroes the dot), so the coalesce's 0.0 is reached ONLY
+    by the zero-norm case — the corrupt cases are already routed to
+    NULL by the when."""
+    corrupt = (
+        a.isNull()
+        | b.isNull()
+        | (F.size(a) != F.size(b))
+        | F.exists(a, lambda x: x.isNull())
+        | F.exists(b, lambda x: x.isNull())
+    )
+    return F.when(corrupt, F.lit(None).cast("double")).otherwise(
+        F.coalesce(
+            F.try_divide(dot(a, b), F.sqrt(norm2(a)) * F.sqrt(norm2(b))),
+            F.lit(0.0),
+        )
     )
 
 
