@@ -73,19 +73,37 @@ def resident_storage(spark) -> tuple[int, int]:
 def main(argv: list[str]) -> int:
     import airflow_jira_etl_spark.operators.components as C
 
+    from airflow_jira_etl_spark.checkpoint import release_local_checkpoint
+
     mults = [int(m) for m in (argv[1].split(",") if len(argv) > 1 else ["1", "5", "20"])]
     spark = get_spark("components-scale-probe")
+    # measure through the PUBLIC wrapper (forced onto the distributed
+    # path) so the loop runs under the same edge-count-scaled
+    # scoped_shuffle_partitions the registered clusters queries use —
+    # calling C._connected_components directly ran the fixpoint at the
+    # session default width, a different configuration than the one
+    # the probe's PLANS numbers claim to describe
+    C.SMALL_EDGE_LIMIT = 0
     for mult in mults:
         pairs = build_pairs(spark, mult)
         n_edges = pairs.count()  # outside the timed window
         t0 = time.perf_counter()
-        labels = C._connected_components(pairs, max_iters=20)
+        labels = C.connected_components(pairs, max_iters=20)
         bad = labels.where(
             F.col("component") != expected_component(F.col("id"))
         ).count()
         n_vertices = labels.count()
         wall = time.perf_counter() - t0
         spark.catalog.clearCache()
+        # release the returned (newest) label generation — the
+        # operator deliberately leaves it alive for the caller, and
+        # clearCache() does NOT drop localCheckpoint RDD blocks, so
+        # without this the NEXT multiple's resident_after reading
+        # includes the previous run's generation and the probe's
+        # "storage stays ~one generation" claim reads as a leak that
+        # is actually measurement contamination
+        labels.unpersist()
+        release_local_checkpoint(labels)
         n_rdds, res_bytes = resident_storage(spark)
         print(
             f"mult={mult}: edges={n_edges} vertices={n_vertices} "

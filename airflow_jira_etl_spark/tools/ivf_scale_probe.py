@@ -48,6 +48,7 @@ import time
 from pyspark.sql import functions as F
 
 from airflow_jira_etl_spark import catalog
+from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.operators.ivf import (
     build_index,
     cosine,
@@ -107,9 +108,12 @@ def main(argv: list[str]) -> int:
                 corpus.where(F.col("vec_id") != probe_id)
                 .crossJoin(F.broadcast(probe))
                 .select(
-                    F.round(
-                        cosine(F.col("embedding"), F.col("p")) + F.lit(1e-9), 4
-                    ).alias("cos_sim")
+                    # fround, not an inline copy of its constants: the
+                    # recall comparison needs BOTH sides on the one
+                    # rounding convention (functions/rounding.py)
+                    fround(cosine(F.col("embedding"), F.col("p"))).alias(
+                        "cos_sim"
+                    )
                 )
                 .orderBy(F.col("cos_sim").desc())
                 .limit(10)

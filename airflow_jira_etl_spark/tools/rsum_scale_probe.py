@@ -137,9 +137,24 @@ def main(argv: list[str]) -> int:
         got_r = {r.day_idx: (r.mx, r.c) for r in daily_max_rsum(pts).collect()}
         r_wall = time.time() - t0
         spark.catalog.clearCache()
-        assert got_w == got_r and got_r, (
-            f"form divergence at {label}: {len(got_w)} vs {len(got_r)} days"
-        )
+        # explicit check, not a bare assert: under `python -O` asserts
+        # are stripped and the probe would silently stop being an
+        # equivalence gate; on divergence name the first differing day
+        # and its values, not just the day counts
+        if not got_r or got_w != got_r:
+            diff = sorted(
+                k
+                for k in set(got_w) | set(got_r)
+                if got_w.get(k) != got_r.get(k)
+            )[:3]
+            detail = ", ".join(
+                f"day {k}: window={got_w.get(k)} rsum={got_r.get(k)}"
+                for k in diff
+            )
+            raise RuntimeError(
+                f"form divergence at {label} ({len(got_w)} vs "
+                f"{len(got_r)} days): {detail or 'both empty'}"
+            )
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         print(
             f"RESULT {label} points={n_pts} days={len(got_r)} "

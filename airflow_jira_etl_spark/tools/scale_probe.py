@@ -108,9 +108,20 @@ def probe_embeddings(spark, sf_dir: str, mults: list[int]) -> None:
     def corpus(mult: int):
         def rotate(df, r: int):
             # r can exceed dim at large mults: rotate by r % dim and
-            # sign-flip every second dim-block so replica r >= dim is
-            # still a genuinely new vector (not an exact copy of
-            # replica r - dim, which would fake near-dup candidates)
+            # sign-flip every second dim-block so replica r in
+            # [dim, 2*dim) is still a genuinely new vector. The trick
+            # EXHAUSTS at r = 2*dim — replica r would be an exact copy
+            # of replica r - 2*dim (same rotation, same parity),
+            # silently faking near-dup candidates in every bucket and
+            # invalidating the geometry comparison — so refuse rather
+            # than fabricate
+            if r >= 2 * dim:
+                raise ValueError(
+                    f"scale_probe: replica {r} >= 2*dim ({2 * dim}) "
+                    f"would duplicate replica {r - 2 * dim} exactly — "
+                    f"the rotate+flip family supports at most "
+                    f"{2 * dim} distinct replicas; lower the mult"
+                )
             if r == 0:
                 return df
             k = r % dim

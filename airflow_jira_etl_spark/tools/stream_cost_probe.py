@@ -73,11 +73,24 @@ def run_probe(sf_dir: str, runs: int = 2, scratch: str | None = None) -> dict:
     """Returns {variant: steady_seconds}; prints one line per run."""
     from airflow_jira_etl_spark.queries.streaming_queries import SCRATCH
 
+    from airflow_jira_etl_spark.scratch import session_scratch
+
+    explicit_scratch = scratch
     scratch = scratch or SCRATCH
     spark = get_spark("stream-cost-probe")
     pages = pages_dir_for(scratch, sf_dir)
     write_event_pages(spark, sf_dir, pages, n_pages=4)
-    ck_root = os.path.join(scratch, "checkpoints", "cost_probe")
+    # checkpoints are PER-SESSION scratch (pid-keyed + dead-session
+    # reaped), never a fixed shared path: a fixed path rmtree'd at run
+    # start would delete a CONCURRENT session's in-flight probe
+    # checkpoint (the exact hazard scratch.py's docstring names), and
+    # fixed leftovers matched no reaper. An explicitly-passed scratch
+    # (the tests' tmp dir) keeps everything under the caller's dir.
+    ck_root = (
+        os.path.join(explicit_scratch, "checkpoints_cost_probe")
+        if explicit_scratch
+        else session_scratch("checkpoints", "cost_probe")
+    )
     steady: dict[str, float] = {}
     for name, mk in _variants().items():
         for i in range(runs):

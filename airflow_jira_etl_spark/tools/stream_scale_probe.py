@@ -97,10 +97,23 @@ def main(argv: list[str]) -> int:
         registry.QUERIES[name](spark, sf_dir).collect()
 
     root = tempfile.mkdtemp(prefix="stream_scale_")
+    staged: list[str] = []
     try:
         for mult in mults:
             out_dir = os.path.join(root, f"x{mult}")
             os.makedirs(out_dir)
+            # the streaming queries stage event pages under the SHARED
+            # page cache keyed by this out_dir's (unique, per-run)
+            # path hash — no later run can ever cache-hit them and no
+            # reaper matches shared caches, so without explicit
+            # cleanup every probe invocation strands a full scaled
+            # copy of the events table in .scratch
+            from airflow_jira_etl_spark.queries.streaming_queries import (
+                SCRATCH as _STREAM_SCRATCH,
+            )
+            from airflow_jira_etl_spark.streaming.source import pages_dir_for
+
+            staged.append(pages_dir_for(_STREAM_SCRATCH, out_dir))
             build_scaled(sf_dir, mult, out_dir)
             n_ev = catalog.load(spark, out_dir, "events").count()
             cells = []
@@ -116,6 +129,8 @@ def main(argv: list[str]) -> int:
             print(f"RESULT mult={mult} events={n_ev} " + " ".join(cells), flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        for d in staged:
+            shutil.rmtree(d, ignore_errors=True)
     return 0
 
 

@@ -78,6 +78,21 @@ def main() -> None:
     sys.path.insert(0, repo_root)
     from airflow_jira_etl_spark import registry
 
+    # the sys.path insert cannot re-route an ALREADY-imported package:
+    # running `python -m airflow_jira_etl_spark.tools.sweep_advisor
+    # /other/repo` from repo A imports A's registry regardless, and
+    # the output would silently rank B's evidence artifacts against
+    # A's query set (B-checked queries green, A-only queries
+    # never-checked). Refuse the mismatch instead of lying.
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(registry.__file__))
+    )
+    if os.path.realpath(pkg_root) != os.path.realpath(repo_root):
+        raise SystemExit(
+            f"sweep_advisor: evidence root {repo_root!r} is not the "
+            f"repo this package was imported from ({pkg_root!r}) — "
+            f"run the tool from inside the target repo"
+        )
     registry.load_all_queries()
     ev = evidence_by_query(repo_root)
     for rank, (name, rnd, green) in enumerate(
