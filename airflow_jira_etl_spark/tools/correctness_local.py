@@ -66,8 +66,16 @@ def main(argv: list[str]) -> int:
         # 140+-query sweep. (bench.py deliberately does NOT clear
         # between measured queries — plan-identical caches are shared
         # across the LSH family there by design; here memory bounds
-        # matter more than steady-state timing.)
-        spark.catalog.clearCache()
+        # matter more than steady-state timing.) Guarded: if the
+        # failing query KILLED the session (JVM OOM, dead Py4J
+        # gateway), clearCache would raise OUTSIDE the per-query
+        # except and abort the sweep with every completed result
+        # unwritten — exactly the partial evidence the artifact exists
+        # to preserve.
+        try:
+            spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001
+            print(f"# clearCache failed after {name}: {exc}", file=sys.stderr)
         if rec["err"] not in (None, "no_oracle") or False in (
             rec["rows_match"],
             rec["schema_match"],

@@ -37,6 +37,11 @@ def replicate_with_stride(
     ``r * stride`` in replica ``r``; ``transform(df, r)`` lets a caller
     mutate replica rows further (e.g. suffix text so replicas are
     near- rather than exact duplicates)."""
+    if mult < 1:
+        # a 0/negative multiplier (an off-by-one in a probe's MULTS
+        # list) otherwise surfaces as an opaque IndexError on parts[0]
+        # — same guard class as key_stride's degenerate-input check
+        raise ValueError(f"replicate_with_stride: mult must be >= 1, got {mult}")
     parts = []
     for r in range(mult):
         p = df.withColumn(key, F.col(key) + F.lit(r * stride))

@@ -45,6 +45,8 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_value(v):
+    import decimal
+
     if v is None:
         return None
     if isinstance(v, bool):
@@ -52,7 +54,27 @@ def _canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, ROUND_DP)
+        # + 0.0 collapses -0.0 to 0.0: the two compare EQUAL cell-wise
+        # but render differently ('-0.0' vs '0.0'), and the row sort
+        # keys on the rendering — an engine pair disagreeing only on
+        # zero SIGN would misalign the sorted row lists and report a
+        # false 'values differ'
+        return round(v, ROUND_DP) + 0.0
+    if isinstance(v, decimal.Decimal):
+        # Decimal == float is EXACT (almost always False), so a
+        # DECIMAL-typed oracle column mismatches the Spark float even
+        # when values agree at 4 dp — same loud-guidance design as the
+        # tz-aware branch below
+        raise TypeError(
+            "DECIMAL-typed value in oracle/Spark result; CAST the "
+            "column AS DOUBLE so the 4-dp float convention applies"
+        )
+    if hasattr(v, "asDict"):
+        # a Spark Row (struct-typed column) is a tuple subclass: the
+        # bare-tuple canon would never match DuckDB's dict canon for
+        # the same struct — canonicalize both to sorted (key, value)
+        # pairs
+        return tuple(sorted((k, _canon_value(x)) for k, x in v.asDict().items()))
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
             # The driver compares schemas strictly: a DuckDB TIMESTAMPTZ
