@@ -221,3 +221,43 @@ def test_scd2_rejects_empty_attrs(spark):
     changes = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="attrs must be non-empty"):
         scd2_merge(dim, changes, "k", [], "2024-06-01")
+
+
+def test_scd2_scale_probe_smoke(spark):
+    """The probe (tools/scd2_scale_probe) must run end-to-end at a
+    small multiple, agree between the two merge forms, and show the
+    plan contrast its PLANS numbers rest on. The contrast is asserted
+    under autoBroadcastJoinThreshold=-1 — the cluster-scale statistics
+    where the dimension is too big for AQE to volunteer a broadcast:
+    the rewritten form's EXPLICIT hints survive the disabled threshold
+    (its join shapes support broadcast), while the retired full-outer
+    form's ignored hint leaves at least one dimension-side
+    SortMergeJoin. (At tiny row counts with the threshold on, Catalyst
+    eliminates the outer join per filtered branch and broadcasts
+    everything, so the contrast only shows under the scale confs.)"""
+    from airflow_jira_etl_spark.operators.scd2 import scd2_merge
+    from airflow_jira_etl_spark.tools import scd2_scale_probe as P
+
+    dim = P.build_dim(spark, 1).limit(50_000)
+    changes = P.build_changes(spark, 1)
+
+    bc = scd2_merge(dim, changes, "k", ["attr"], P.EFFECTIVE)
+    fo = P.full_outer_merge(dim, changes, "k", ["attr"], P.EFFECTIVE)
+    assert P._summary(bc) == P._summary(fo)
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        bc_plan = (
+            scd2_merge(dim, changes, "k", ["attr"], P.EFFECTIVE)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        fo_plan = (
+            P.full_outer_merge(dim, changes, "k", ["attr"], P.EFFECTIVE)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set(key, old)
+    assert "SortMergeJoin" not in bc_plan and "BroadcastHashJoin" in bc_plan
+    assert "SortMergeJoin" in fo_plan
