@@ -81,6 +81,8 @@ def scd2_merge(
     the same guard. A dim row whose ``is_current`` is NULL is history
     (NULL is not current) — the null-safe split below keeps it; a plain
     boolean filter pair would silently drop it from the output."""
+    import datetime
+
     from airflow_jira_etl_spark.operators.upsert import upsert
 
     if not attrs:
@@ -90,6 +92,32 @@ def scd2_merge(
             "ever close or open a version (a key-only dimension wants "
             "a plain keyed upsert, not SCD2)"
         )
+    # validate BEFORE building the plan: under ANSI mode a malformed
+    # literal throws a generic cast error deep in execution; with ANSI
+    # disabled (a common legacy deployment setting) it casts to NULL
+    # silently — closed rows get valid_to=NULL and opened rows
+    # valid_from=NULL, corrupting history with no signal anywhere
+    try:
+        datetime.date.fromisoformat(effective)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"scd2_merge: effective must be a YYYY-MM-DD date literal, "
+            f"got {effective!r} — a malformed date would NULL out "
+            f"valid_from/valid_to under non-ANSI configs"
+        ) from None
+    # helper-name collisions REPLACE or ambiguate real data columns
+    # (the upsert._check_merge_inputs class of hazard): a dim column
+    # named like a __u_ shadow makes the diff read the wrong side
+    # via an ambiguous-reference error at best
+    helpers = {f"__u_{a}" for a in attrs} | {"__in_upd"}
+    for side, df in (("dim", dim), ("changes", changes)):
+        clash = sorted(helpers.intersection(df.columns))
+        if clash:
+            raise ValueError(
+                f"scd2_merge: column(s) {clash} in {side} collide with "
+                f"the merge's internal helper columns — rename them "
+                f"before merging"
+            )
     eff = F.lit(effective).cast("date")
     cur = dim.where(F.col("is_current").eqNullSafe(F.lit(True)))
     hist = dim.where(~F.col("is_current").eqNullSafe(F.lit(True)))

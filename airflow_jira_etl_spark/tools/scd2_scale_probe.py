@@ -19,10 +19,19 @@ carries SortMergeJoin where the broadcast form's carries none.
 
 Usage::
 
-    python -m airflow_jira_etl_spark.tools.scd2_scale_probe [mults]
+    python -m airflow_jira_etl_spark.tools.scd2_scale_probe [mults] [src]
 
 ``mults`` defaults to ``1,5,20`` (dimension = 1M rows x mult; batch
 fixed at 2 000 changes: half updating existing keys, half brand-new).
+``src`` is ``parquet`` (default) or ``range``: the range-generated
+dimension of the original r11 run understates the contrast twice over
+— a Range source has no column pruning for the broadcast form's
+key-only second scan to win, and nothing I/O-shaped for the full-outer
+form's exchange to amplify. ``parquet`` materializes the dimension to
+scratch once per mult and both arms read it back, so the probe
+measures the production shape: a file-backed dimension where
+ReadSchema shows the pruned scan and the shuffle pays real
+serialization.
 """
 
 from __future__ import annotations
@@ -50,6 +59,23 @@ def build_dim(spark, mult: int) -> DataFrame:
         F.lit(None).cast("date").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
+
+
+def parquet_dim(spark, mult: int) -> DataFrame:
+    """Materialize build_dim(mult) to scratch parquet (once — reruns
+    reuse it via a row-count sentinel in the path) and read it back:
+    the file-backed dimension the operator actually merges against in
+    production. Written WITHOUT sorting/partitioning games so neither
+    arm gets an accidental clustering advantage."""
+    import os
+
+    from airflow_jira_etl_spark.scratch import SCRATCH
+
+    n = BASE_DIM * mult
+    path = os.path.join(SCRATCH, f"scd2_probe_dim_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_dim(spark, mult).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def build_changes(spark, mult: int) -> DataFrame:
@@ -133,14 +159,20 @@ def main(argv: list[str]) -> int:
     from airflow_jira_etl_spark.operators.scd2 import scd2_merge
 
     mults = [int(m) for m in (argv[1].split(",") if len(argv) > 1 else ["1", "5", "20"])]
+    src = argv[2] if len(argv) > 2 else "parquet"
+    if src not in ("parquet", "range"):
+        raise SystemExit(f"src must be parquet|range, got {src!r}")
     spark = get_spark("scd2-scale-probe")
     # pay codegen once, untimed
     scd2_merge(
         build_dim(spark, 1).limit(1000), build_changes(spark, 1), "k",
         ["attr"], EFFECTIVE,
     ).count()
+    make_dim = parquet_dim if src == "parquet" else build_dim
     for mult in mults:
-        dim = build_dim(spark, mult)
+        if src == "parquet":
+            parquet_dim(spark, mult)  # materialize untimed
+        dim = make_dim(spark, mult)
         changes = build_changes(spark, mult)
         t0 = time.perf_counter()
         bc = scd2_merge(dim, changes, "k", ["attr"], EFFECTIVE)
@@ -155,11 +187,16 @@ def main(argv: list[str]) -> int:
         if bc_sum != fo_sum:
             print(f"DIVERGENCE at mult={mult}: {bc_sum} vs {fo_sum}")
             return 1
+        # the broadcast form's second dimension scan must be key-only
+        # on a file source — the pruning advantage the range source
+        # could never show
+        pruned = "ReadSchema: struct<k:bigint>" in bc_plan
         print(
-            f"RESULT mult={mult} dim={BASE_DIM * mult} "
+            f"RESULT src={src} mult={mult} dim={BASE_DIM * mult} "
             f"broadcast_s={bc_wall:.1f} fullouter_s={fo_wall:.1f} "
             f"broadcast_smj={bc_plan.count('SortMergeJoin')} "
-            f"fullouter_smj={fo_plan.count('SortMergeJoin')}",
+            f"fullouter_smj={fo_plan.count('SortMergeJoin')} "
+            f"keyonly_scan_pruned={pruned}",
             flush=True,
         )
     return 0

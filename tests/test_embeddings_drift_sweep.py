@@ -83,6 +83,110 @@ def emb_fixture(tmp_path_factory):
     return tmp
 
 
+def test_cosine_ladder_parity_on_mixed_corrupt_chunks(spark):
+    """The guard-ladder contract (functions/similarity.py) attacked at
+    the DuckDB VECTOR-SIZE boundary: the cosine_sql docstring's claim —
+    eager branch evaluation over a chunk is harmless because the ELSE
+    is throw-free — was verified on sub-chunk fixtures; DuckDB
+    vectorizes in 2048-row chunks, so a >2048-row table with corrupt
+    rows scattered across EVERY chunk is the shape that would expose a
+    per-chunk behavior change (one corrupt row poisoning its whole
+    chunk, or a guard decided per-chunk instead of per-row).
+
+    5000 rows, five corrupt shapes interleaved by id stride so each
+    2048-row chunk carries all of them: NULL vector, NULL element,
+    length mismatch, zero vector, and an empty-empty pair. Expected
+    class is asserted row-by-row AND values must match Spark's ladder
+    decision-for-decision."""
+    import duckdb
+    import pandas as pd
+
+    from airflow_jira_etl_spark.functions.similarity import (
+        cosine,
+        cosine_sql,
+    )
+
+    dim = 8
+    rng = random.Random(4242)
+
+    def clean():
+        return [rng.randint(-32, 32) / 64.0 for _ in range(dim)]
+
+    rows = []
+    for i in range(5000):
+        a, b, kind = clean(), clean(), "clean"
+        if i % 97 == 3:
+            a, kind = None, "null_vec"
+        elif i % 89 == 5:
+            b = clean()
+            b[i % dim] = None
+            kind = "null_el"
+        elif i % 83 == 7:
+            a, kind = clean()[: dim - 2], "len_mismatch"
+        elif i % 79 == 11:
+            b, kind = [0.0] * dim, "zero_norm"
+        elif i % 73 == 13:
+            a, b, kind = [], [], "empty_pair"
+        rows.append((i, a, b, kind))
+    kinds = {r[3] for r in rows}
+    assert kinds == {
+        "clean", "null_vec", "null_el", "len_mismatch", "zero_norm",
+        "empty_pair",
+    }
+    # every 2048-row duckdb chunk must carry corrupt rows
+    for lo in range(0, 5000, 2048):
+        assert any(r[3] != "clean" for r in rows[lo : lo + 2048])
+
+    con = duckdb.connect()
+    con.register(
+        "pairs_pd",
+        pd.DataFrame(
+            {
+                "id": [r[0] for r in rows],
+                "a": [r[1] for r in rows],
+                "b": [r[2] for r in rows],
+            }
+        ),
+    )
+    con.execute(
+        "CREATE VIEW pairs AS SELECT id, CAST(a AS FLOAT[]) a, "
+        "CAST(b AS FLOAT[]) b FROM pairs_pd"
+    )
+    duck = dict(
+        con.execute(
+            f"SELECT id, round(CAST({cosine_sql('a', 'b')} AS DOUBLE), 7)"
+            f" FROM pairs"
+        ).fetchall()
+    )
+
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows],
+        "id long, a array<float>, b array<float>",
+    )
+    got = {
+        r.id: r.cs
+        for r in sdf.select(
+            "id", F.round(cosine(F.col("a"), F.col("b")), 7).alias("cs")
+        ).collect()
+    }
+
+    by_kind = {r[0]: r[3] for r in rows}
+    mismatches = []
+    for i, kind in by_kind.items():
+        s, d = got[i], duck[i]
+        if kind in ("null_vec", "null_el", "len_mismatch"):
+            ok = s is None and d is None
+        elif kind in ("zero_norm", "empty_pair"):
+            ok = s == 0.0 and d == 0.0
+        else:
+            ok = s is not None and d is not None and s == d
+        if not ok:
+            mismatches.append((i, kind, s, d))
+    assert not mismatches, f"{len(mismatches)} diverge: {mismatches[:5]}"
+
+
 def test_all_embeddings_oracles_survive_vector_drift(spark, emb_fixture):
     con = duckdb_conn(emb_fixture)
     failures = {}

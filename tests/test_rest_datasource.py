@@ -304,6 +304,29 @@ def _stream_reader():
     )
 
 
+def test_replay_partial_shrink_raises_with_counts(spark):
+    """The source shrank BETWEEN commit and replay but not to zero: a
+    committed range [0, 5) against a server that now holds only 3
+    records must reconstruct the surviving prefix and then FAIL loudly
+    (naming how many of how many records it recovered) — the
+    empty-at-first-offset case alone doesn't pin this path, and a
+    partial batch silently committed downstream is the worst form of
+    the data-loss hazard (some rows present, no signal which are
+    missing). With the explicit opt-in the truncated prefix flows."""
+    r = _stream_reader()
+    data = [{"id": str(i)} for i in range(3)]  # was 20 at commit time
+    r._fetch_page = lambda start_at: {
+        "total": 3,
+        "maxResults": 5,
+        "issues": data[start_at : start_at + 5],
+    }
+    with pytest.raises(RuntimeError, match="3 of 5"):
+        list(r.readBetweenOffsets({"startAt": 0}, {"startAt": 5}))
+    r.fail_on_data_loss = False
+    got = [t[0] for t in r.readBetweenOffsets({"startAt": 0}, {"startAt": 5})]
+    assert got == ["0", "1", "2"]
+
+
 def test_offset_advance_equals_emitted_count(spark):
     """read() must advance the committed offset by exactly the number
     of records EMITTED — the invariant readBetweenOffsets reconstructs

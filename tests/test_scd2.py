@@ -223,6 +223,118 @@ def test_scd2_rejects_empty_attrs(spark):
         scd2_merge(dim, changes, "k", [], "2024-06-01")
 
 
+def test_scd2_reopened_key_inserts_new_current(spark):
+    """A key whose versions are ALL closed (no current row) receives a
+    change: it must re-enter via the new-key path (the key-only semi
+    probe sees only CURRENT rows, so a history-only key is 'new') —
+    one fresh current version, history untouched. A probe over the
+    whole dimension instead of the current slice would classify it as
+    matched and silently drop the change."""
+    dim = _dim(spark, [(1, "OLD", D(2023, 1, 1), D(2024, 1, 1), False)])
+    ch = _ch(spark, [(1, "NEW")])
+    out = scd2_merge(dim, ch, "k", ["seg"], "2024-06-01").collect()
+    rows = {(r.seg, r.is_current): r for r in out}
+    assert len(out) == 2
+    assert rows[("OLD", False)].valid_to == D(2024, 1, 1)
+    reopened = rows[("NEW", True)]
+    assert reopened.valid_from == D(2024, 6, 1)
+    assert reopened.valid_to is None
+
+
+def test_scd2_duplicate_new_key_dedups_before_insert(spark):
+    """Duplicates of a key ABSENT from the dimension exercise the
+    OTHER scan path (the semi/anti new-key probe): without the
+    intra-batch dedup the anti join would insert one current row PER
+    duplicate. Last writer wins — including when the last duplicate
+    carries a NULL attribute (NULL-ness must not demote it)."""
+    dim = _dim(spark, [(1, "A", D(2024, 1, 1), None, True)])
+    ch = spark.createDataFrame(
+        [(9, "X", 0), (9, None, 1)], "k long, seg string, ord long"
+    )
+    out = scd2_merge(
+        dim, ch, "k", ["seg"], "2024-06-01", ordinal_col="ord"
+    ).collect()
+    inserted = [r for r in out if r.k == 9]
+    assert len(inserted) == 1
+    assert inserted[0].seg is None and inserted[0].is_current
+    assert [r.seg for r in out if r.k == 1] == ["A"]  # untouched
+
+
+def test_scd2_duplicate_keys_last_writer_identical_is_noop(spark):
+    """An earlier duplicate DIFFERS but the LAST one matches the
+    current version: the batch must resolve to the last writer BEFORE
+    the diff, so no version churn. Diffing against the first (or any
+    non-last) duplicate would fork history on a no-op batch."""
+    dim = _dim(spark, [(1, "A", D(2024, 1, 1), None, True)])
+    ch = spark.createDataFrame(
+        [(1, "B", 0), (1, "A", 1)], "k long, seg string, ord long"
+    )
+    out = scd2_merge(
+        dim, ch, "k", ["seg"], "2024-06-01", ordinal_col="ord"
+    ).collect()
+    assert len(out) == 1
+    assert out[0].seg == "A" and out[0].is_current
+    assert out[0].valid_from == D(2024, 1, 1)
+
+
+def test_scd2_duplicate_keys_null_diff_both_paths(spark):
+    """The verdict-r11 combined attack: duplicates + NULL attribute
+    diffs across BOTH scan paths in one batch. k=1 exists with seg
+    NULL and the last duplicate re-sends NULL (null-safe no-op even
+    though the earlier duplicate differed); k=2 is brand-new with a
+    NULL last writer (inserted once, NULL preserved)."""
+    dim = _dim(spark, [(1, None, D(2024, 1, 1), None, True)])
+    ch = spark.createDataFrame(
+        [(1, "X", 0), (1, None, 1), (2, "Y", 0), (2, None, 1)],
+        "k long, seg string, ord long",
+    )
+    out = scd2_merge(
+        dim, ch, "k", ["seg"], "2024-06-01", ordinal_col="ord"
+    ).collect()
+    k1 = [r for r in out if r.k == 1]
+    k2 = [r for r in out if r.k == 2]
+    assert len(k1) == 1 and k1[0].is_current  # NULL<=>NULL no-op
+    assert k1[0].valid_from == D(2024, 1, 1)
+    assert len(k2) == 1 and k2[0].seg is None and k2[0].is_current
+    assert k2[0].valid_from == D(2024, 6, 1)
+
+
+def test_scd2_rejects_malformed_effective_date(spark):
+    """A malformed effective literal must fail at CALL time with the
+    contract named: under ANSI it otherwise surfaces as a generic cast
+    error mid-execution, and with ANSI disabled it casts to NULL —
+    closed rows get valid_to=NULL, silently corrupting history."""
+    import pytest
+
+    dim = _dim(spark, [(1, "A", D(2024, 1, 1), None, True)])
+    ch = _ch(spark, [(1, "B")])
+    with pytest.raises(ValueError, match="YYYY-MM-DD"):
+        scd2_merge(dim, ch, "k", ["seg"], "June 1, 2024")
+    with pytest.raises(ValueError, match="YYYY-MM-DD"):
+        scd2_merge(dim, ch, "k", ["seg"], None)  # type: ignore[arg-type]
+
+
+def test_scd2_rejects_helper_column_collision(spark):
+    """A dim/changes column named like an internal helper (__u_<attr>,
+    __in_upd) would ambiguate or shadow the diff columns — the raw
+    failure is an AMBIGUOUS_REFERENCE deep in analysis; the guard
+    names the actual problem."""
+    import pytest
+
+    dim = _dim(spark, [(1, "A", D(2024, 1, 1), None, True)])
+    ch = _ch(spark, [(1, "B")])
+    with pytest.raises(ValueError, match="collide"):
+        scd2_merge(
+            dim.withColumn("__u_seg", F.lit("x")), ch, "k", ["seg"],
+            "2024-06-01",
+        )
+    with pytest.raises(ValueError, match="collide"):
+        scd2_merge(
+            dim, ch.withColumn("__in_upd", F.lit(True)), "k", ["seg"],
+            "2024-06-01",
+        )
+
+
 def test_scd2_scale_probe_smoke(spark):
     """The probe (tools/scd2_scale_probe) must run end-to-end at a
     small multiple, agree between the two merge forms, and show the
