@@ -38,7 +38,13 @@ MAX_ITERS = 50
 # size rule as a broadcast join's small side. Dup-pair edges are a tiny
 # fraction of any corpus (they only exist where near-duplicates exist),
 # so in practice most dedup runs take this path; the distributed loop
-# is the correctness rail for adversarial corpora.
+# is the correctness rail for adversarial corpora. Boundary probed in
+# r12 (`components_scale_probe boundary`, PLANS.md): a limit-sized
+# collect peaks at ~91 MB driver heap (~0.45 MB per 1k edges), and the
+# local[32] wall crossover sits near 100k — the limit stays above it
+# because local mode gives the distributed fixpoint free scheduling
+# (the one cost a real cluster multiplies per round), while the driver
+# path's collect + Python union-find costs the same everywhere.
 SMALL_EDGE_LIMIT = 200_000
 
 

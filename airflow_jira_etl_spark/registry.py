@@ -47,105 +47,35 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # A budget-capped external sweep records the first ~50 queries in
 # registration order.  To keep every query's differential evidence fresh,
 # the sweep order is explicit and least-recently-checked-first, decoupled
-# from module import order.  Round-11 derivation (base order mechanical
-# via tools/sweep_advisor over CORRECTNESS_r*.json; r10 was 50/50 green,
-# the fourth consecutive fully-green driver round, so there are no red
-# rows and no never-checked queries).  The 50-slot window:
-#   slot 1: set_union_all — the r10 round's one documented deferral
-#     (r06 evidence, oldest in the registry).
-#   slots 2-45: the r07-evidence tier (44 of its 46, alphabetical).
-#   slots 46-50: FIVE code-recency promotions (the advisor cannot see
-#     code changes): every ranking-family query — agg_exact_quantiles,
-#     llm_corpus_stats, sort_multi_key, win_concurrency_sweep,
-#     win_ntile_percent — because round 11 changed the family's
-#     materialization from persist to localCheckpoint (lineage
-#     truncation; fixes the reproducible silent-rank-corruption on
-#     recompute after cache loss — operators/ranking.py module
-#     docstring, tests/test_ranking_property.py cache-drop regression).
-#     Their r10 rows predate that executed path.
-#     (The same materialization swap inside ParquetUpsertTable.apply()
-#     does NOT promote the upsert-backed queries: apply() is the write
-#     path — their REGISTERED plans read the committed parquet back and
-#     are byte-identical for deterministic batches; the dedicated
-#     upsert test suite carries that evidence.)
-# Oversubscription: 52 candidates (47 stale + 5 promotions) for 50
-# slots -> 2 documented deferrals to round 12, chosen for weakest
-# differential info gain:
-#   filter_conjunctive — a bare AND-chain predicate; conjunctive
-#     pushdown is exercised by scan_filter_prune and the null/IN/LIKE
-#     filter siblings, all of which stay in-window.
-#   project_rename_map — pure column aliasing through the same mapping
-#     compiler as project_flatten_json (in-window); no predicate or
-#     shuffle surface of its own.
-# Both lead the post-window tail so they top the r12 order
-# automatically.  tests/test_sweep_priority.py pins the invariants.
+# from module import order.  Round-12 derivation (base order mechanical
+# via tools/sweep_advisor over CORRECTNESS_r*.json; r11 was 50/50 green,
+# the fifth consecutive fully-green driver round — no red rows, no
+# never-checked queries).  The 50-slot window:
+#   slots 1-2: filter_conjunctive + project_rename_map — the two
+#     documented r11 deferrals and the only queries whose latest driver
+#     row is r07 (VERDICT-r11 item 2 names them the evidence tail).
+#   slots 3-50: the r09-evidence tier (48 of its 49, alphabetical).
+# Oversubscription: 51 candidates for 50 slots -> 1 documented
+# deferral to round 13, chosen for weakest differential info gain:
+#   fn_bitwise_suite — exact-integer scalar expressions (AND/OR/XOR/
+#     shifts), bit-identical on both engines by construction, no
+#     predicate/shuffle/partition surface; its fn_hash_suite and
+#     fn_timestamp_parse siblings (which DO have cross-engine parse
+#     semantics to diverge on) stay in-window.
+# It leads the post-window tail so it tops the r13 order
+# automatically.  Code-recency note: round 12 rewrote the scd2 merge
+# body (explode one-pass form, operators/scd2.py) — sink_scd2_apply
+# is already in-window via the r09 tier, so no promotion is needed.
+# tests/test_sweep_priority.py pins the invariants.
 SWEEP_PRIORITY: list[str] = [
-    # round-11 lead: the r10 deferral (r06 evidence, oldest row)
-    "set_union_all",
-    # r07-evidence tier (44 of 46, alphabetical; deferrals below)
-    "agg_approx_distinct",
-    "agg_approx_quantiles",
-    "agg_collect_sorted",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_group_sum",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "case_when_cast",
-    "filter_in_like_regex",
-    "filter_null_semantics",
-    "flagship_revenue_by_nation",
-    "join_anti",
-    "join_broadcast_dim",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_multiway_star",
-    "join_right_full",
-    "join_self_dedup_pairs",
-    "join_semi",
-    "join_theta_range",
-    "llm_decontaminate",
-    "llm_dedup_semantic_clusters",
-    "llm_quality_repetition",
-    "llm_sim_ivf_topk",
-    "llm_sim_pairs_threshold",
-    "llm_tfidf_top_terms",
-    "project_array_join",
-    "project_flatten_json",
-    "report_forecast_revenue_change",
-    "report_local_supplier_volume",
-    "report_market_share",
-    "report_top_parts_per_brand",
-    "scan_filter_prune",
-    "sink_partitioned_write",
-    "source_rest_datasource",
-    "win_first_last",
-    "win_range_frame",
-    "win_rank_dense_rownum",
-    "win_sliding_rows_frame",
-    "win_topk_per_group",
-    # code-recency promotions: all five ranking-family queries —
-    # their materialization moved to localCheckpoint THIS round
-    # (the silent-corruption fix), so their r10 rows predate the
-    # executed path now registered
-    "agg_exact_quantiles",
-    "llm_corpus_stats",
-    "sort_multi_key",
-    "win_concurrency_sweep",
-    "win_ntile_percent",
-    # ---- 50-slot window boundary ----
-    # the two documented r11 deferrals lead the round-12 tail
+    # round-12 lead: the two r11 deferrals (r07 evidence, oldest rows)
     "filter_conjunctive",
     "project_rename_map",
-    # r09-evidence tier (alphabetical)
+    # r09-evidence tier (48 of 49, alphabetical; deferral below)
     "agg_mode_per_group",
     "agg_percentile_cont",
     "agg_salted_skew",
     "cdc_latest_per_key",
-    "fn_bitwise_suite",
     "fn_hash_suite",
     "fn_timestamp_parse",
     "join_asof_latest",
@@ -190,7 +120,12 @@ SWEEP_PRIORITY: list[str] = [
     "win_running_distinct",
     "win_running_sum",
     "win_sessionize_gaps",
-    # r10-evidence tier (alphabetical, minus the 5 promotions)
+    # ---- 50-slot window boundary ----
+    # the documented r12 deferral leads the round-13 tail
+    "fn_bitwise_suite",
+    # r10-evidence tier (alphabetical); the r11-evidenced queries
+    # (freshest driver rows) fall to the implicit registration-order
+    # tail below the explicit list
     "agg_unpivot",
     "filter_exists_subquery",
     "filter_not_exists_subquery",

@@ -129,7 +129,102 @@ def run_probe(sf_dir: str, runs: int = 2, scratch: str | None = None) -> dict:
     return steady
 
 
+def run_foreachbatch_probe(sf_dir: str, runs: int = 2) -> dict:
+    """Decompose stream_foreachbatch_upsert (the one hot streaming
+    query without a cost split — VERDICT-r11 item 6) into its three
+    phases over the SAME 4 staged pages the registered query streams:
+
+      fb_floor    — the foreachBatch availableNow harness with a
+                    count-only batch fn: per-batch planning, offset /
+                    commit log writes, the batch DataFrame's own scan.
+      fb_merge    — the real per-batch MERGE into the parquet upsert
+                    table (range-bucketed copy-on-write); wall minus
+                    fb_floor is the merge's true increment.
+      maintenance — the post-stream compact + vacuum + read-back the
+                    registered query performs once per run.
+
+    Only the merge increment and maintenance are plan-addressable; the
+    floor is what ANY 4-batch foreachBatch stream costs on this host."""
+    from airflow_jira_etl_spark.scratch import session_scratch
+    from airflow_jira_etl_spark.sinks.parquet_upsert import (
+        ParquetUpsertTable,
+        range_bucketer,
+    )
+
+    spark = get_spark("stream-cost-probe")
+    scratch = session_scratch("stream_fb_probe")
+    pages = pages_dir_for(scratch, sf_dir)
+    page_size = write_event_pages(spark, sf_dir, pages, n_pages=4)
+    ck_root = os.path.join(scratch, "ck")
+
+    def stream_df():
+        return (
+            spark.readStream.schema(catalog.SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(pages, "page_*"))
+            .select("event_id", "user_id", "event_type", "value")
+        )
+
+    def run_stream(name: str, i: int, batch_fn) -> float:
+        ck = os.path.join(ck_root, f"{name}_{i}")
+        shutil.rmtree(ck, ignore_errors=True)
+        with scoped_shuffle_partitions(spark):
+            t0 = time.time()
+            q = (
+                stream_df()
+                .writeStream.foreachBatch(batch_fn)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return time.time() - t0
+
+    steady: dict[str, float] = {}
+    for i in range(runs):
+        w = run_stream("fb_floor", i, lambda df, bid: df.count())
+        print(f"fb_floor run{i}: {w:.2f}s", flush=True)
+        steady["fb_floor"] = min(steady.get("fb_floor", w), round(w, 2))
+
+        table_dir = os.path.join(scratch, f"table_{i}")
+        table = ParquetUpsertTable(
+            spark,
+            table_dir,
+            key="event_id",
+            bucketer=range_bucketer(max(page_size // 8, 1)),
+        )
+        table.destroy()
+        w = run_stream("fb_merge", i, lambda df, bid: table.apply(df))
+        print(f"fb_merge run{i}: {w:.2f}s", flush=True)
+        steady["fb_merge"] = min(steady.get("fb_merge", w), round(w, 2))
+
+        t0 = time.time()
+        table.compact()
+        table.vacuum(retain_last=1)
+        n = table.read().count()
+        w = time.time() - t0
+        print(f"maintenance run{i}: {w:.2f}s rows={n}", flush=True)
+        steady["maintenance"] = min(
+            steady.get("maintenance", w), round(w, 2)
+        )
+        table.destroy()
+
+    inc = steady["fb_merge"] - steady["fb_floor"]
+    print(
+        f"DECOMP fb_floor={steady['fb_floor']:.2f}s "
+        f"merge_increment={inc:.2f}s "
+        f"maintenance={steady['maintenance']:.2f}s "
+        f"(query_total ≈ floor + increment + maintenance)"
+    )
+    return steady
+
+
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    run_probe(sf, runs)
+    if len(sys.argv) > 1 and sys.argv[1] == "foreachbatch":
+        sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+        runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        run_foreachbatch_probe(sf, runs)
+    else:
+        sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+        runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+        run_probe(sf, runs)

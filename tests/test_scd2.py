@@ -335,6 +335,77 @@ def test_scd2_rejects_helper_column_collision(spark):
         )
 
 
+def test_scd2_coerces_narrower_batch_attr_types(spark):
+    """The explode form builds closed (dim-typed attrs) and opened
+    (batch-typed attrs) as structs inside ONE array, so the two sides'
+    types must unify: an int batch column against a long dim column
+    has to widen, not error and not truncate. (The old union form got
+    this via unionByName's coercion; the array literal must preserve
+    it.)"""
+    dim = spark.createDataFrame(
+        [(1, 10, D(2024, 1, 1), None, True)],
+        "k long, n long, valid_from date, valid_to date,"
+        " is_current boolean",
+    )
+    ch = spark.createDataFrame([(1, 20)], "k long, n int")  # narrower
+    out = scd2_merge(dim, ch, "k", ["n"], "2024-06-01")
+    assert dict(out.dtypes)["n"] == "bigint"
+    rows = {(r.n, r.is_current) for r in out.collect()}
+    assert rows == {(10, False), (20, True)}
+
+
+def test_scd2_multi_attr_mixed_types_close_and_open(spark):
+    """Several tracked attributes of mixed types (string + array) —
+    the null-safe diff must fire when ANY attr changes, and both the
+    closed and opened rows must carry every attr faithfully through
+    the struct/explode path (arrays exercise non-primitive struct
+    fields)."""
+    dim = spark.createDataFrame(
+        [(1, "a", [1, 2], D(2024, 1, 1), None, True)],
+        "k long, seg string, tags array<int>, valid_from date,"
+        " valid_to date, is_current boolean",
+    )
+    # seg unchanged, tags changed -> still a version change
+    ch = spark.createDataFrame(
+        [(1, "a", [1, 2, 3])], "k long, seg string, tags array<int>"
+    )
+    out = scd2_merge(
+        dim, ch, "k", ["seg", "tags"], "2024-06-01"
+    ).collect()
+    by_cur = {r.is_current: r for r in out}
+    assert len(out) == 2
+    assert by_cur[False].tags == [1, 2] and by_cur[False].seg == "a"
+    assert by_cur[True].tags == [1, 2, 3] and by_cur[True].seg == "a"
+
+
+def test_scd2_history_key_resent_in_batch_stays_inert(spark):
+    """The pure-equi join lets a HISTORY row match the batch (the
+    is_current gate, not the join condition, keeps it inert). A key
+    with both a history row and a current row, resent with the
+    history row's old value: the current version must close/open per
+    the diff against the CURRENT row, and the history row must pass
+    through bit-identical — not fork, not pick up __u_ values."""
+    dim = _dim(
+        spark,
+        [
+            (1, "OLD", D(2023, 1, 1), D(2024, 1, 1), False),
+            (1, "A", D(2024, 1, 1), None, True),
+        ],
+    )
+    ch = _ch(spark, [(1, "OLD")])  # equals the HISTORY value
+    out = scd2_merge(dim, ch, "k", ["seg"], "2024-06-01").collect()
+    assert len(out) == 3  # history + closed A + opened OLD
+    hist = [
+        r for r in out if r.valid_from == D(2023, 1, 1)
+    ]
+    assert len(hist) == 1
+    assert hist[0].seg == "OLD" and hist[0].valid_to == D(2024, 1, 1)
+    assert hist[0].is_current is False
+    cur = [r for r in out if r.is_current]
+    assert len(cur) == 1 and cur[0].seg == "OLD"
+    assert cur[0].valid_from == D(2024, 6, 1)
+
+
 def test_scd2_scale_probe_smoke(spark):
     """The probe (tools/scd2_scale_probe) must run end-to-end at a
     small multiple, agree between the two merge forms, and show the

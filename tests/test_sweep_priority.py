@@ -41,32 +41,28 @@ def test_red_rows_lead_the_window():
     assert not missing, f"red-evidence queries outside the window: {missing}"
 
 
-# Round-11 window plan: 52 must-prove candidates (set_union_all's r06
-# row — the r10 deferral — plus the 46-query r07 tier, plus 5
-# code-recency promotions for the ranking family's localCheckpoint
-# swap) for 50 slots; these two are the documented deferrals (weakest
-# differential info gain — see the derivation comment above
-# registry.SWEEP_PRIORITY). Everything else stale must be inside the
-# window.
+# Round-12 window plan: 51 must-prove candidates (the two r11
+# deferrals with r07 rows plus the 49-query r09 tier) for 50 slots;
+# this is the one documented deferral (weakest differential info gain
+# — see the derivation comment above registry.SWEEP_PRIORITY).
+# Everything else stale must be inside the window.
 DEFERRED = {
-    "filter_conjunctive",  # pushdown covered by scan_filter_prune + siblings
-    "project_rename_map",  # same mapping compiler as project_flatten_json
+    "fn_bitwise_suite",  # exact-integer scalar ops, no cross-engine
+    # parse semantics or shuffle surface; hash/timestamp siblings stay
 }
 
 # Evidence-age threshold for "must re-prove this round": after the
-# fully-green r10, the oldest tiers are r06 (set_union_all) and r07.
-STALE_ROUND = 7
+# fully-green r11, the oldest tiers are r07 (the two old deferrals)
+# and r09.
+STALE_ROUND = 9
 
 PROMOTED = {
-    # code-recency promotions: the ranking family's range-tagged frame
-    # moved from persist to localCheckpoint in r11 (the recompute
-    # silent-corruption fix) — every query executing it needs a fresh
-    # driver row under the new materialization
-    "agg_exact_quantiles",
-    "llm_corpus_stats",
-    "sort_multi_key",
-    "win_concurrency_sweep",
-    "win_ntile_percent",
+    # code-recency promotion: round 12 rewrote the scd2 merge body
+    # (one-pass explode form, pure equi probe — operators/scd2.py);
+    # the query executing it needs a fresh driver row under the new
+    # plan (it is already in-window via the r09 tier — this pins it
+    # there if a future reshuffle forgets the code recency)
+    "sink_scd2_apply",
 }
 
 
