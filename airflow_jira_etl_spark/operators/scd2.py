@@ -90,7 +90,16 @@ def scd2_merge(
     compounding on every later merge. NULL keys in the batch raise via
     the same guard. A dim row whose ``is_current`` is NULL is history
     (NULL is not current) — the null-safe split below keeps it; a plain
-    boolean filter pair would silently drop it from the output."""
+    boolean filter pair would silently drop it from the output.
+
+    Caller cost note: the deduped batch feeds THREE plan sites (the
+    merge join's broadcast build, the key probe's broadcast, and the
+    new-key anti join), and Spark re-derives an unexchanged frame per
+    site — so a ``changes`` frame computed from an expensive scan is
+    recomputed up to three times per execution. The batch is small by
+    contract; if deriving it is not cheap, cache or localCheckpoint it
+    before calling (the operator does not materialize it internally —
+    it cannot know the caller's lifecycle to unpersist safely)."""
     import datetime
 
     from airflow_jira_etl_spark.operators.upsert import upsert

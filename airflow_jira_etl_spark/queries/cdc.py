@@ -130,7 +130,12 @@ def sink_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     resent_unchanged = base.where(
         (F.col("c_custkey") % 11 == 3) & (F.col("c_custkey") % 7 != 0)
     )
-    changes = moved.unionByName(resent_unchanged)
+    # materialize the batch ONCE: it derives from a dimension-sized
+    # scan here, and scd2_merge references its deduped batch at three
+    # plan sites, each re-deriving an unexchanged frame — without this
+    # the executed plan carried SIX customer scans for the batch side
+    # (scd2_merge's caller cost note; measured 8 total scans → 3)
+    changes = moved.unionByName(resent_unchanged).localCheckpoint()
     return scd2_merge(
         dim0,
         changes,
