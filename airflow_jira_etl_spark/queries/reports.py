@@ -498,6 +498,19 @@ def report_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
+    # DELIBERATELY LAZY (re-derived per reference): the r12 scan audit
+    # flagged that this plan physically scans events SIX times (view
+    # 3×, click 2×, purchase 1×) because v feeds both the click step
+    # and the final assembly and c feeds two consumers too. Both
+    # materialization fixes were measured and REJECTED: cache() ran
+    # 2–4× slower at sf0.1 (1.2–2.7 s vs 0.65 s lazy — columnar cache
+    # writes cost more than the re-scans save) and localCheckpoint
+    # tripled the build cost with eager jobs. At 100 TB the trade is
+    # genuinely two-sided — six PUSHED-FILTER scans (each reads only
+    # its event_type slice) vs caching a billions-of-users frontier
+    # (memory pressure + eviction recompute) — and the scans stay
+    # embarrassingly parallel while the cache serializes on fill. See
+    # PLANS.md §scan-audit for the A/B numbers.
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
