@@ -48,8 +48,14 @@ def cosine(a: Column, b: Column) -> Column:
     decision-for-decision identical — it IS the cross-engine contract:
     NULL vector → NULL; length mismatch → NULL (decided BEFORE the
     zero-norm outcome, or a zero vector paired with a short one scores
-    0.0 on one engine and NULL on the other); NULL element → NULL;
-    zero norm (incl. empty vectors) → 0.0.
+    0.0 on one engine and NULL on the other); NULL or NaN element →
+    NULL; zero norm (incl. empty vectors) → 0.0. The NaN rung exists
+    because the engines DIVERGE on an unguarded NaN element (round 12,
+    measured): Spark's fold propagates NaN while DuckDB's list_sum
+    yields NULL — one NaN element in a regenerated fixture would
+    hash-mismatch every similarity oracle. Infinity elements are NOT
+    guarded: both engines propagate them to NaN identically (inf·0 or
+    inf/inf), and the comparator canonicalizes NaN stably.
 
     Cost note: the corrupt-input tests are size/isNull scans (no
     multiplies), and the division keeps the single
@@ -65,8 +71,8 @@ def cosine(a: Column, b: Column) -> Column:
         a.isNull()
         | b.isNull()
         | (F.size(a) != F.size(b))
-        | F.exists(a, lambda x: x.isNull())
-        | F.exists(b, lambda x: x.isNull())
+        | F.exists(a, lambda x: x.isNull() | F.isnan(x))
+        | F.exists(b, lambda x: x.isNull() | F.isnan(x))
     )
     return F.when(corrupt, F.lit(None).cast("double")).otherwise(
         F.coalesce(
@@ -100,8 +106,8 @@ def cosine_sql(a: str, b: str) -> str:
     zero-norm branch via the coalesce (``list_sum([]) IS NULL``),
     matching Spark's empty-fold 0.0."""
     null_el = (
-        f"len(list_filter({a}, x -> x IS NULL)) > 0 "
-        f"OR len(list_filter({b}, x -> x IS NULL)) > 0"
+        f"len(list_filter({a}, x -> x IS NULL OR isnan(x))) > 0 "
+        f"OR len(list_filter({b}, x -> x IS NULL OR isnan(x))) > 0"
     )
     zero_norm = (
         f"coalesce(list_sum([x * x FOR x IN {a}]), 0) = 0 "

@@ -272,7 +272,8 @@ def _py_cos(a: list, b: list) -> float:
     oracle="""
     SELECT CAST((SELECT min(vec_id) FROM embeddings
                  WHERE embedding IS NOT NULL
-                   AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                   AND len(list_filter(embedding,
+                           x -> x IS NULL OR isnan(x))) = 0
                 ) AS BIGINT) AS probe_id,
            10 AS k,
            TRUE AS k_exhausted,
@@ -305,13 +306,14 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_jira_etl_spark.scratch import SCRATCH
 
     # un-embeddable rows cannot be indexed: a NULL vector AND a vector
-    # carrying a NULL ELEMENT both cosine to NULL against every
-    # centroid, so the assignment argmax has no meaning (the stored
-    # cluster would be arbitrary and assign_parity's re-argmax could
-    # never reproduce it); mirrored in the oracle's probe-id subquery
+    # carrying a NULL (or, since r12, NaN) ELEMENT all cosine to NULL
+    # against every centroid under the guard ladder, so the assignment
+    # argmax has no meaning (the stored cluster would be arbitrary and
+    # assign_parity's re-argmax could never reproduce it); mirrored in
+    # the oracle's probe-id subquery
     emb = catalog.load(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
-        & ~F.exists("embedding", lambda x: x.isNull())
+        & ~F.exists("embedding", lambda x: x.isNull() | F.isnan(x))
     )
     # the tag fingerprints the SOURCE DATA — per-part for a directory-
     # shaped fixture (catalog.source_stamp: a dir's own stat does not

@@ -54,29 +54,50 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   slots 1-2: filter_conjunctive + project_rename_map — the two
 #     documented r11 deferrals and the only queries whose latest driver
 #     row is r07 (VERDICT-r11 item 2 names them the evidence tail).
-#   slots 3-50: the r09-evidence tier (48 of its 49, alphabetical).
-# Oversubscription: 51 candidates for 50 slots -> 1 documented
-# deferral to round 13, chosen for weakest differential info gain:
-#   fn_bitwise_suite — exact-integer scalar expressions (AND/OR/XOR/
-#     shifts), bit-identical on both engines by construction, no
-#     predicate/shuffle/partition surface; its fn_hash_suite and
-#     fn_timestamp_parse siblings (which DO have cross-engine parse
-#     semantics to diverge on) stay in-window.
-# It leads the post-window tail so it tops the r13 order
-# automatically.  Code-recency note: round 12 rewrote the scd2 merge
-# body (explode one-pass form, operators/scd2.py) — sink_scd2_apply
-# is already in-window via the r09 tier, so no promotion is needed.
+#   slots 3-45: the r09-evidence tier (43 of its 49, alphabetical).
+#   slots 46-50: FIVE code-recency promotions (the advisor cannot see
+#     code changes): round 12 added a NaN rung to the shared cosine
+#     guard ladder (functions/similarity.py — Spark propagated NaN
+#     where DuckDB nulled; measured divergence) and a NaN-aware
+#     indexable predicate to the IVF query; every out-of-window
+#     similarity consumer needs a fresh driver row under the new
+#     executed path: llm_sim_topk, llm_sim_lsh_topk (r10 rows),
+#     llm_sim_pairs_threshold, llm_sim_ivf_topk,
+#     llm_dedup_semantic_clusters (r11 rows). The in-window r09-tier
+#     consumers (llm_embed_centroids/knn_assign, llm_containment_pairs
+#     etc.) are covered without promotion.
+# Oversubscription: 56 candidates for 50 slots -> 6 documented
+# deferrals to round 13, chosen for weakest differential info gain
+# (code unchanged since their green rows; each leaves a sibling of
+# its family in-window):
+#   fn_bitwise_suite — exact-integer scalar expressions, bit-identical
+#     on both engines by construction, no predicate/shuffle surface;
+#     fn_timestamp_parse (the scalar suite with real cross-engine
+#     parse semantics to diverge on) keeps the family seat in-window.
+#   fn_hash_suite — boolean-contract oracle over deterministic hash
+#     fns, code unchanged since r09.
+#   scan_csv — format-scan path unchanged since r09; scan_jsonl keeps
+#     the text-format-parse seat in-window.
+#   mm_resize_batch — multimodal Arrow-kernel plumbing unchanged,
+#     dedicated pytest suite; mm_sample_frames stays in-window.
+#   report_monthly_growth — plain SQL-mirror report, unchanged; eight
+#     report siblings stay in-window.
+#   win_lag_lead — simple offset-window forms, unchanged; four window
+#     siblings stay in-window.
+# They lead the post-window tail so they top the r13 order
+# automatically.  Code-recency note: round 12 also rewrote the scd2
+# merge body (explode one-pass form) — sink_scd2_apply is already
+# in-window via the r09 tier, so no promotion is needed.
 # tests/test_sweep_priority.py pins the invariants.
 SWEEP_PRIORITY: list[str] = [
     # round-12 lead: the two r11 deferrals (r07 evidence, oldest rows)
     "filter_conjunctive",
     "project_rename_map",
-    # r09-evidence tier (48 of 49, alphabetical; deferral below)
+    # r09-evidence tier (43 of 49, alphabetical; deferrals below)
     "agg_mode_per_group",
     "agg_percentile_cont",
     "agg_salted_skew",
     "cdc_latest_per_key",
-    "fn_hash_suite",
     "fn_timestamp_parse",
     "join_asof_latest",
     "join_asof_tolerance",
@@ -93,19 +114,16 @@ SWEEP_PRIORITY: list[str] = [
     "llm_fingerprint_rolling",
     "llm_pii_scrub",
     "llm_quality_entropy",
-    "mm_resize_batch",
     "mm_sample_frames",
     "mv_incremental_refresh",
     "report_funnel_steps",
     "report_large_volume_customers",
-    "report_monthly_growth",
     "report_promo_revenue",
     "report_retention_cohorts",
     "report_sales_opportunity",
     "report_supplier_share",
     "report_waiting_suppliers",
     "scan_corrupt_quarantine",
-    "scan_csv",
     "scan_jsonl",
     "scan_schema_evolution",
     "sink_scd2_apply",
@@ -116,13 +134,25 @@ SWEEP_PRIORITY: list[str] = [
     "stream_tumbling_topk",
     "ts_gapfill_locf",
     "win_consecutive_runs",
-    "win_lag_lead",
     "win_running_distinct",
     "win_running_sum",
     "win_sessionize_gaps",
+    # code-recency promotions: the cosine guard ladder gained a
+    # NaN rung this round — these five similarity consumers'
+    # latest driver rows predate the executed path
+    "llm_sim_topk",
+    "llm_sim_lsh_topk",
+    "llm_sim_pairs_threshold",
+    "llm_sim_ivf_topk",
+    "llm_dedup_semantic_clusters",
     # ---- 50-slot window boundary ----
-    # the documented r12 deferral leads the round-13 tail
+    # the six documented r12 deferrals lead the round-13 tail
     "fn_bitwise_suite",
+    "fn_hash_suite",
+    "mm_resize_batch",
+    "report_monthly_growth",
+    "scan_csv",
+    "win_lag_lead",
     # r10-evidence tier (alphabetical); the r11-evidenced queries
     # (freshest driver rows) fall to the implicit registration-order
     # tail below the explicit list
@@ -141,8 +171,6 @@ SWEEP_PRIORITY: list[str] = [
     "llm_dedup_exact",
     "llm_dedup_simhash",
     "llm_lang_id",
-    "llm_sim_lsh_topk",
-    "llm_sim_topk",
     "llm_stratified_sample",
     "llm_text_quality",
     "llm_text_stats",

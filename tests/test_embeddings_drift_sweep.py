@@ -57,6 +57,13 @@ def _adversarial_vectors() -> list[tuple[int, list[float], int]]:
     corrupt = [1.0 / 64.0] * DIM
     corrupt[7] = None  # type: ignore[call-overload]
     rows.append((200_004, corrupt, 4))
+    # a NaN ELEMENT: unguarded, Spark's fold propagates NaN while
+    # DuckDB's list_sum yields NULL — the round-12 divergence the
+    # ladder's NaN rung closes (both engines now score it NULL, the
+    # same corrupt class as a NULL element)
+    nanv = [1.0 / 64.0] * DIM
+    nanv[3] = float("nan")
+    rows.append((200_005, nanv, 5))
     return rows
 
 
@@ -127,11 +134,20 @@ def test_cosine_ladder_parity_on_mixed_corrupt_chunks(spark):
             b, kind = [0.0] * dim, "zero_norm"
         elif i % 73 == 13:
             a, b, kind = [], [], "empty_pair"
+        elif i % 71 == 17:
+            a = clean()
+            a[i % dim] = float("nan")
+            kind = "nan_el"  # corrupt: NULL on both engines (r12 rung)
+        elif i % 67 == 19:
+            b = clean()
+            b[i % dim] = float("inf")
+            kind = "inf_el"  # NOT guarded: both engines propagate to
+            # NaN identically; the contract is agreement, not a class
         rows.append((i, a, b, kind))
     kinds = {r[3] for r in rows}
     assert kinds == {
         "clean", "null_vec", "null_el", "len_mismatch", "zero_norm",
-        "empty_pair",
+        "empty_pair", "nan_el", "inf_el",
     }
     # every 2048-row duckdb chunk must carry corrupt rows
     for lo in range(0, 5000, 2048):
@@ -176,10 +192,14 @@ def test_cosine_ladder_parity_on_mixed_corrupt_chunks(spark):
     mismatches = []
     for i, kind in by_kind.items():
         s, d = got[i], duck[i]
-        if kind in ("null_vec", "null_el", "len_mismatch"):
+        if kind in ("null_vec", "null_el", "len_mismatch", "nan_el"):
             ok = s is None and d is None
         elif kind in ("zero_norm", "empty_pair"):
             ok = s == 0.0 and d == 0.0
+        elif kind == "inf_el":
+            # inf·finite → NaN on BOTH engines; the comparator
+            # canonicalizes NaN stably, so agreement is the contract
+            ok = s is not None and d is not None and s != s and d != d
         else:
             ok = s is not None and d is not None and s == d
         if not ok:

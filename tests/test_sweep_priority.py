@@ -41,14 +41,20 @@ def test_red_rows_lead_the_window():
     assert not missing, f"red-evidence queries outside the window: {missing}"
 
 
-# Round-12 window plan: 51 must-prove candidates (the two r11
-# deferrals with r07 rows plus the 49-query r09 tier) for 50 slots;
-# this is the one documented deferral (weakest differential info gain
-# — see the derivation comment above registry.SWEEP_PRIORITY).
-# Everything else stale must be inside the window.
+# Round-12 window plan: 56 must-prove candidates (the two r11
+# deferrals with r07 rows, the 49-query r09 tier, and five
+# code-recency promotions for the cosine ladder's NaN rung) for 50
+# slots; these six are the documented deferrals (weakest differential
+# info gain, code unchanged since their green rows — see the
+# derivation comment above registry.SWEEP_PRIORITY). Everything else
+# stale must be inside the window.
 DEFERRED = {
-    "fn_bitwise_suite",  # exact-integer scalar ops, no cross-engine
-    # parse semantics or shuffle surface; hash/timestamp siblings stay
+    "fn_bitwise_suite",  # exact-integer ops; timestamp sibling stays
+    "fn_hash_suite",  # deterministic hash contract, unchanged
+    "scan_csv",  # format scan unchanged; scan_jsonl keeps the seat
+    "mm_resize_batch",  # kernel plumbing unchanged; sample_frames stays
+    "report_monthly_growth",  # SQL-mirror report; 8 siblings stay
+    "win_lag_lead",  # simple offset windows; 4 siblings stay
 }
 
 # Evidence-age threshold for "must re-prove this round": after the
@@ -57,12 +63,20 @@ DEFERRED = {
 STALE_ROUND = 9
 
 PROMOTED = {
-    # code-recency promotion: round 12 rewrote the scd2 merge body
-    # (one-pass explode form, pure equi probe — operators/scd2.py);
-    # the query executing it needs a fresh driver row under the new
-    # plan (it is already in-window via the r09 tier — this pins it
-    # there if a future reshuffle forgets the code recency)
+    # code-recency promotions, round 12:
+    # - sink_scd2_apply: the scd2 merge body was rewritten (one-pass
+    #   explode form, pure equi probe — operators/scd2.py); already
+    #   in-window via the r09 tier, pinned here so a future reshuffle
+    #   cannot forget the code recency;
+    # - the five similarity consumers whose driver rows predate the
+    #   cosine guard ladder's NaN rung (functions/similarity.py) and
+    #   the IVF indexable predicate change.
     "sink_scd2_apply",
+    "llm_sim_topk",
+    "llm_sim_lsh_topk",
+    "llm_sim_pairs_threshold",
+    "llm_sim_ivf_topk",
+    "llm_dedup_semantic_clusters",
 }
 
 
