@@ -897,12 +897,24 @@ def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udaf_grouped_agg",
+    # the NaN wrap pins the PANDAS-BRIDGE convention (round 12,
+    # measured): a NaN aggregate value crossing the Arrow transfer
+    # back from a pandas UDAF arrives in Spark as NULL (pandas uses
+    # NaN as its missing-value sentinel), while DuckDB's algebraic
+    # form keeps NaN — one NaN `value` in a drifted fixture (NaN > 0
+    # is TRUE on both engines, so the filter admits it) would
+    # hash-mismatch NULL-vs-NaN. Infinity crosses the bridge intact
+    # on both engines and stays unwrapped.
     oracle="""
     SELECT event_type,
-           round(exp(avg(ln(value))) + 1e-9, 4) AS geo_mean_value
-    FROM events
-    WHERE value > 0
-    GROUP BY event_type
+           CASE WHEN isnan(g) THEN NULL ELSE g END AS geo_mean_value
+    FROM (
+        SELECT event_type,
+               round(exp(avg(ln(value))) + 1e-9, 4) AS g
+        FROM events
+        WHERE value > 0
+        GROUP BY event_type
+    )
     """,
 )
 def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -912,7 +924,9 @@ def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pandas UDAFs, so at scale prefer the algebraic rewrite
     exp(avg(ln(x))) (shown in the oracle) — both are provided.
     Non-positive values are excluded (geometric mean's domain; an
-    unguarded ln(0) is an error in strict engines)."""
+    unguarded ln(0) is an error in strict engines). A NaN aggregate
+    maps to NULL — the pandas/Arrow bridge convention, mirrored
+    explicitly in the oracle."""
     import numpy as np
 
     events = catalog.load(spark, sf_dir, "events")

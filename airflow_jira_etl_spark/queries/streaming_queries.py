@@ -233,13 +233,27 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_stateful_profile",
+    # the NaN wraps pin the PANDAS-BRIDGE convention (round 12,
+    # measured; same contract as udaf_grouped_agg's oracle): the
+    # stateful operator's per-user sums/maxes run in pandas, and a NaN
+    # reaching the Arrow transfer back to Spark arrives as NULL, while
+    # the SQL mirror keeps NaN — a drifted fixture with one NaN value
+    # would hash-mismatch NULL-vs-NaN on both value columns. Infinity
+    # crosses the bridge intact on both engines.
     oracle="""
-    SELECT user_id,
-           count(*) AS n_events,
-           round(sum(value) + 1e-9, 4) AS total_value,
-           round(max(value) + 1e-9, 4) AS peak_value
-    FROM events
-    GROUP BY user_id
+    SELECT user_id, n_events,
+           CASE WHEN isnan(total_value) THEN NULL
+                ELSE total_value END AS total_value,
+           CASE WHEN isnan(peak_value) THEN NULL
+                ELSE peak_value END AS peak_value
+    FROM (
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value) + 1e-9, 4) AS total_value,
+               round(max(value) + 1e-9, 4) AS peak_value
+        FROM events
+        GROUP BY user_id
+    )
     """,
 )
 def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
