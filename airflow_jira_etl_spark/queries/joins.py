@@ -313,7 +313,14 @@ def join_self_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+           -- the isfinite gate mirrors Spark's measured cast
+           -- semantics: Spark's double->decimal cast NULLs a
+           -- non-finite value (sum skips it) even under ANSI, while
+           -- DuckDB's CAST hard-errors ('can't be cast... INT64') —
+           -- one NaN revenue row in a drifted fixture would crash
+           -- this oracle mid-sweep (round-12 non-finite sweep)
+           CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount))
+                              THEN l_extendedprice * (1 - l_discount) END
                          AS DECIMAL(18, 4))) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority

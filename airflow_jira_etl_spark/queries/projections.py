@@ -177,7 +177,12 @@ def filter_in_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN l_quantity < 10 THEN 'small'
                 WHEN l_quantity < 30 THEN 'medium'
                 ELSE 'large' END AS qty_bucket,
-           CAST(floor(l_quantity) AS INTEGER) AS qty_int,
+           -- non-finite -> NULL int on BOTH engines: Spark's ANSI
+           -- double->int cast throws on NaN/Inf and DuckDB's CAST
+           -- hard-errors too — a drifted fixture with one non-finite
+           -- quantity would crash both sides (r12 non-finite sweep)
+           CASE WHEN isfinite(l_quantity)
+                THEN CAST(floor(l_quantity) AS INTEGER) END AS qty_int,
            round((l_extendedprice / 3600.0) + 1e-9, 4) AS price_per_hour_ish
     FROM lineitem
     """,
@@ -195,7 +200,15 @@ def case_when_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qty_bucket"),
         # floor() pinned on both sides: a bare double->int CAST
         # truncates in Spark but rounds-to-nearest in DuckDB — a
-        # fractional-quantity fixture regen would diverge on every row
-        F.floor(F.col("l_quantity")).cast("int").alias("qty_int"),
+        # fractional-quantity fixture regen would diverge on every row.
+        # Non-finite -> NULL (both engines' raw casts CRASH on NaN/Inf:
+        # Spark's ANSI cast and DuckDB's CAST both hard-error)
+        F.when(
+            ~(
+                F.isnan("l_quantity")
+                | F.col("l_quantity").isin(float("inf"), float("-inf"))
+            ),
+            F.floor(F.col("l_quantity")).cast("int"),
+        ).alias("qty_int"),
         fround(F.col("l_extendedprice") / 3600.0).alias("price_per_hour_ish"),
     )

@@ -130,28 +130,44 @@ def fn_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            round(o_totalprice + 1e-9, 2) AS price_2dp,
            abs(o_totalprice - 250000.0) AS dist_from_mid,
-           CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_k_ceil,
-           CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k_floor,
+           -- non-finite -> NULL on BOTH engines for the integer-cast
+           -- outputs (r12 non-finite sweep): DuckDB's CAST hard-errors
+           -- on ceil(NaN/Inf); Spark's ceil silently maps NaN -> 0 and
+           -- Inf -> Long.MaxValue (a trap, not a convention) and its
+           -- ANSI int cast of sign(NaN) throws. sign of ±Inf is a
+           -- clean ±1 on both engines, so above_mid guards NaN only.
+           CASE WHEN isfinite(o_totalprice)
+                THEN CAST(ceil(o_totalprice / 1000.0) AS BIGINT)
+           END AS price_k_ceil,
+           CASE WHEN isfinite(o_totalprice)
+                THEN CAST(floor(o_totalprice / 1000.0) AS BIGINT)
+           END AS price_k_floor,
            round(pow(o_totalprice / 100000.0, 2) + 1e-9, 4) AS price_sq,
            round(sqrt(CASE WHEN o_totalprice >= 0 THEN o_totalprice END) + 1e-9, 4)
                AS price_sqrt,
            round(ln(CASE WHEN o_totalprice > 0 THEN o_totalprice END) + 1e-9, 4)
                AS price_ln,
            CAST(o_orderkey % 10 AS BIGINT) AS key_mod,
-           CAST(sign(o_totalprice - 250000.0) AS INTEGER) AS above_mid
+           CASE WHEN NOT isnan(o_totalprice)
+                THEN CAST(sign(o_totalprice - 250000.0) AS INTEGER)
+           END AS above_mid
     FROM orders
     """,
 )
 def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """round/abs/ceil/floor/pow/sqrt/ln/mod/sign."""
+    """round/abs/ceil/floor/pow/sqrt/ln/mod/sign. The integer-cast
+    outputs carry a non-finite → NULL guard on both engines (see the
+    oracle comment): Spark's raw ceil maps NaN → 0 / Inf → Long.Max
+    silently and its ANSI int cast of sign(NaN) throws."""
     orders = catalog.load(spark, sf_dir, "orders")
     p = F.col("o_totalprice")
+    finite = ~(F.isnan(p) | p.isin(float("inf"), float("-inf")))
     return orders.select(
         "o_orderkey",
         fround(p, 2).alias("price_2dp"),
         F.abs(p - 250000.0).alias("dist_from_mid"),
-        F.ceil(p / 1000.0).alias("price_k_ceil"),
-        F.floor(p / 1000.0).alias("price_k_floor"),
+        F.when(finite, F.ceil(p / 1000.0)).alias("price_k_ceil"),
+        F.when(finite, F.floor(p / 1000.0)).alias("price_k_floor"),
         fround(F.pow(p / 100000.0, 2)).alias("price_sq"),
         # domain-guarded on BOTH engines: sqrt/ln of out-of-domain input
         # is NULL by convention (Spark yields NaN/NULL, DuckDB raises —
@@ -160,7 +176,9 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.sqrt(F.when(p >= 0, p))).alias("price_sqrt"),
         fround(F.log(F.when(p > 0, p))).alias("price_ln"),
         (F.col("o_orderkey") % 10).alias("key_mod"),
-        F.signum(p - 250000.0).cast("int").alias("above_mid"),
+        F.when(~F.isnan(p), F.signum(p - 250000.0).cast("int")).alias(
+            "above_mid"
+        ),
     )
 
 

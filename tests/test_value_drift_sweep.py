@@ -1,22 +1,32 @@
-"""Whole-family defense against NON-FINITE drift in the events float
+"""Whole-registry defense against NON-FINITE drift in every float
 measure column — the round-12 sibling of the nanos (ts), documents,
-and embeddings sweeps.
+and embeddings sweeps. All nine measure columns across events and the
+TPC-H tables are DOUBLE in the fixtures, so a regeneration can ship
+NaN/±Inf into any of them.
 
-Planting one NaN, one +Inf and one −Inf in ``events.value`` surfaced
-three real contract gaps before this sweep existed (all fixed, all
-conventions now stated where they live):
+Planting one NaN, one +Inf and one −Inf per column surfaced SIX real
+contract gaps before this sweep existed (all fixed, conventions stated
+where they live):
 
 - DuckDB's STDDEV_SAMP/VAR_SAMP HARD-ERROR ('out of range') on any
   non-finite input, and quantile_cont yields NaN where Spark's
-  percentile sorts NaN last — agg_stats now carries a non-finite →
-  NULL guard rung on both engines (the cosine-ladder pattern);
+  percentile sorts NaN last → agg_stats carries a non-finite → NULL
+  guard rung on both engines;
 - a NaN aggregate crossing the pandas/Arrow bridge back to Spark
-  arrives as NULL while plain SQL keeps NaN — the udaf_grouped_agg
-  and stream_stateful_profile oracles pin that bridge convention
-  explicitly.
+  arrives as NULL while plain SQL keeps NaN → the udaf_grouped_agg
+  and stream_stateful_profile oracles pin the bridge convention;
+- Spark's ANSI double→int cast throws on NaN (case_when_cast's
+  qty_int, fn_math_suite's sign cast) and its raw ceil silently maps
+  NaN → 0 / Inf → Long.MaxValue, while DuckDB's CAST hard-errors →
+  the integer-cast outputs carry non-finite → NULL guards on both
+  engines;
+- Spark's double→decimal cast NULLs non-finite (sum skips) where
+  DuckDB's CAST hard-errors → join_bucketed_colocated's oracle
+  mirrors the skip with an isfinite gate.
 
-min/max/sum/avg need no guard: both engines agree raw (NaN greatest,
-Inf propagates), which this sweep keeps verified.
+min/max/sum/avg/round/abs/pow need no guard: both engines agree raw
+(NaN greatest, Inf propagates, NaN canonicalized stably by the
+comparator), which this sweep keeps verified.
 """
 
 from __future__ import annotations
@@ -34,42 +44,52 @@ registry.load_all_queries()
 
 SRC = "/root/testdata/sf0.01"
 
+POISON = {
+    "events": ["value"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "customer": ["c_acctbal"],
+    "orders": ["o_totalprice"],
+    "part": ["p_retailprice"],
+    "supplier": ["s_acctbal"],
+}
+
 
 @pytest.fixture(scope="module")
 def nonfinite_fixture(tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("valuedrift"))
     for t in catalog.TABLES:
         p = catalog.table_path(SRC, t)
-        os.symlink(p, os.path.join(tmp, os.path.basename(p)))
-    os.remove(os.path.join(tmp, "events.parquet"))
-    tbl = pq.read_table(catalog.table_path(SRC, "events"))
-    vals = tbl.column("value").to_pylist()
-    # three rows, three shapes, far enough apart to land in different
-    # groups/users/pages
-    vals[7] = float("nan")
-    vals[1001] = float("inf")
-    vals[2003] = float("-inf")
-    tbl = tbl.set_column(
-        tbl.schema.get_field_index("value"),
-        "value",
-        pa.array(vals, tbl.schema.field("value").type),
-    )
-    pq.write_table(
-        tbl, os.path.join(tmp, "events.parquet"), store_schema=False
-    )
+        if t not in POISON:
+            os.symlink(p, os.path.join(tmp, os.path.basename(p)))
+            continue
+        tbl = pq.read_table(p)
+        nrow = tbl.num_rows
+        for ci, col in enumerate(POISON[t]):
+            vals = tbl.column(col).to_pylist()
+            # three rows, three shapes, offsets varied per column so
+            # they land in different groups/users/keys
+            vals[(11 + 13 * ci) % nrow] = float("nan")
+            vals[(101 + 17 * ci) % nrow] = float("inf")
+            vals[(211 + 19 * ci) % nrow] = float("-inf")
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index(col),
+                col,
+                pa.array(vals, tbl.schema.field(col).type),
+            )
+        pq.write_table(
+            tbl, os.path.join(tmp, os.path.basename(p)), store_schema=False
+        )
     return tmp
 
 
-def test_all_events_oracles_survive_nonfinite_values(
-    spark, nonfinite_fixture
-):
+def test_all_oracles_survive_nonfinite_measures(spark, nonfinite_fixture):
     con = duckdb_conn(nonfinite_fixture)
     names = sorted(
         n
         for n, sql in registry.ORACLES.items()
-        if "events" in sql.lower()
+        if any(t in sql.lower() for t in POISON)
     )
-    assert len(names) >= 40  # the whole events-reading family
+    assert len(names) >= 100  # nearly the whole registry reads one
     failures = {}
     for name in names:
         try:
@@ -83,6 +103,6 @@ def test_all_events_oracles_survive_nonfinite_values(
         except Exception as exc:  # noqa: BLE001 — collect, report below
             failures[name] = [f"raised: {exc!r:.200}"]
     assert not failures, (
-        f"{len(failures)} events oracle(s) diverge under non-finite "
-        f"value drift: {failures}"
+        f"{len(failures)} oracle(s) diverge under non-finite measure "
+        f"drift: {failures}"
     )
