@@ -944,10 +944,18 @@ def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udtf_explode_kv",
+    # json_valid gate (r12 JSON-drift sweep): DuckDB's json_keys /
+    # json_extract_string HARD-ERROR on malformed JSON while the UDTF
+    # yields no rows — one corrupt props string in a drifted fixture
+    # would crash the oracle. The type check pins the non-object
+    # convention too: a valid JSON array/scalar has no key-value rows
+    # on either engine.
     oracle="""
     SELECT event_id, k AS key,
            json_extract_string(props, '$."' || k || '"') AS val
-    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
+          FROM events
+          WHERE json_valid(props) AND json_type(props) = 'OBJECT')
     """,
 )
 def udtf_explode_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -963,7 +971,18 @@ def udtf_explode_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
             import json
 
             if props:
-                for k, v in json.loads(props).items():
+                # malformed JSON or a valid non-object (array/scalar)
+                # contributes NO rows — a drifted fixture with one
+                # corrupt props crashed the whole Python worker here
+                # (r12 JSON-drift sweep); the oracle mirrors with
+                # json_valid + json_type = 'OBJECT'
+                try:
+                    obj = json.loads(props)
+                except ValueError:
+                    return
+                if not isinstance(obj, dict):
+                    return
+                for k, v in obj.items():
                     # JSON-faithful rendering, matching the oracle's
                     # json_extract_string: null -> SQL NULL (not 'None'),
                     # booleans lowercase, numbers/objects as JSON text —

@@ -21,7 +21,12 @@ from airflow_jira_etl_spark.registry import query
     oracle="""
     SELECT event_id,
            event_type,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS props_k
+           -- json_valid gate (r12 JSON-drift armor): DuckDB's
+           -- json_extract_string hard-errors on malformed JSON where
+           -- Spark's from_json yields NULL
+           CAST(json_extract_string(
+                CASE WHEN json_valid(props) THEN props END,
+                '$.k') AS INTEGER) AS props_k
     FROM events
     """,
 )

@@ -217,13 +217,25 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_map_json_suite",
+    # the vp (validated-props) indirection is the r12 JSON-drift armor:
+    # DuckDB's json functions HARD-ERROR on malformed JSON where
+    # Spark's get_json_object/from_json yield NULL (json_valid itself
+    # never throws, and json fns of the NULLed-out vp are NULL-safe).
+    # The OBJECT gate on the keys columns pins the non-object
+    # convention: Spark's map_keys(from_json('[1,2,3]')) is NULL while
+    # DuckDB's json_keys is [] — ungated, a valid-array props row would
+    # hash-mismatch ''-vs-NULL.
     oracle="""
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
-           array_to_string(json_keys(props), ',') AS keys_joined,
-           CAST(len(json_keys(props)) AS INTEGER) AS n_keys
-    FROM events
+           json_extract_string(vp, '$.k') AS k_str,
+           CAST(json_extract_string(vp, '$.k') AS INTEGER) AS k_int,
+           array_to_string(CASE WHEN json_type(vp) = 'OBJECT'
+                                THEN json_keys(vp) END, ',') AS keys_joined,
+           CAST(len(CASE WHEN json_type(vp) = 'OBJECT'
+                         THEN json_keys(vp) END) AS INTEGER) AS n_keys
+    FROM (SELECT event_id,
+                 CASE WHEN json_valid(props) THEN props END AS vp
+          FROM events)
     """,
 )
 def fn_map_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,8 +1,17 @@
-"""Whole-registry defense against NON-FINITE drift in every float
-measure column — the round-12 sibling of the nanos (ts), documents,
-and embeddings sweeps. All nine measure columns across events and the
-TPC-H tables are DOUBLE in the fixtures, so a regeneration can ship
-NaN/±Inf into any of them.
+"""Whole-registry defense against CORRUPT-CONTENT drift in every float
+measure column AND the JSON props column — the round-12 sibling of the
+nanos (ts), documents, and embeddings sweeps. All nine measure columns
+across events and the TPC-H tables are DOUBLE in the fixtures, so a
+regeneration can ship NaN/±Inf into any of them; props is a plain
+string, so it can ship malformed or non-object JSON.
+
+JSON axis (fixed via the r12 JSON-drift sweep): DuckDB's json
+functions HARD-ERROR on malformed JSON where Spark's
+get_json_object/from_json yield NULL, its json_keys of a valid
+non-object is [] where Spark's map_keys is NULL, and the Python UDTF
+crashed the worker outright on malformed props — the three JSON
+oracles now gate on json_valid (+ json_type='OBJECT' for keys), and
+the UDTF treats malformed/non-object props as zero rows.
 
 Planting one NaN, one +Inf and one −Inf per column surfaced SIX real
 contract gaps before this sweep existed (all fixed, conventions stated
@@ -75,6 +84,18 @@ def nonfinite_fixture(tmp_path_factory):
                 tbl.schema.get_field_index(col),
                 col,
                 pa.array(vals, tbl.schema.field(col).type),
+            )
+        if t == "events":  # the JSON axis rides the same fixture
+            vals = tbl.column("props").to_pylist()
+            vals[7 % nrow] = '{"k": 1,,}'  # malformed
+            vals[1001 % nrow] = ""  # empty string
+            vals[2003 % nrow] = None  # NULL
+            vals[3005 % nrow] = '"just a string"'  # valid non-object
+            vals[4007 % nrow] = "[1,2,3]"  # valid array
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("props"),
+                "props",
+                pa.array(vals, tbl.schema.field("props").type),
             )
         pq.write_table(
             tbl, os.path.join(tmp, os.path.basename(p)), store_schema=False
