@@ -239,7 +239,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, ts,
            last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_click_id
     FROM events
     QUALIFY event_type = 'purchase'

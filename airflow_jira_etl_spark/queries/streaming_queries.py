@@ -50,6 +50,7 @@ def _ck(name: str) -> str:
            event_type,
            count(*) AS n_events
     FROM events
+    WHERE ts IS NOT NULL  -- event-time windows drop NULL event times
     GROUP BY 1, 2
     """,
 )
@@ -79,6 +80,7 @@ def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS window_start,
                value
         FROM events, (SELECT unnest([0, 1, 2, 3]) AS i) AS i
+        WHERE ts IS NOT NULL  -- event-time windows drop NULL event times
     )
     SELECT window_start,
            count(*) AS n_events,
@@ -117,6 +119,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- flips a session boundary only on one side
         SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
         FROM events
+        WHERE ts IS NOT NULL  -- event-time sessions drop NULL event times
     ),
     flagged AS (
         SELECT user_id, event_id, ts, value,
@@ -479,7 +482,9 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH counts AS (
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type, count(*) AS n_events
-        FROM events GROUP BY 1, 2
+        FROM events
+        WHERE ts IS NOT NULL  -- event-time windows drop NULL event times
+        GROUP BY 1, 2
     )
     SELECT window_start, event_type, n_events, CAST(rnk AS INTEGER) AS rnk
     FROM (

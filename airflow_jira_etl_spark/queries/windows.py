@@ -73,7 +73,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running_sum",
     oracle="""
     SELECT event_id, user_id, ts,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                                   ROWS UNBOUNDED PRECEDING) + 1e-9, 4)
              AS running_value
     FROM events
@@ -100,7 +100,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_sliding_rows_frame",
     oracle="""
     SELECT event_id, user_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 4)
              AS moving_avg
     FROM events
@@ -153,7 +153,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(lead(value, 1, -1.0) OVER w + 1e-9, 4) AS next_value,
            epoch_us(ts - lag(ts, 1) OVER w) AS gap_us
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +223,7 @@ def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(first_value(value) OVER w + 1e-9, 4) AS first_v,
            round(last_value(value) OVER w + 1e-9, 4) AS last_v
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -253,11 +253,11 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR date_diff('second', lag(ts) OVER w, ts) > 1800
                     THEN 1 ELSE 0 END AS is_new
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     ),
     sess AS (
         SELECT user_id, ts, value,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_seq
         FROM marked
     )
@@ -314,13 +314,13 @@ def win_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, user_id, ts, event_type,
                CASE WHEN row_number() OVER (
                    PARTITION BY user_id, event_type
-                   ORDER BY ts, event_id) = 1
+                   ORDER BY ts NULLS FIRST, event_id) = 1
                THEN 1 ELSE 0 END AS first_seen
         FROM events
     )
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
            CAST(sum(first_seen) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
     FROM marked
     """,
@@ -361,9 +361,9 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
         SELECT user_id, event_type, ts, event_id,
                row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id)
+                                  ORDER BY ts NULLS FIRST, event_id)
              - row_number() OVER (PARTITION BY user_id, event_type
-                                  ORDER BY ts, event_id) AS run_id
+                                  ORDER BY ts NULLS FIRST, event_id) AS run_id
         FROM events
     )
     SELECT user_id,

@@ -13,6 +13,14 @@ crashed the worker outright on malformed props — the three JSON
 oracles now gate on json_valid (+ json_type='OBJECT' for keys), and
 the UDTF treats malformed/non-object props as zero rows.
 
+NULL event-time axis (fixed via the r12 NULL-ts sweep, ELEVEN
+oracles): Spark's event-time window/session operators DROP rows with
+a NULL event time where plain SQL buckets them (streaming oracles now
+filter ts IS NOT NULL), and Spark's default ascending sort places
+NULLS FIRST where DuckDB's places them LAST (every ts-ordered window
+oracle now states NULLS FIRST explicitly — identical output on
+NULL-free fixtures, pinned here under drift).
+
 Planting one NaN, one +Inf and one −Inf per column surfaced SIX real
 contract gaps before this sweep existed (all fixed, conventions stated
 where they live):
@@ -96,6 +104,20 @@ def nonfinite_fixture(tmp_path_factory):
                 tbl.schema.get_field_index("props"),
                 "props",
                 pa.array(vals, tbl.schema.field("props").type),
+            )
+            # the NULL event-time axis (r12): one NULL ts broke 11
+            # oracles two ways — Spark's event-time operators DROP
+            # NULL-ts rows where plain SQL buckets them (streaming
+            # oracles now filter ts IS NOT NULL), and Spark's default
+            # sort is NULLS FIRST where DuckDB's is NULLS LAST (every
+            # ts-ordered window oracle now says NULLS FIRST)
+            vals = tbl.column("ts").to_pylist()
+            for idx in (13, 1013, 2017):
+                vals[idx % nrow] = None
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("ts"),
+                "ts",
+                pa.array(vals, tbl.schema.field("ts").type),
             )
         pq.write_table(
             tbl, os.path.join(tmp, os.path.basename(p)), store_schema=False
