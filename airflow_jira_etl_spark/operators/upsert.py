@@ -177,6 +177,7 @@ def merge_aggregate(
     combine: dict[str, str],
     cluster_cols: list[str] | None = None,
     evolve_schema: bool = False,
+    null_keys: str = "reject",
 ) -> DataFrame:
     """Combining MERGE — ``WHEN MATCHED THEN UPDATE SET c = f(old, new)``
     with an associative-commutative ``f`` per column (``sum``/``min``/
@@ -200,6 +201,16 @@ def merge_aggregate(
     freshly-added metric's running aggregate starts from the batches
     that carry it, the only meaningful ADD COLUMN semantics for an
     incremental MV.
+
+    ``null_keys``: ``"reject"`` (default) raises on a NULL key — right
+    for ENTITY keys, where NULL is corruption and the groupBy would
+    silently merge unrelated rows. ``"group"`` treats NULL as a domain
+    value: the keys of an incremental MV are GROUP BY columns, and SQL
+    aggregation has a NULL group (one fact row with a NULL dimension is
+    legal data) — rejecting it makes the MV unable to represent a group
+    every plain GROUP BY produces. Spark's groupBy already groups NULL
+    keys together deterministically, which for a combining merge IS the
+    correct fold.
     """
     keys = [key] if isinstance(key, str) else list(key)
     group = [*(cluster_cols or []), *keys]
@@ -228,10 +239,15 @@ def merge_aggregate(
         raise ValueError(
             f"unsupported combiners {bad}: pick from {sorted(_COMBINE_FNS)}"
         )
+    if null_keys not in ("reject", "group"):
+        raise ValueError(
+            f"null_keys must be 'reject' or 'group', got {null_keys!r}"
+        )
     _check_merge_inputs(base, updates, keys)
-    for k in keys:  # NULL keys fail loudly at execution, never collapse
-        base = base.withColumn(k, _null_key_guard(k, "base"))
-        updates = updates.withColumn(k, _null_key_guard(k, "updates"))
+    if null_keys == "reject":
+        for k in keys:  # NULL keys fail loudly at execution
+            base = base.withColumn(k, _null_key_guard(k, "base"))
+            updates = updates.withColumn(k, _null_key_guard(k, "updates"))
     union = base.unionByName(updates, allowMissingColumns=evolve_schema)
     aggs = [_COMBINE_FNS[f](c).alias(c) for c, f in combine.items()]
     return union.groupBy(*group).agg(*aggs)

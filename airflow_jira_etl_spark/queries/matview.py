@@ -52,7 +52,13 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     table_dir = session_scratch("mv_user_profile", tag)
     write_event_pages(spark, sf_dir, pages_dir, n_pages=4)
-    table = ParquetUpsertTable(spark, table_dir, key="user_id", n_buckets=8)
+    # null_keys="group": user_id is a GROUP BY key, and SQL aggregation
+    # has a NULL group — a drifted fixture with one NULL user_id must
+    # fold into it like the oracle's GROUP BY does, not refuse the
+    # batch (the entity-key NULL refusal stays the default elsewhere)
+    table = ParquetUpsertTable(
+        spark, table_dir, key="user_id", n_buckets=8, null_keys="group"
+    )
     table.destroy()  # fresh run: destroy leaves an empty, usable root
     pages = sorted(
         os.path.join(pages_dir, d)

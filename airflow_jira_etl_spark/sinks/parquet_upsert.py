@@ -144,13 +144,24 @@ class ParquetUpsertTable:
         n_buckets: int = DEFAULT_N_BUCKETS,
         bucketer: Bucketer = hash_bucketer,
         evolve_schema: bool = False,
+        null_keys: str = "reject",
     ):
+        if null_keys not in ("reject", "group"):
+            raise ValueError(
+                f"null_keys must be 'reject' or 'group', got {null_keys!r}"
+            )
         self.spark = spark
         self.root = root
         self.key = key
         self.keys = [key] if isinstance(key, str) else list(key)
         self.n_buckets = n_buckets
         self.bucketer = bucketer
+        # "group": NULL keys are DOMAIN values (GROUP BY keys of an
+        # incremental MV — SQL aggregation has a NULL group), not
+        # corruption; only meaningful for combining merges, enforced in
+        # apply(). The default hash bucketer routes NULL to a stable
+        # valid bucket, so the NULL group merges consistently.
+        self.null_keys = null_keys
         # ADD COLUMN evolution: merges accept batches carrying new
         # columns (old rows read back NULL); reads schema-merge across
         # generations so old bucket files and new ones coexist
@@ -331,13 +342,23 @@ class ParquetUpsertTable:
                 .collect()
             )
             if any(r["has_null_key"] for r in raw):
-                raise ValueError(
-                    "upsert keys must be non-null: the batch carries "
-                    "NULL in a key column — NULL keys would silently "
-                    "collapse to one arbitrary row in the merge "
-                    "(reference db_ops.py treats the key as a primary "
-                    "key, which is NOT NULL by definition)"
-                )
+                if self.null_keys == "reject":
+                    raise ValueError(
+                        "upsert keys must be non-null: the batch carries "
+                        "NULL in a key column — NULL keys would silently "
+                        "collapse to one arbitrary row in the merge "
+                        "(reference db_ops.py treats the key as a primary "
+                        "key, which is NOT NULL by definition); for "
+                        "GROUP-BY keys where NULL is a domain value, "
+                        "open the table with null_keys='group'"
+                    )
+                if combine is None:
+                    raise ValueError(
+                        "null_keys='group' requires a combining merge "
+                        "(combine=...): the NULL group is aggregation "
+                        "semantics — last-writer-wins over a NULL "
+                        "ENTITY key would still collapse unrelated rows"
+                    )
             if any(r[0] is None for r in raw):
                 # a NULL bucket (range_bucketer on a non-numeric key:
                 # CAST AS BIGINT yields NULL silently) would write to
@@ -372,6 +393,7 @@ class ParquetUpsertTable:
                     combine,
                     cluster_cols=[_BUCKET],
                     evolve_schema=self.evolve_schema,
+                    null_keys=self.null_keys,
                 )
             else:
                 merged = upsert(

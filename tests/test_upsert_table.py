@@ -753,6 +753,48 @@ def test_apply_rejects_null_keys_loudly(spark, tmp_path):
     assert t.read().count() == 1
 
 
+def test_null_group_keys_fold_with_optin(spark, tmp_path):
+    """null_keys='group' (round 12): the keys of an incremental MV are
+    GROUP BY columns, and SQL aggregation has a NULL group — a fact
+    row with a NULL dimension is legal data the MV must represent,
+    not refuse. The NULL group must FOLD across batches like any
+    other key; entity-key tables keep the default refusal."""
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "mvnull"), key="k", n_buckets=4,
+        null_keys="group",
+    )
+    b1 = spark.createDataFrame(
+        [(1, 10), (None, 5)], "k long, n long"
+    )
+    b2 = spark.createDataFrame(
+        [(None, 7), (2, 1)], "k long, n long"
+    )
+    t.apply(b1, combine={"n": "sum"})
+    t.apply(b2, combine={"n": "sum"})
+    rows = {r.k: r.n for r in t.read().collect()}
+    assert rows == {1: 10, None: 12, 2: 1}  # NULL group accumulated
+
+
+def test_null_group_mode_requires_combine(spark, tmp_path):
+    """null_keys='group' without a combining merge is refused when a
+    NULL key actually arrives: last-writer-wins over a NULL ENTITY key
+    would still collapse unrelated rows — the mode exists for GROUP BY
+    semantics only."""
+    import pytest
+
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "nkg"), key="k", n_buckets=4,
+        null_keys="group",
+    )
+    bad = spark.createDataFrame([(None, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="combining merge"):
+        t.apply(bad)
+    with pytest.raises(ValueError, match="reject.*group|'group'"):
+        ParquetUpsertTable(
+            spark, str(tmp_path / "nkx"), key="k", null_keys="banana"
+        )
+
+
 def test_interval_batch_column_hits_the_clear_type_gate():
     """'interval day'.startswith('int') is True, so the old numeric
     prefix match classified interval types as numeric and let an

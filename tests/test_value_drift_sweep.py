@@ -119,6 +119,23 @@ def nonfinite_fixture(tmp_path_factory):
                 "ts",
                 pa.array(vals, tbl.schema.field("ts").type),
             )
+            # the NULL group-key axis (r12): SQL aggregation has a
+            # NULL group, so the incremental MV must FOLD a NULL
+            # user_id like its GROUP BY oracle does — the entity-key
+            # NULL refusal mis-fired on it until the MV's table opened
+            # with null_keys='group'
+            for col, idxs in (
+                ("user_id", (23, 1501)),
+                ("event_type", (31, 2501)),
+            ):
+                vals = tbl.column(col).to_pylist()
+                for idx in idxs:
+                    vals[idx % nrow] = None
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index(col),
+                    col,
+                    pa.array(vals, tbl.schema.field(col).type),
+                )
         pq.write_table(
             tbl, os.path.join(tmp, os.path.basename(p)), store_schema=False
         )
