@@ -606,9 +606,13 @@ def report_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
     )
     SELECT month, revenue,
+           -- NULLS FIRST pins Spark's ascending default: a NULL
+           -- o_orderdate forms a NULL month whose position in this
+           -- GLOBAL lag chain otherwise differs per engine (DuckDB
+           -- defaults NULLS LAST), shifting every growth value
            round(
-             (revenue - lag(revenue) OVER (ORDER BY month))
-               / lag(revenue) OVER (ORDER BY month) + 1e-9, 4
+             (revenue - lag(revenue) OVER (ORDER BY month NULLS FIRST))
+               / lag(revenue) OVER (ORDER BY month NULLS FIRST) + 1e-9, 4
            ) AS mom_growth
     FROM monthly
     """,

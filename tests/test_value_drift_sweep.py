@@ -70,6 +70,15 @@ POISON = {
     "supplier": ["s_acctbal"],
 }
 
+# date columns NULLed in the same fixture (swept r12: date-range
+# filters exclude NULLs and min/max skip them IDENTICALLY on both
+# engines — 53/53 green with no oracle changes needed; kept poisoned
+# so the symmetry stays verified rather than assumed)
+NULL_DATES = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate", "l_commitdate", "l_receiptdate"],
+}
+
 
 @pytest.fixture(scope="module")
 def nonfinite_fixture(tmp_path_factory):
@@ -88,6 +97,17 @@ def nonfinite_fixture(tmp_path_factory):
             vals[(11 + 13 * ci) % nrow] = float("nan")
             vals[(101 + 17 * ci) % nrow] = float("inf")
             vals[(211 + 19 * ci) % nrow] = float("-inf")
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index(col),
+                col,
+                pa.array(vals, tbl.schema.field(col).type),
+            )
+        for ci, col in enumerate(NULL_DATES.get(t, [])):
+            if col not in tbl.schema.names:
+                continue
+            vals = tbl.column(col).to_pylist()
+            for idx in (37, 997, 2999):
+                vals[(idx + 7 * ci) % nrow] = None
             tbl = tbl.set_column(
                 tbl.schema.get_field_index(col),
                 col,
