@@ -117,13 +117,19 @@ def scd2_merge(
     # silently — closed rows get valid_to=NULL and opened rows
     # valid_from=NULL, corrupting history with no signal anywhere
     try:
-        datetime.date.fromisoformat(effective)
+        effective_date = datetime.date.fromisoformat(effective)
     except (TypeError, ValueError):
         raise ValueError(
             f"scd2_merge: effective must be a YYYY-MM-DD date literal, "
             f"got {effective!r} — a malformed date would NULL out "
             f"valid_from/valid_to under non-ANSI configs"
         ) from None
+    # bind the PARSED value, not the raw string: Python >= 3.11
+    # fromisoformat also accepts compact ('20240601') and ISO
+    # week-date ('2024-W23-1') forms that Spark's string->date cast
+    # does not parse — under non-ANSI configs those would cast to
+    # NULL, the exact silent corruption this guard exists to stop
+    effective = effective_date.isoformat()
     # helper-name collisions REPLACE or ambiguate real data columns
     # (the upsert._check_merge_inputs class of hazard): a dim column
     # named like a __u_ shadow makes the diff read the wrong side

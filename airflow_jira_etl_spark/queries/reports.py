@@ -600,21 +600,35 @@ def report_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "report_monthly_growth",
     oracle="""
+    -- The lag chain runs over NON-NULL months ONLY, and the GROUP BY
+    -- feeding it is PRE-FILTERED so it never materializes a NULL
+    -- group at all; NULL-o_orderdate rows aggregate in a separate
+    -- branch that rejoins with NULL growth. This dodges a DuckDB
+    -- 1.0.0 soundness bug: a hash aggregate's NULL-group row read by
+    -- a downstream operator under threads is RACY — the row's key
+    -- sometimes reads as garbage, so it nondeterministically passes
+    -- a month IS NOT NULL filter or lands mid-chain in a window sort
+    -- (~40% of runs on this shape; NULLS FIRST qualifiers and even a
+    -- COALESCE sentinel sort key do not help, only keeping the NULL
+    -- group out of the aggregate does). Excluding the dateless
+    -- bucket from the chain is also the truer semantics: growth vs a
+    -- dateless bucket is meaningless.
     WITH monthly AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                round(sum(o_totalprice) + 1e-9, 4) AS revenue
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )
     SELECT month, revenue,
-           -- NULLS FIRST pins Spark's ascending default: a NULL
-           -- o_orderdate forms a NULL month whose position in this
-           -- GLOBAL lag chain otherwise differs per engine (DuckDB
-           -- defaults NULLS LAST), shifting every growth value
            round(
-             (revenue - lag(revenue) OVER (ORDER BY month NULLS FIRST))
-               / lag(revenue) OVER (ORDER BY month NULLS FIRST) + 1e-9, 4
+             (revenue - lag(revenue) OVER (ORDER BY month))
+               / lag(revenue) OVER (ORDER BY month) + 1e-9, 4
            ) AS mom_growth
     FROM monthly
+    UNION ALL
+    SELECT CAST(NULL AS DATE) AS month,
+           round(sum(o_totalprice) + 1e-9, 4) AS revenue,
+           CAST(NULL AS DOUBLE) AS mom_growth
+    FROM orders WHERE o_orderdate IS NULL HAVING count(*) > 0
     """,
 )
 def report_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,12 +638,20 @@ def report_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly output-sized, so the single-task window is a non-issue at
     any input scale; the heavy lifting is the partial→final monthly
     aggregate. First month's growth is NULL (no prior), not 0 — absent
-    history is not zero growth."""
+    history is not zero growth. A NULL month (NULL o_orderdate) is
+    EXCLUDED from the lag chain and carries NULL growth — growth vs a
+    dateless bucket is meaningless, and keeping the NULL group out of
+    the chain also dodges a DuckDB 1.0.0 race on NULL-group rows read
+    downstream of a threaded hash aggregate (see the oracle comment).
+    The engine form stays ONE-PASS: the window partitions on
+    (month IS NULL), so the NULL month sits alone in its own
+    partition and its lag is NULL naturally — no second scan, no
+    union, identical output to the oracle's two-branch SQL."""
     orders = catalog.load(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
     ).agg(fround(F.sum("o_totalprice")).alias("revenue"))
-    w = Window.orderBy("month")
+    w = Window.partitionBy(F.col("month").isNull()).orderBy("month")
     prev = F.lag("revenue").over(w)
     return monthly.select(
         "month",

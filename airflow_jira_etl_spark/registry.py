@@ -47,115 +47,44 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # A budget-capped external sweep records the first ~50 queries in
 # registration order.  To keep every query's differential evidence fresh,
 # the sweep order is explicit and least-recently-checked-first, decoupled
-# from module import order.  Round-12 derivation (base order mechanical
-# via tools/sweep_advisor over CORRECTNESS_r*.json; r11 was 50/50 green,
-# the fifth consecutive fully-green driver round — no red rows, no
-# never-checked queries).  The 50-slot window:
-#   slots 1-2: filter_conjunctive + project_rename_map — the two
-#     documented r11 deferrals and the only queries whose latest driver
-#     row is r07 (VERDICT-r11 item 2 names them the evidence tail).
-#   slots 3-45: the r09-evidence tier (43 of its 49, alphabetical).
-#   slots 46-50: FIVE code-recency promotions (the advisor cannot see
-#     code changes): round 12 added a NaN rung to the shared cosine
-#     guard ladder (functions/similarity.py — Spark propagated NaN
-#     where DuckDB nulled; measured divergence) and a NaN-aware
-#     indexable predicate to the IVF query; every out-of-window
-#     similarity consumer needs a fresh driver row under the new
-#     executed path: llm_sim_topk, llm_sim_lsh_topk (r10 rows),
-#     llm_sim_pairs_threshold, llm_sim_ivf_topk,
-#     llm_dedup_semantic_clusters (r11 rows). The in-window r09-tier
-#     consumers (llm_embed_centroids/knn_assign, llm_containment_pairs
-#     etc.) are covered without promotion.
-# Oversubscription: 56 candidates for 50 slots -> 6 documented
-# deferrals to round 13, chosen for weakest differential info gain
-# (code unchanged since their green rows; each leaves a sibling of
-# its family in-window):
-#   fn_bitwise_suite — exact-integer scalar expressions, bit-identical
-#     on both engines by construction, no predicate/shuffle surface;
-#     fn_timestamp_parse (the scalar suite with real cross-engine
-#     parse semantics to diverge on) keeps the family seat in-window.
-#   fn_hash_suite — boolean-contract oracle over deterministic hash
-#     fns, code unchanged since r09.
-#   scan_csv — format-scan path unchanged since r09; scan_jsonl keeps
-#     the text-format-parse seat in-window.
-#   mm_resize_batch — multimodal Arrow-kernel plumbing unchanged,
-#     dedicated pytest suite; mm_sample_frames stays in-window.
-#   report_monthly_growth — plain SQL-mirror report, unchanged; eight
-#     report siblings stay in-window.
-#   win_lag_lead — simple offset-window forms, unchanged; four window
-#     siblings stay in-window.
-# They lead the post-window tail so they top the r13 order
-# automatically.  Code-recency note: round 12 also rewrote the scd2
-# merge body (explode one-pass form) — sink_scd2_apply is already
-# in-window via the r09 tier, so no promotion is needed.
+# from module import order.  Round-13 derivation (base order mechanical
+# via tools/sweep_advisor over CORRECTNESS_r*.json; r12 was 50/50 green,
+# the sixth consecutive fully-green driver round — no red rows, no
+# never-checked queries; evidence tiers now r09:6, r10:43, r11:47,
+# r12:50).  The 50-slot window:
+#   slots 1-6: the six r12 deferrals — the only r09-evidence rows left.
+#     NOTE (VERDICT/ADVICE r12): the r12 deferral rationale for
+#     report_monthly_growth and win_lag_lead ("code unchanged") was
+#     imprecise — their oracles gained NULLS FIRST in that very diff,
+#     so their driver evidence predated their contracts for one round
+#     (covered locally by test_value_drift_sweep in the interim). Both
+#     lead the window now; report_monthly_growth is ALSO code-recent
+#     this round (NULL-month chain split + window partitioned on
+#     month IS NULL, dodging the DuckDB 1.0.0 NULL-group race — see
+#     queries/reports.py and tests/test_value_drift_sweep.py).
+#   slots 7-49: the full r10-evidence tier (43, alphabetical).
+#   slot 50: sink_scd2_apply — code-recency promotion (the advisor
+#     cannot see code changes): round 13 rebound scd2_merge's
+#     effective-date literal to the PARSED date (operators/scd2.py),
+#     so its r12 row predates the executed path.
+# 6 + 43 + 1 = 50 exactly — no oversubscription, no deferrals this
+# round.  Code-recency note: round 13 also added an upfront
+# mode-mismatch gate to ParquetUpsertTable.apply (non-combining apply
+# on a null_keys='group' table now refuses before planning); the gate
+# is a new REFUSAL path — mv_incremental_refresh (combining, r12-green)
+# and stream_foreachbatch_upsert (default 'reject' table, in-window
+# via the r10 tier) execute only its condition check, and the refusal
+# itself is pinned by tests/test_upsert_table.py.
 # tests/test_sweep_priority.py pins the invariants.
 SWEEP_PRIORITY: list[str] = [
-    # round-12 lead: the two r11 deferrals (r07 evidence, oldest rows)
-    "filter_conjunctive",
-    "project_rename_map",
-    # r09-evidence tier (43 of 49, alphabetical; deferrals below)
-    "agg_mode_per_group",
-    "agg_percentile_cont",
-    "agg_salted_skew",
-    "cdc_latest_per_key",
-    "fn_timestamp_parse",
-    "join_asof_latest",
-    "join_asof_tolerance",
-    "join_bnl_range_bands",
-    "join_bucketed_colocated",
-    "join_dpp_partitioned",
-    "llm_containment_pairs",
-    "llm_corpus_clean_pipeline",
-    "llm_dedup_clusters",
-    "llm_dedup_minhash",
-    "llm_dedup_ngram_jaccard",
-    "llm_embed_centroids",
-    "llm_embed_knn_assign",
-    "llm_fingerprint_rolling",
-    "llm_pii_scrub",
-    "llm_quality_entropy",
-    "mm_sample_frames",
-    "mv_incremental_refresh",
-    "report_funnel_steps",
-    "report_large_volume_customers",
-    "report_promo_revenue",
-    "report_retention_cohorts",
-    "report_sales_opportunity",
-    "report_supplier_share",
-    "report_waiting_suppliers",
-    "scan_corrupt_quarantine",
-    "scan_jsonl",
-    "scan_schema_evolution",
-    "sink_scd2_apply",
-    "sink_sorted_write",
-    "sink_time_travel",
-    "source_paged_union",
-    "stream_stream_interval_join",
-    "stream_tumbling_topk",
-    "ts_gapfill_locf",
-    "win_consecutive_runs",
-    "win_running_distinct",
-    "win_running_sum",
-    "win_sessionize_gaps",
-    # code-recency promotions: the cosine guard ladder gained a
-    # NaN rung this round — these five similarity consumers'
-    # latest driver rows predate the executed path
-    "llm_sim_topk",
-    "llm_sim_lsh_topk",
-    "llm_sim_pairs_threshold",
-    "llm_sim_ivf_topk",
-    "llm_dedup_semantic_clusters",
-    # ---- 50-slot window boundary ----
-    # the six documented r12 deferrals lead the round-13 tail
+    # round-13 lead: the six r12 deferrals (r09 rows, oldest evidence)
     "fn_bitwise_suite",
     "fn_hash_suite",
     "mm_resize_batch",
     "report_monthly_growth",
     "scan_csv",
     "win_lag_lead",
-    # r10-evidence tier (alphabetical); the r11-evidenced queries
-    # (freshest driver rows) fall to the implicit registration-order
-    # tail below the explicit list
+    # r10-evidence tier (all 43, alphabetical)
     "agg_unpivot",
     "filter_exists_subquery",
     "filter_not_exists_subquery",
@@ -199,6 +128,59 @@ SWEEP_PRIORITY: list[str] = [
     "udf_pandas_vectorized",
     "udf_python_scalar",
     "udtf_explode_kv",
+    # code-recency promotion (scd2 effective-date literal rebind r13)
+    "sink_scd2_apply",
+    # ---- 50-slot window boundary ----
+    # r11-evidence tier (alphabetical); the r12-evidenced queries
+    # (freshest driver rows) fall to the implicit registration-order
+    # tail below the explicit list
+    "agg_approx_distinct",
+    "agg_approx_quantiles",
+    "agg_collect_sorted",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_exact_quantiles",
+    "agg_group_sum",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "case_when_cast",
+    "filter_in_like_regex",
+    "filter_null_semantics",
+    "flagship_revenue_by_nation",
+    "join_anti",
+    "join_broadcast_dim",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_multiway_star",
+    "join_right_full",
+    "join_self_dedup_pairs",
+    "join_semi",
+    "join_theta_range",
+    "llm_corpus_stats",
+    "llm_decontaminate",
+    "llm_quality_repetition",
+    "llm_tfidf_top_terms",
+    "project_array_join",
+    "project_flatten_json",
+    "report_forecast_revenue_change",
+    "report_local_supplier_volume",
+    "report_market_share",
+    "report_top_parts_per_brand",
+    "scan_filter_prune",
+    "set_union_all",
+    "sink_partitioned_write",
+    "sort_multi_key",
+    "source_rest_datasource",
+    "win_concurrency_sweep",
+    "win_first_last",
+    "win_ntile_percent",
+    "win_range_frame",
+    "win_rank_dense_rownum",
+    "win_sliding_rows_frame",
+    "win_topk_per_group",
 ]
 
 

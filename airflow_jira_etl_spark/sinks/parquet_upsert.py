@@ -254,6 +254,23 @@ class ParquetUpsertTable:
         instead — the incremental-materialized-view refresh (see
         operators/upsert.merge_aggregate; replays are not idempotent in
         this mode, the caller owns the exactly-once batch boundary)."""
+        if combine is None and self.null_keys == "group":
+            # mode mismatch, rejected UP FRONT: a 'group' table's NULL
+            # group is aggregation state, and once a combining apply()
+            # has stored it, a later plain upsert touching that bucket
+            # would read the legitimate NULL-key row back as the merge
+            # BASE and trip upsert()'s base-side guard mid-execution
+            # with entity-key advice ("rewrite the stored table") that
+            # is wrong for this mode — a permanent, misdiagnosed
+            # dead-end. Plain last-writer-wins on an aggregation table
+            # is incoherent even when no NULL rows are in the way.
+            raise ValueError(
+                "this table was opened with null_keys='group' "
+                "(aggregation semantics): apply() requires a combining "
+                "merge (combine=...) — a plain last-writer-wins upsert "
+                "on a grouped table is a mode mismatch, and a stored "
+                "NULL-key group row would be misread as an entity row"
+            )
         base_gen = self.current_generation()
         manifest = self._read_manifest()
         n_buckets = manifest["n_buckets"] if manifest else self.n_buckets

@@ -14,9 +14,10 @@ Three anti-patterns are linted:
 - un-partitioned ``Window`` — a Window node with an empty partition
   spec serializes its entire input through ONE task. Since round 9 the
   fact-scale global ranks go through the distributed two-phase ranker
-  (operators/ranking.py); the only surviving un-partitioned window runs
-  on a provably output-sized frame (report_monthly_growth's |months|
-  rows) and is allowlisted by name. Node format: ``Window [funcs],
+  (operators/ranking.py); since round 13 the allowlist is EMPTY — the
+  last survivor (report_monthly_growth's |months| lag) now partitions
+  on (month IS NULL), which both isolates the NULL bucket from the
+  chain and clears the lint. Node format: ``Window [funcs],
   [partSpec], [orderSpec]`` — two top-level bracket groups instead of
   three means no partition spec.
 
@@ -43,9 +44,10 @@ registry.load_all_queries()
 
 _EXCLUDED_PREFIXES = ("stream_", "sink_", "source_", "mv_", "cdc_")
 _ROW_UDF_ALLOWED = {"udf_python_scalar", "udtf_explode_kv"}
-# queries whose un-partitioned window runs over an aggregate whose
-# cardinality is bounded by the domain (months), not the input
-_GLOBAL_WINDOW_ALLOWED = {"report_monthly_growth"}
+# empty since round 13 (report_monthly_growth's |months| lag now
+# partitions on (month IS NULL)); a future entry needs an
+# output-sized-frame justification reviewed in PLANS.md
+_GLOBAL_WINDOW_ALLOWED: set[str] = set()
 
 
 def _unpartitioned_window_lines(plan: str) -> list[str]:

@@ -223,6 +223,21 @@ def test_scd2_rejects_empty_attrs(spark):
         scd2_merge(dim, changes, "k", [], "2024-06-01")
 
 
+def test_scd2_effective_binds_parsed_date_not_raw_string(spark):
+    """Python >= 3.11 date.fromisoformat also accepts the compact
+    ('20240601') and ISO week-date forms that Spark's string->date
+    cast does NOT parse — under non-ANSI configs those cast to NULL,
+    exactly the silent valid_from/valid_to corruption the guard
+    exists to stop. The merge must bind the PARSED value, so every
+    format Python accepts yields the correct date literal."""
+    dim = _dim(spark, [(1, "A", D(2024, 1, 1), None, True)])
+    ch = _ch(spark, [(1, "B")])
+    out = scd2_merge(dim, ch, "k", ["seg"], "20240601").collect()
+    rows = {(r.seg, r.is_current): r for r in out}
+    assert rows[("B", True)].valid_from == D(2024, 6, 1)
+    assert rows[("A", False)].valid_to == D(2024, 6, 1)
+
+
 def test_scd2_reopened_key_inserts_new_current(spark):
     """A key whose versions are ALL closed (no current row) receives a
     change: it must re-enter via the new-key path (the key-only semi

@@ -41,42 +41,29 @@ def test_red_rows_lead_the_window():
     assert not missing, f"red-evidence queries outside the window: {missing}"
 
 
-# Round-12 window plan: 56 must-prove candidates (the two r11
-# deferrals with r07 rows, the 49-query r09 tier, and five
-# code-recency promotions for the cosine ladder's NaN rung) for 50
-# slots; these six are the documented deferrals (weakest differential
-# info gain, code unchanged since their green rows — see the
-# derivation comment above registry.SWEEP_PRIORITY). Everything else
-# stale must be inside the window.
-DEFERRED = {
-    "fn_bitwise_suite",  # exact-integer ops; timestamp sibling stays
-    "fn_hash_suite",  # deterministic hash contract, unchanged
-    "scan_csv",  # format scan unchanged; scan_jsonl keeps the seat
-    "mm_resize_batch",  # kernel plumbing unchanged; sample_frames stays
-    "report_monthly_growth",  # SQL-mirror report; 8 siblings stay
-    "win_lag_lead",  # simple offset windows; 4 siblings stay
-}
+# Round-13 window plan: evidence tiers after the sixth consecutive
+# fully-green driver round are r09:6 (the r12 deferrals), r10:43,
+# r11:47, r12:50. Candidates = 6 + 43 stale rows + 1 code-recency
+# promotion = 50 exactly — no oversubscription, so NO deferrals this
+# round (see the derivation comment above registry.SWEEP_PRIORITY).
+DEFERRED: set[str] = set()
 
-# Evidence-age threshold for "must re-prove this round": after the
-# fully-green r11, the oldest tiers are r07 (the two old deferrals)
-# and r09.
-STALE_ROUND = 9
+# Evidence-age threshold for "must re-prove this round": the r09 and
+# r10 tiers both fit the window, so everything at or below r10 must be
+# inside it.
+STALE_ROUND = 10
 
 PROMOTED = {
-    # code-recency promotions, round 12:
-    # - sink_scd2_apply: the scd2 merge body was rewritten (one-pass
-    #   explode form, pure equi probe — operators/scd2.py); already
-    #   in-window via the r09 tier, pinned here so a future reshuffle
-    #   cannot forget the code recency;
-    # - the five similarity consumers whose driver rows predate the
-    #   cosine guard ladder's NaN rung (functions/similarity.py) and
-    #   the IVF indexable predicate change.
+    # code-recency promotions, round 13 (the advisor cannot see code
+    # changes):
+    # - report_monthly_growth: oracle + engine rewritten (NULL-month
+    #   chain split; DuckDB 1.0.0 NULL-group race — reports.py); also
+    #   r09-stale, so doubly in-window;
+    # - sink_scd2_apply: scd2_merge now binds the PARSED effective
+    #   date, not the raw string (operators/scd2.py) — its r12 row
+    #   predates the executed path.
+    "report_monthly_growth",
     "sink_scd2_apply",
-    "llm_sim_topk",
-    "llm_sim_lsh_topk",
-    "llm_sim_pairs_threshold",
-    "llm_sim_ivf_topk",
-    "llm_dedup_semantic_clusters",
 }
 
 

@@ -776,10 +776,15 @@ def test_null_group_keys_fold_with_optin(spark, tmp_path):
 
 
 def test_null_group_mode_requires_combine(spark, tmp_path):
-    """null_keys='group' without a combining merge is refused when a
-    NULL key actually arrives: last-writer-wins over a NULL ENTITY key
-    would still collapse unrelated rows — the mode exists for GROUP BY
-    semantics only."""
+    """null_keys='group' refuses a NON-combining apply() UP FRONT
+    (round 13) — not just when a NULL key happens to arrive: a 'group'
+    table's rows are aggregation state, and once a combining apply()
+    has stored the NULL group, a later plain upsert touching that
+    bucket would read the NULL-key row back as the merge BASE and trip
+    the base-side guard mid-execution with entity-key advice that is
+    wrong for this mode (a permanent, misdiagnosed dead-end). The
+    refusal must name the mode mismatch and fire even for a clean
+    batch with no NULL keys at all."""
     import pytest
 
     t = ParquetUpsertTable(
@@ -789,6 +794,24 @@ def test_null_group_mode_requires_combine(spark, tmp_path):
     bad = spark.createDataFrame([(None, "a")], "k long, v string")
     with pytest.raises(ValueError, match="combining merge"):
         t.apply(bad)
+    # the stored-NULL-group dead-end scenario: combine a NULL group in,
+    # then attempt a plain upsert — must refuse with mode-mismatch
+    # advice BEFORE execution, not the base-side entity-key guard
+    t2 = ParquetUpsertTable(
+        spark, str(tmp_path / "nkg2"), key="k", n_buckets=4,
+        null_keys="group",
+    )
+    t2.apply(
+        spark.createDataFrame([(None, 5), (1, 2)], "k long, n long"),
+        combine={"n": "sum"},
+    )
+    clean = spark.createDataFrame([(1, 9)], "k long, n long")
+    with pytest.raises(ValueError, match="mode mismatch"):
+        t2.apply(clean)
+    # the table is NOT a dead-end: the combining path still works
+    t2.apply(clean, combine={"n": "sum"})
+    rows = {r.k: r.n for r in t2.read().collect()}
+    assert rows == {None: 5, 1: 11}
     with pytest.raises(ValueError, match="reject.*group|'group'"):
         ParquetUpsertTable(
             spark, str(tmp_path / "nkx"), key="k", null_keys="banana"

@@ -21,6 +21,23 @@ NULLS FIRST where DuckDB's places them LAST (every ts-ordered window
 oracle now states NULLS FIRST explicitly — identical output on
 NULL-free fixtures, pinned here under drift).
 
+NULL-group/window axis (r13): DuckDB 1.0.0 has a RACE on the
+NULL-group row of a threaded hash aggregate whose group key is a
+date_trunc expression, when that row flows into a window — the row's
+key nondeterministically reads as garbage downstream (~40% of runs:
+lands mid-chain in the window sort, or passes an IS NOT NULL filter).
+NULLS FIRST qualifiers and even a COALESCE-sentinel sort key do NOT
+help; only keeping the NULL group out of the aggregate does.
+report_monthly_growth now pre-filters o_orderdate IS NOT NULL before
+its GROUP BY and aggregates the dateless bucket in a separate branch
+(engine: window partitioned on month IS NULL — one pass, NULL month
+alone in its partition). An r13 audit probed every other oracle shape
+on the poisoned fixture (all 146 x 6 runs: deterministic; the
+date_trunc group keys in flagship / stream_tumbling_* / watermark_late
+are pre-filtered by range or IS NOT NULL predicates, and raw-column
+group keys -> window are unaffected by the race).
+test_monthly_growth_oracle_is_deterministic pins the repro shape.
+
 Planting one NaN, one +Inf and one −Inf per column surfaced SIX real
 contract gaps before this sweep existed (all fixed, conventions stated
 where they live):
@@ -186,3 +203,45 @@ def test_all_oracles_survive_nonfinite_measures(spark, nonfinite_fixture):
         f"{len(failures)} oracle(s) diverge under non-finite measure "
         f"drift: {failures}"
     )
+
+
+def test_monthly_growth_oracle_is_deterministic(nonfinite_fixture):
+    """Regression pin for the r13 DuckDB 1.0.0 NULL-group race (module
+    docstring, NULL-group/window axis): with a NULL o_orderdate in the
+    fixture, the OLD oracle (GROUP BY date_trunc month incl. the NULL
+    group -> lag window) returned a different chain ~40% of runs — the
+    NULL-group row's key read as garbage in the window sort. The fixed
+    oracle pre-filters the NULL group out of the aggregate, so
+    repeated runs must be bit-identical (NaN-normalized: the poisoned
+    revenue months legitimately carry NaN, and nan != nan would make
+    every run look distinct)."""
+    import math
+
+    con = duckdb_conn(nonfinite_fixture)
+    sql = registry.ORACLES["report_monthly_growth"]
+
+    def norm(rows):
+        return tuple(
+            sorted(
+                (
+                    tuple(
+                        "NAN"
+                        if isinstance(v, float) and math.isnan(v)
+                        else str(v)
+                        for v in r
+                    )
+                    for r in rows
+                ),
+                key=str,
+            )
+        )
+
+    results = {norm(con.execute(sql).fetchall()) for _ in range(12)}
+    assert len(results) == 1, (
+        f"oracle nondeterministic across runs: {len(results)} distinct "
+        f"result sets — the DuckDB NULL-group race is back in the plan"
+    )
+    # and the NULL bucket itself is present exactly once, growth NULL
+    (only,) = results
+    null_rows = [r for r in only if r[0] == "None"]
+    assert len(null_rows) == 1 and null_rows[0][2] == "None"
