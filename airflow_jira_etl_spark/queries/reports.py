@@ -439,7 +439,14 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
         ),
         ["l_returnflag"],
-        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        # NULLS LAST, matching DuckDB's ASC default (Spark's is NULLS
+        # FIRST): a NULL l_extendedprice would otherwise shift every
+        # rank by one and move all three selected quantiles
+        [
+            F.col("l_extendedprice").asc_nulls_last(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
         {
             "p25": lambda n: (n + 3) // 4,
             "p50": lambda n: (n + 1) // 2,

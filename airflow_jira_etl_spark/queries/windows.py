@@ -204,7 +204,10 @@ def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = catalog.load(spark, sf_dir, "customer")
     ranked, n = global_row_number(
         customer.select("c_custkey", "c_acctbal"),
-        [F.col("c_acctbal"), F.col("c_custkey")],
+        # NULLS LAST, matching DuckDB's ASC default (Spark's is NULLS
+        # FIRST): a NULL c_acctbal would otherwise take rank 1 here
+        # and rank n in the oracle, shifting every order statistic
+        [F.col("c_acctbal").asc_nulls_last(), F.col("c_custkey")],
     )
     rn = F.col("rn")
     return ranked.select(

@@ -21,6 +21,20 @@ NULLS FIRST where DuckDB's places them LAST (every ts-ordered window
 oracle now states NULLS FIRST explicitly — identical output on
 NULL-free fixtures, pinned here under drift).
 
+NULL-measure axis (r13): one NULL planted per float measure column —
+the fourth drift shape next to NaN/±Inf. Sums/avgs/min/max/percentile
+/stddev skip NULLs identically on both engines and comparisons with
+NULL are false on both, so most of the registry needs no guard; the
+exposure is ASC SORT KEYS over a nullable measure, where Spark
+defaults NULLS FIRST and DuckDB NULLS LAST (they AGREE on DESC: both
+last). The two ranker queries ordering on a measure
+(agg_exact_quantiles' l_extendedprice, win_ntile_percent's c_acctbal)
+now pin asc_nulls_last on the Spark side, matching DuckDB's default —
+the llm_corpus_stats convention. RANGE frames over a nullable key
+(win_range_frame) verified immune: both engines give the NULL row its
+own peer frame and exclude NULLs from finite-bound frames, so the
+per-row output is null-position-independent.
+
 NULL-group/window axis (r13): DuckDB 1.0.0 has a RACE on the
 NULL-group row of a threaded hash aggregate whose group key is a
 date_trunc expression, when that row flows into a window — the row's
@@ -109,11 +123,24 @@ def nonfinite_fixture(tmp_path_factory):
         nrow = tbl.num_rows
         for ci, col in enumerate(POISON[t]):
             vals = tbl.column(col).to_pylist()
-            # three rows, three shapes, offsets varied per column so
+            # four rows, four shapes, offsets varied per column so
             # they land in different groups/users/keys
+            taken = {
+                (11 + 13 * ci) % nrow,
+                (101 + 17 * ci) % nrow,
+                (211 + 19 * ci) % nrow,
+            }
             vals[(11 + 13 * ci) % nrow] = float("nan")
             vals[(101 + 17 * ci) % nrow] = float("inf")
             vals[(211 + 19 * ci) % nrow] = float("-inf")
+            # NULL-measure axis (r13): a NULL value in every float
+            # measure — the fourth shape a regeneration can ship.
+            # Collision-stepped so tiny tables (supplier ~100 rows at
+            # sf0.01) keep all four shapes distinct.
+            null_idx = (307 + 23 * ci) % nrow
+            while null_idx in taken:
+                null_idx = (null_idx + 1) % nrow
+            vals[null_idx] = None
             tbl = tbl.set_column(
                 tbl.schema.get_field_index(col),
                 col,
