@@ -1257,3 +1257,109 @@ def llm_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+@query(
+    "llm_dedup_paragraph",
+    oracle="""
+    WITH segs AS (
+        SELECT doc_id, CAST(gs.i AS BIGINT) AS seg_idx,
+               array_to_string(w[gs.i*4+1 : gs.i*4+4], ' ') AS seg
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE text IS NOT NULL) t,
+             LATERAL (SELECT unnest(range(CAST(ceil(len(w)/4.0) AS BIGINT)))
+                      AS i) gs(i)
+    ),
+    firsts AS (
+        -- corpus-wide first occurrence in (doc_id, seg_idx) order,
+        -- encoded as one BIGINT so min() is the argmin (seg_idx <
+        -- 2^20 by construction: a 4-word segment index over documents
+        -- would need a ~4M-word doc to overflow; doc_id * 2^20 stays
+        -- under 2^63 up to doc_id ~ 2^43)
+        SELECT seg, min(doc_id * 1048576 + seg_idx) AS first_key
+        FROM segs GROUP BY seg
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN s.doc_id * 1048576 + s.seg_idx = f.first_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(
+               CASE WHEN s.doc_id * 1048576 + s.seg_idx = f.first_key
+                    THEN s.seg END, ' ' ORDER BY s.seg_idx), '')
+             AS clean_text
+    FROM segs s JOIN firsts f USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def llm_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup (the Dolma / RefinedWeb shape): split each
+    document into consecutive 4-word segments (the corpus is a
+    single-line word salad, so fixed word windows stand in for the
+    blank-line paragraphs of real corpora), keep only the corpus-wide
+    FIRST occurrence of every segment in deterministic (doc_id,
+    seg_idx) order, and reassemble each document from its surviving
+    segments — per-doc total/kept counts ride along so the drop rate
+    is auditable. Exact reconstruction: the split keeps empty tokens
+    (doubled/leading/trailing spaces round-trip through split+join
+    byte-identically on both engines — verified on the adversarial
+    docs corpus), and a fully-duplicated document reassembles to ''.
+
+    Scale shape: the explode is linear in corpus words; the
+    first-occurrence pass is ONE shuffle keyed on the segment with
+    map-side partial min (the argmin is min() over an encoded
+    (doc_id, seg_idx) BIGINT, so it combines); the keep-filter is a
+    shuffle join back on the same segment key (co-partitioned with
+    the aggregate — Catalyst reuses the exchange), and reassembly is
+    one groupBy(doc_id). At 100 TB the segment STRING key would be
+    replaced by xxhash64(seg) for shuffle width (collision rate 2^-64
+    per pair — acceptable for dedup, same trade the minhash family
+    documents); the string key stays here because the oracle needs
+    exact-equality semantics, and the plan shape is identical either
+    way. Segment index < 2^20 and doc_id < 2^43 keep the encoded
+    argmin overflow-free (the INT32-edge doc_ids in the adversarial
+    corpus sit at 2^31)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    words = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    seg_of = lambda i: F.array_join(  # noqa: E731 — tight lambda
+        F.slice("w", i * 4 + 1, 4), " "
+    )
+    segs = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    (F.ceil(F.size("w") / 4) - 1).cast("int"),
+                ),
+                seg_of,
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    enc = F.col("doc_id") * 1048576 + F.col("seg_idx")
+    firsts = segs.groupBy("seg").agg(F.min(enc).alias("first_key"))
+    flagged = segs.join(firsts, "seg").withColumn(
+        "kept", enc == F.col("first_key")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept"),
+                            F.struct(
+                                F.col("seg_idx").alias("i"),
+                                F.col("seg").alias("s"),
+                            ),
+                        )
+                    )
+                ),
+                lambda e: e.s,
+            ),
+        ).alias("clean_text"),
+    )

@@ -63,10 +63,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     month IS NULL, dodging the DuckDB 1.0.0 NULL-group race — see
 #     queries/reports.py and tests/test_value_drift_sweep.py).
 #   slots 7-49: the full r10-evidence tier (43, alphabetical).
-#   slot 50: sink_scd2_apply — code-recency promotion (the advisor
-#     cannot see code changes): round 13 rebound scd2_merge's
-#     effective-date literal to the PARSED date (operators/scd2.py),
-#     so its r12 row predates the executed path.
+#   slot 50: llm_dedup_paragraph — NEW this round (paragraph-level
+#     dedup, the Dolma/RefinedWeb shape), never driver-checked, so it
+#     MUST sit in the window (test_never_checked_queries_lead_the
+#     _window). It takes the slot that an earlier draft gave a
+#     sink_scd2_apply code-recency promotion; that promotion is
+#     DEMOTED with cause: the r13 scd2 change rebinds the effective
+#     literal to the parsed date, which is value-identical for the
+#     ISO input the registered query always passes — differential
+#     info gain ~0, and the new-format paths are pinned by
+#     tests/test_scd2.py locally.
 # 6 + 43 + 1 = 50 exactly — no oversubscription, no deferrals this
 # round.  Code-recency note: round 13 also added an upfront
 # mode-mismatch gate to ParquetUpsertTable.apply (non-combining apply
@@ -128,8 +134,8 @@ SWEEP_PRIORITY: list[str] = [
     "udf_pandas_vectorized",
     "udf_python_scalar",
     "udtf_explode_kv",
-    # code-recency promotion (scd2 effective-date literal rebind r13)
-    "sink_scd2_apply",
+    # new this round, never driver-checked — must gain first evidence
+    "llm_dedup_paragraph",
     # ---- 50-slot window boundary ----
     # r11-evidence tier (alphabetical); the r12-evidenced queries
     # (freshest driver rows) fall to the implicit registration-order

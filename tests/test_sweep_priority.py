@@ -59,11 +59,14 @@ PROMOTED = {
     # - report_monthly_growth: oracle + engine rewritten (NULL-month
     #   chain split; DuckDB 1.0.0 NULL-group race — reports.py); also
     #   r09-stale, so doubly in-window;
-    # - sink_scd2_apply: scd2_merge now binds the PARSED effective
-    #   date, not the raw string (operators/scd2.py) — its r12 row
-    #   predates the executed path.
+    # - llm_dedup_paragraph: NEW query, never driver-checked (also
+    #   enforced by test_never_checked_queries_lead_the_window).
+    # NOT promoted (documented demotion): sink_scd2_apply — the r13
+    # scd2 change rebinds the effective literal to the parsed date,
+    # value-identical for the ISO input the registered query passes;
+    # the new-format paths are pinned locally by tests/test_scd2.py.
     "report_monthly_growth",
-    "sink_scd2_apply",
+    "llm_dedup_paragraph",
 }
 
 
