@@ -1304,13 +1304,20 @@ def llm_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identically on both engines — verified on the adversarial
     docs corpus), and a fully-duplicated document reassembles to ''.
 
-    Scale shape: the explode is linear in corpus words; the
-    first-occurrence pass is ONE shuffle keyed on the segment with
-    map-side partial min (the argmin is min() over an encoded
-    (doc_id, seg_idx) BIGINT, so it combines); the keep-filter is a
-    shuffle join back on the same segment key (co-partitioned with
-    the aggregate — Catalyst reuses the exchange), and reassembly is
-    one groupBy(doc_id). At 100 TB the segment STRING key would be
+    Scale shape (plan-verified at sf0.01): the explode is linear in
+    corpus words and deliberately evaluates twice — once under the
+    first-occurrence aggregate, once as the keep-join probe (the same
+    lazy-rescan trade the scan audit triages for llm_sim_topk et al.:
+    re-running a linear explode beats materializing |segments| rows).
+    The first-occurrence pass is ONE shuffle keyed on the segment
+    with map-side partial min (the argmin is min() over an encoded
+    (doc_id, seg_idx) BIGINT, so it combines). The keep-join is
+    UNHINTED: below the broadcast threshold AQE broadcasts the
+    aggregated firsts (the local plan — zero probe-side shuffle);
+    above it, the join degrades to SMJ on the segment key where the
+    aggregate side arrives already partitioned on seg, so only the
+    probe side pays a new exchange. Reassembly is one
+    groupBy(doc_id). At 100 TB the segment STRING key would be
     replaced by xxhash64(seg) for shuffle width (collision rate 2^-64
     per pair — acceptable for dedup, same trade the minhash family
     documents); the string key stays here because the oracle needs
