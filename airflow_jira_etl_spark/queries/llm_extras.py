@@ -1326,6 +1326,14 @@ def llm_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin overflow-free (the INT32-edge doc_ids in the adversarial
     corpus sit at 2^31)."""
     docs = catalog.load(spark, sf_dir, "documents")
+    return paragraph_dedup(docs)
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Operator body over any (doc_id BIGINT, text STRING, ...) frame —
+    split out so tools/paragraph_scale_probe.py can drive it on
+    replicated corpora (see llm_dedup_paragraph for semantics and the
+    plan narrative)."""
     words = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.split("text", " ").alias("w")
     )
