@@ -1,0 +1,66 @@
+"""paragraph_dedup edge paths the registered query's oracle can't
+isolate on the real corpus: planted exact twins, within-doc
+repetition, empty-token round-trips, and the first-occurrence
+tie-break order."""
+
+from __future__ import annotations
+
+from airflow_jira_etl_spark.queries.llm_extras import paragraph_dedup
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r for r in paragraph_dedup(df).collect()}
+
+
+def test_exact_twin_reassembles_to_empty(spark):
+    """The second copy of a fully-duplicated 8-word doc keeps ZERO
+    segments and reassembles to '' (not NULL, not a partial)."""
+    text = "a b c d e f g h"
+    out = _run(spark, [(1, text), (2, text)])
+    assert out[1].n_segs == 2 and out[1].n_kept == 2
+    assert out[1].clean_text == text
+    assert out[2].n_segs == 2 and out[2].n_kept == 0
+    assert out[2].clean_text == ""
+
+
+def test_first_occurrence_is_doc_then_segment_order(spark):
+    """A segment seen twice WITHIN one doc keeps its first position;
+    across docs the lower doc_id wins regardless of segment index."""
+    # doc 1: segment "x y z w" at idx 0 and again at idx 1
+    out = _run(spark, [(1, "x y z w x y z w"), (2, "q r s t x y z w")])
+    assert out[1].n_kept == 1 and out[1].clean_text == "x y z w"
+    # doc 2 keeps its own first segment, loses the shared one
+    assert out[2].n_kept == 1 and out[2].clean_text == "q r s t"
+
+
+def test_partial_tail_segment_and_empty_tokens_round_trip(spark):
+    """A non-multiple-of-4 doc ends in a short segment; doubled and
+    trailing spaces survive split+join byte-identically."""
+    out = _run(spark, [(1, "a  b c"), (2, "tail x y z w v")])
+    # 'a  b c' splits to ['a','','b','c'] -> one 4-token segment
+    assert out[1].n_segs == 1 and out[1].clean_text == "a  b c"
+    # 6 words -> segments of 4 and 2; reassembly restores the text
+    assert out[2].n_segs == 2 and out[2].clean_text == "tail x y z w v"
+
+
+def test_null_text_docs_drop_and_empty_text_is_one_segment(spark):
+    """NULL text contributes no rows (the llm-family zero-rows
+    convention); empty text is one empty segment that dedups across
+    docs like any other segment."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert 1 not in out
+    assert out[2].n_kept == 1 and out[2].clean_text == ""
+    assert out[3].n_kept == 0 and out[3].clean_text == ""
+
+
+def test_int32_edge_doc_id_keeps_encoded_argmin_exact(spark):
+    """doc_id at the INT32 edge times 2^20 must stay an exact BIGINT:
+    the higher doc_id loses to the lower one, never the reverse."""
+    text = "p q r s"
+    out = _run(spark, [(2_147_483_646, text), (2_147_483_647, text)])
+    assert out[2_147_483_646].n_kept == 1
+    assert out[2_147_483_647].n_kept == 0
