@@ -50,9 +50,7 @@ def _norm(rows: list[tuple]) -> tuple:
 
 def main(argv: list[str]) -> int:
     from airflow_jira_etl_spark import registry
-
-    sys.path.insert(0, "tests")
-    from oracle_check import duckdb_conn
+    from tests.oracle_check import duckdb_conn
 
     fixture = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
     runs = int(argv[2]) if len(argv) > 2 else 6

@@ -84,6 +84,14 @@ def _adversarial_docs() -> list[tuple[int, str, str, str]]:
     # NULL maps to)
     rows.append((2_147_483_900, None, "en", "edge"))
     rows.append((2_147_483_901, None, "xx", "edge"))
+    # NULL lang / NULL source (r13): lang is a GROUP key (corpus
+    # stats), a JOIN key (stratified-sample rate table — inner joins
+    # drop the NULL identically on both engines) and an isin-filter
+    # operand (clean pipeline, split) — each convention must agree
+    # with its oracle; source rides along for the same reason
+    rows.append((2_147_483_902, "null lang words spark table", None, "edge"))
+    rows.append((2_147_483_903, "null source words scan join", "en", None))
+    rows.append((2_147_483_904, None, None, None))
     return rows
 
 
