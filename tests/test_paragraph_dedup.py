@@ -64,3 +64,65 @@ def test_int32_edge_doc_id_keeps_encoded_argmin_exact(spark):
     out = _run(spark, [(2_147_483_646, text), (2_147_483_647, text)])
     assert out[2_147_483_646].n_kept == 1
     assert out[2_147_483_647].n_kept == 0
+
+
+# ---------------------------------------------------------------------------
+# Property test vs a pure-Python reference (the test_mapping_property
+# pattern): tiny vocab forces heavy cross-doc segment collisions, so
+# the first-occurrence race is exercised, not just the happy path.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _reference(docs: list[tuple[int, str | None]]) -> dict[int, tuple]:
+    """First-occurrence paragraph dedup, row-at-a-time."""
+    seen: dict[str, tuple[int, int]] = {}
+    segs_by_doc: dict[int, list[tuple[int, str]]] = {}
+    for doc_id, text in sorted(docs):
+        if text is None:
+            continue
+        w = text.split(" ")  # Python split(' ') keeps empty tokens
+        segs = [
+            " ".join(w[i * 4 : i * 4 + 4])
+            for i in range((len(w) + 3) // 4)
+        ]
+        segs_by_doc[doc_id] = list(enumerate(segs))
+        for idx, s in segs_by_doc[doc_id]:
+            if s not in seen or (doc_id, idx) < seen[s]:
+                seen[s] = (doc_id, idx)
+    out = {}
+    for doc_id, segs in segs_by_doc.items():
+        kept = [(i, s) for i, s in segs if seen[s] == (doc_id, i)]
+        out[doc_id] = (
+            len(segs),
+            len(kept),
+            " ".join(s for _, s in kept),
+        )
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_paragraph_dedup_matches_reference(spark, data):
+    vocab = ["a", "b", "cc", ""]  # tiny vocab + empty token
+    n_docs = data.draw(st.integers(min_value=1, max_value=12))
+    docs = []
+    for doc_id in range(n_docs):
+        if data.draw(st.booleans(), label=f"null_{doc_id}") and doc_id == 0:
+            docs.append((doc_id, None))
+            continue
+        n = data.draw(st.integers(min_value=0, max_value=20), label=f"n_{doc_id}")
+        words = [
+            data.draw(st.sampled_from(vocab), label=f"w_{doc_id}_{i}")
+            for i in range(n)
+        ]
+        docs.append((doc_id, " ".join(words)))
+    ref = _reference(docs)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.clean_text)
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got == ref
