@@ -1322,9 +1322,12 @@ def llm_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pair — acceptable for dedup, same trade the minhash family
     documents); the string key stays here because the oracle needs
     exact-equality semantics, and the plan shape is identical either
-    way. Segment index < 2^20 and doc_id < 2^43 keep the encoded
+    way. Segment index < 2^20 and |doc_id| < 2^43 keep the encoded
     argmin overflow-free (the INT32-edge doc_ids in the adversarial
-    corpus sit at 2^31)."""
+    corpus sit at 2^31); the contract is ENFORCED at runtime — the
+    encoding raises on the first out-of-range row instead of silently
+    corrupting first-occurrence order (ADVICE r13; see
+    paragraph_dedup and tests/test_paragraph_dedup.py)."""
     docs = catalog.load(spark, sf_dir, "documents")
     return paragraph_dedup(docs)
 
@@ -1352,7 +1355,32 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
             )
         ).alias("seg_idx", "seg"),
     )
-    enc = F.col("doc_id") * 1048576 + F.col("seg_idx")
+    # encoded (doc_id, seg_idx) argmin key — order-preserving only
+    # while seg_idx < 2^20 and |doc_id| < 2^43. Enforce the contract
+    # inside the encoding itself: the guard is a per-row codegen
+    # predicate in the already-linear segment stage (no extra scan,
+    # no extra shuffle) and raises on the FIRST violating row rather
+    # than letting encodings collide across doc_ids and silently
+    # reorder first occurrences (ADVICE r13). A >= 2^20 seg_idx means
+    # a ~4M-word document — at that point the right fix is widening
+    # to a struct argmin, and a loud error is what forces it.
+    enc = F.when(
+        (F.col("seg_idx") < F.lit(1 << 20))
+        & (F.abs(F.col("doc_id")) < F.lit(1 << 43)),
+        F.col("doc_id") * 1048576 + F.col("seg_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "paragraph_dedup argmin encoding contract violated "
+                    "(need seg_idx < 2^20 and |doc_id| < 2^43): doc_id="
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(" seg_idx="),
+                F.col("seg_idx").cast("string"),
+            )
+        )
+    )
     firsts = segs.groupBy("seg").agg(F.min(enc).alias("first_key"))
     flagged = segs.join(firsts, "seg").withColumn(
         "kept", enc == F.col("first_key")

@@ -53,6 +53,7 @@ def main(argv: list[str]) -> int:
     base_kept: int | None = None
     base_wall: float | None = None
     base_segs: int | None = None
+    base_mult = mults[0]
     for mult in mults:
         corpus = replicate_with_stride(docs, "doc_id", mult, stride)
         t0 = time.monotonic()
@@ -64,8 +65,13 @@ def main(argv: list[str]) -> int:
         wall = time.monotonic() - t0
         if base_kept is None:
             base_kept, base_wall, base_segs = agg["kept"], wall, agg["segs"]
+        # kept is base-independent (survivors all live in replica 0, so
+        # kept(N×) == kept(1×) for every N); segs scales exactly
+        # linearly, so compare by RATIO to the first multiple rather
+        # than assuming mults[0] == 1 (ADVICE r13: a '4,10' list must
+        # expect segs(10×) == segs(4×) * 10/4, not segs(4×) * 10)
         ok_kept = agg["kept"] == base_kept
-        ok_segs = agg["segs"] == base_segs * mult
+        ok_segs = agg["segs"] * base_mult == base_segs * mult
         print(
             f"mult={mult:3d}: wall {wall:6.2f}s ({wall / base_wall:4.1f}x) "
             f"docs {agg['docs']} segs {agg['segs']} kept {agg['kept']} "

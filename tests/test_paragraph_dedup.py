@@ -66,6 +66,36 @@ def test_int32_edge_doc_id_keeps_encoded_argmin_exact(spark):
     assert out[2_147_483_647].n_kept == 0
 
 
+def test_encoding_contract_is_runtime_enforced(spark):
+    """ADVICE r13: |doc_id| >= 2^43 (and seg_idx >= 2^20) must RAISE,
+    not silently collide encodings across doc_ids. The guard lives
+    inside the encoding expression, so any consumer path trips it."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    for bad_doc in (1 << 43, -(1 << 43)):
+        with pytest.raises(
+            SparkRuntimeException, match="encoding contract violated"
+        ):
+            _run(spark, [(bad_doc, "a b c d")])
+    # boundary values still pass (2^43 - 1 is the last legal doc_id)
+    out = _run(spark, [((1 << 43) - 1, "a b c d"), (5, "a b c d")])
+    assert out[5].n_kept == 1 and out[(1 << 43) - 1].n_kept == 0
+
+
+def test_seg_idx_guard_trips_on_a_4m_word_document(spark):
+    """A single document long enough to overflow seg_idx (>= 2^20
+    four-word segments, i.e. > 2^22 words) raises instead of wrapping
+    into the next doc_id's key space."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    n_words = (1 << 22) + 8  # 4,194,312 words -> max seg_idx 2^20 + 1
+    text = " ".join(["w"] * n_words)
+    with pytest.raises(SparkRuntimeException, match="encoding contract violated"):
+        _run(spark, [(1, text)])
+
+
 # ---------------------------------------------------------------------------
 # Property test vs a pure-Python reference (the test_mapping_property
 # pattern): tiny vocab forces heavy cross-doc segment collisions, so
