@@ -890,6 +890,42 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_distinct_grams(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Per-doc-DISTINCT word 5-grams of the corpus, cached — shared by
+    the exact (llm_decontaminate) and Bloom (llm_decontaminate_bloom)
+    decontamination paths so the two stay gram-for-gram comparable.
+
+    The tokenize + gram map is CPU-heavy per input byte: repartition
+    decouples parallelism from file layout (same rationale as
+    ngram_jaccard_pairs). 5-grams are built in-array over the FILTERED
+    token array — round 2's explode + 4× window-lead shuffle is gone.
+    The size(ws) >= 5 guard both keeps sequence() ascending and drops
+    <5-word docs, matching the oracle (its out-of-range list index
+    NULLs the gram and the IN-filter drops it). Grams are deduped per
+    doc IN-ARRAY before the explode: every consumer (global eval
+    distinct, per-doc match count, bitset build) only needs
+    per-doc-distinct grams, so the exploded row count shrinks before
+    anything shuffles. Cached because each query probes the SAME gram
+    frame from two subtrees (eval build + train scan)."""
+    n_par = spark.sparkContext.defaultParallelism
+    ws = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0
+    )
+    gram_arr = F.expr(
+        "transform(sequence(1, size(ws) - 4), i -> "
+        "concat_ws(' ', slice(ws, i, 5)))"
+    )
+    grams = (
+        docs.repartition(n_par, "doc_id")
+        .select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= 5)
+        .select("doc_id", F.explode(F.array_distinct(gram_arr)).alias("g"))
+        .cache()
+    )
+    grams.count()
+    return grams
+
+
 @query(
     "llm_decontaminate",
     oracle="""
@@ -925,34 +961,12 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram set is tiny relative to the corpus and BROADCASTS — the
     train-side scan never shuffles its grams; matches collapse per doc
     with map-side partial aggregation. Gram equality is on the strings
-    themselves, so the oracle needs no hash family."""
+    themselves, so the oracle needs no hash family. (The bitset-sized
+    variant of this query is llm_decontaminate_bloom — the shape that
+    survives when even the DISTINCT eval-gram set outgrows a join
+    side.)"""
     docs = catalog.load(spark, sf_dir, "documents")
-    # the tokenize + gram map is CPU-heavy per input byte: decouple
-    # parallelism from file layout (same rationale as ngram_jaccard_pairs)
-    n_par = spark.sparkContext.defaultParallelism
-    ws = F.filter(
-        F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0
-    )
-    # 5-grams built in-array over the FILTERED token array — round 2's
-    # explode + 4× window-lead shuffle is gone. The size(ws) >= 5 guard
-    # both keeps sequence() ascending and drops <5-word docs, matching
-    # the oracle (its out-of-range list index NULLs the gram and the
-    # IN-filter drops it). Grams are deduped per doc IN-ARRAY before
-    # the explode: both consumers (global eval distinct, per-doc match
-    # count) only need per-doc-distinct grams, so the exploded row
-    # count shrinks before anything shuffles.
-    gram_arr = F.expr(
-        "transform(sequence(1, size(ws) - 4), i -> "
-        "concat_ws(' ', slice(ws, i, 5)))"
-    )
-    grams = (
-        docs.repartition(n_par, "doc_id")
-        .select("doc_id", ws.alias("ws"))
-        .where(F.size("ws") >= 5)
-        .select("doc_id", F.explode(F.array_distinct(gram_arr)).alias("g"))
-        .cache()  # feeds BOTH the broadcast eval subtree and the train scan
-    )
-    grams.count()
+    grams = _doc_distinct_grams(spark, docs)
     eval_grams = (
         grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
     )
@@ -970,6 +984,191 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # distinct matched-gram count — no second dedup aggregate
         .groupBy("doc_id")
         .agg(F.count("g").alias("n_matched_grams"))
+    )
+
+
+# Bloom geometry: ≥16 bits per element with 7 probes gives a false-
+# positive rate of (1 - e^(-7/16))^7 ≈ 7e-4 — two orders of magnitude
+# under the 2% contract bound, so fixture regeneration cannot flip the
+# boolean. The floor keeps tiny eval sets from degenerate tables.
+_BLOOM_K = 7
+_BLOOM_BITS_PER_ELEM = 16
+_BLOOM_MIN_BITS = 1 << 14
+_BLOOM_FP_BOUND = 0.02
+
+
+def _bloom_member_sql() -> str:
+    """Membership predicate over a positions array ``ps`` and a dense
+    BIGINT-array bitset ``bits`` (1-based element_at)."""
+    return (
+        "forall(ps, p -> (element_at(bits, CAST(p DIV 64 AS INT) + 1)"
+        " & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
+    )
+
+
+def _bloom_positions_sql(m_bits: int) -> str:
+    """The k probe positions of gram column ``g`` as an array — double
+    hashing pos_i = h1 + i * (2*h2 + 1) mod m over two independent
+    xxhash64 draws. The step is forced ODD so it cycles the whole
+    power-of-two table; every operand is reduced mod m FIRST so the
+    arithmetic stays far inside int64 under ANSI mode (h1 + 6*step <
+    13*m — the same overflow discipline as sampling._pct_bucket)."""
+    return (
+        f"transform(sequence(0, {_BLOOM_K - 1}), i -> "
+        f"pmod(pmod(xxhash64(g), {m_bits})"
+        f" + CAST(i AS BIGINT) * (2 * pmod(xxhash64(g, 1), {m_bits}) + 1),"
+        f" {m_bits}))"
+    )
+
+
+@query(
+    "llm_decontaminate_bloom",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               [t FOR t IN string_split_regex(lower(text), '\\s+') IF length(t) > 0]
+                 AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       || ' ' || ws[i+3] || ' ' || ws[i+4]
+                       FOR i IN range(1, greatest(len(ws) - 3, 2))]) AS g
+        FROM toks
+    ),
+    eval_grams AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_matched_grams,
+           TRUE AS no_false_negatives, TRUE AS fp_rate_ok
+    FROM grams
+    WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM eval_grams)
+    GROUP BY doc_id
+    """,
+)
+def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB path for
+    llm_decontaminate. At scale the DISTINCT eval-gram set is itself
+    hundreds of GB (llm_decontaminate deliberately leaves its join
+    unhinted for exactly that reason), but a Bloom bitset over it is
+    FIXED-SIZE (16 bits/gram, sized to the next power of two):
+    the train scan then probes a broadcast array of BIGINTs with pure
+    codegen bit arithmetic — no shuffle ever touches the train-side
+    gram stream, the runtime-filter shape Spark itself uses for its
+    own Bloom join filters.
+
+    Plan shape: (1) one pass over the tiny eval slice explodes each
+    gram's k=7 probe positions and folds them into a sparse
+    (word_idx, OR-of-bits) aggregate, then ONE dense array row via
+    map_from_arrays — the bitset build is a JVM-side aggregation, no
+    UDF, no driver loop; (2) the train stream cross-joins the ONE-ROW
+    bitset (explicit broadcast — it is m/64 longs by construction, a
+    few hundred KB, unlike the unboundable exact gram set) and
+    evaluates the k probes in-array. The exact join runs alongside on
+    the same cached gram frame to ground the differential contract.
+
+    Differential surface (the agg_approx_distinct boolean-contract
+    style — sketch internals differ across engines by design, so the
+    oracle checks the exact counts plus the sketch's CONTRACT):
+    ``n_matched_grams`` is the exact per-doc matched-gram count
+    (identical to llm_decontaminate); ``no_false_negatives`` asserts
+    every exact-matched gram also Bloom-matched (structurally
+    guaranteed — build and probe share the position family);
+    ``fp_rate_ok`` asserts the corpus-wide false-positive rate among
+    truly-unmatched train grams stays under 2% (measured ~7e-4 at the
+    16-bits/elem geometry). The bitset is sized off ONE driver-side
+    scalar (the eval-gram count on the already-cached gram frame) —
+    the same driver-resident-metadata trade as the IVF index, and the
+    two-pass sizing is what keeps the FP bound scale-invariant."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    grams = _doc_distinct_grams(spark, docs)
+    eval_grams = (
+        grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+
+    # size the table to the eval-gram cardinality (driver scalar on
+    # cached data): next power of two >= 16 bits/elem, floored
+    n_eval = eval_grams.count()
+    m_bits = _BLOOM_MIN_BITS
+    while m_bits < _BLOOM_BITS_PER_ELEM * n_eval:
+        m_bits <<= 1
+    n_words = m_bits // 64
+
+    # (1) bitset build: explode probe positions -> sparse word OR-agg
+    # -> one dense BIGINT-array row (map lookup fills the zero words)
+    bitset = (
+        eval_grams.select(
+            F.explode(F.expr(_bloom_positions_sql(m_bits))).alias("pos")
+        )
+        .select(
+            F.expr("pos DIV 64").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("word")
+            ).alias("mp")
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}), i -> "
+                "coalesce(element_at(mp, CAST(i AS BIGINT)), "
+                "CAST(0 AS BIGINT)))"
+            ).alias("bits")
+        )
+    )
+
+    # (2) probe: every train gram tests k bits of the broadcast row;
+    # the exact join rides the same pass to flag true matches
+    flagged = (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .crossJoin(F.broadcast(bitset))
+        .withColumn("ps", F.expr(_bloom_positions_sql(m_bits)))
+        .withColumn("bloom_hit", F.expr(_bloom_member_sql()))
+        .join(
+            eval_grams.withColumn("exact_hit", F.lit(True)), "g", "left"
+        )
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"),
+        )
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.sum(F.col("exact_hit").cast("long")).alias("n_matched_grams"),
+        F.sum(
+            (F.col("exact_hit") & ~F.col("bloom_hit")).cast("long")
+        ).alias("n_false_neg"),
+        F.sum(
+            (F.col("bloom_hit") & ~F.col("exact_hit")).cast("long")
+        ).alias("n_fp"),
+        F.sum((~F.col("exact_hit")).cast("long")).alias("n_neg"),
+    ).cache()  # docs-sized; feeds the output rows AND the FP totals —
+    # uncached, the totals branch re-executes the WHOLE probe pipeline
+    # including a second bitset build (verified on .explain before the
+    # fix: two IdentityBroadcastMode subtrees)
+    # corpus-wide FP rate from the per-doc partials (docs-sized, not
+    # grams-sized) — broadcast the one-row total back onto the rows
+    totals = per_doc.agg(
+        F.sum("n_fp").alias("t_fp"), F.sum("n_neg").alias("t_neg")
+    )
+    return (
+        per_doc.where(F.col("n_matched_grams") > 0)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_matched_grams",
+            (F.col("n_false_neg") == 0).alias("no_false_negatives"),
+            (
+                F.col("t_fp")
+                <= F.lit(_BLOOM_FP_BOUND) * F.greatest("t_neg", F.lit(1))
+            ).alias("fp_rate_ok"),
+        )
     )
 
 

@@ -780,6 +780,74 @@ def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_heavy_hitters",
+    oracle="""
+    SELECT gram, count(*) AS freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])
+                 AS gram
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+              FROM documents)
+    )
+    GROUP BY gram
+    ORDER BY freq DESC, gram ASC
+    LIMIT 100
+    """,
+)
+def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: the top-100 word BIGRAMS by term
+    frequency (document frequency rides along) — the vocabulary-head
+    statistic tokenizer-training and boilerplate-detection passes
+    need. Bigrams rather than unigrams because the fixture's unigram
+    vocabulary (31) is smaller than any useful k, and because pair
+    statistics are the actual BPE-merge input. Exact at test SF, so
+    the oracle is a plain count + top-k; the k boundary is
+    deterministic because ties break on the gram itself.
+
+    Scale shape: bigrams are built IN-ARRAY over the token array
+    (llm_decontaminate's gram pattern — no self-join, no window lag),
+    exploded once, and collapsed by map-side partial aggregation
+    before the ONE shuffle on gram; the global top-k is then
+    TakeOrderedAndProject — a k-row heap per partition merged on the
+    driver, never a global sort (identical to sort_limit_topk; check
+    the plan). The count-distinct doc frequency is the expand phase
+    of the same aggregate. At 100 TB with an adversarially unbounded
+    vocabulary the exact aggregate's state is linear in DISTINCT
+    grams — if that outgrows executor memory, the standard
+    degradation is a per-partition SpaceSaving/Misra-Gries summary of
+    size O(k/eps) merged associatively (a Pandas-UDF partial agg),
+    which bounds memory at the cost of eps-approximate tail counts;
+    the exact form stays the oracle-able reference implementation."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    grams = (
+        documents.select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+        )
+        .where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i -> "
+                    "concat_ws(' ', slice(ws, i, 2)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("gram").asc())
+        .limit(100)
+    )
+
+
+@query(
     "llm_text_stats",
     oracle="""
     SELECT lang,

@@ -173,3 +173,84 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pct_bucket") < F.col("rate"))
         .select("doc_id", "lang", "pct_bucket")
     )
+
+
+# Weighted reservoir: k docs per language, selection preference
+# proportional to document length. The full 31-bit hash (the _pct_
+# bucket family without the mod-100 collapse) plays the role of the
+# uniform draw in Efraimidis–Spirakis A-Res; the priority is the
+# INTEGER rational hash*10^6 DIV weight instead of the continuous
+# u^(1/w) key, so the cross-engine comparison is exact integer
+# arithmetic end to end (no libm pow whose last-ulp differences could
+# flip a rank at the reservoir boundary). h < 2^31 and the 10^6 scale
+# keep every product under 2^51 — no ANSI overflow for any int64 key.
+_RESERVOIR_K = 20
+_H31_SQL = (
+    "((doc_id % 2147483648) + 2147483648) % 2147483648"
+    " * 2654435761 % 2147483648"
+)
+_PRIORITY_SQL = (
+    f"({_H31_SQL}) * 1000000 // greatest(coalesce(n_chars, 0), 1)"
+)
+
+
+@query(
+    "llm_reservoir_sample",
+    oracle=f"""
+    SELECT lang, doc_id, priority, rn FROM (
+        SELECT lang, doc_id, priority,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY priority, doc_id) AS rn
+        FROM (SELECT lang, doc_id,
+                     {_PRIORITY_SQL} AS priority
+              FROM documents)
+    ) WHERE rn <= {_RESERVOIR_K}
+    """,
+)
+def llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir: the 20 highest-priority
+    documents per language, with selection preference proportional to
+    n_chars (longer docs are likelier picked — the length-weighted
+    curation shape; swap the weight column to reweight). Unlike
+    rand()-keyed reservoirs, the priority is a pure function of
+    doc_id, so the sample is retry-stable, partitioning-stable, and
+    append-stable in the reservoir sense: a new document enters only
+    by displacing the current boundary, never by reshuffling survivors.
+
+    Scale slice: per-group top-k via a window PARTITIONED on lang
+    (lint-clean; win_topk_per_group's shape) — and the plan
+    (verified .explain, sf0.01) already contains the skew fix: the
+    rank-limit pushdown inserts WindowGroupLimit(Partial) BEFORE the
+    lang Exchange, pruning each input partition to k rows per lang
+    (lossless — every global top-k row is a local top-k row), so the
+    dominant language ships at most k * n_partitions rows into its
+    sort no matter the corpus size. NULL semantics:
+    ASC over the nullable priority uses asc_nulls_last on the Spark
+    side (the repo's DuckDB null-order convention); NULL lang forms
+    its own reservoir on both engines."""
+    documents = catalog.load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h31 = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_MOD31)) * F.lit(_HASH_A),
+        F.lit(_MOD31),
+    )
+    weight = F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1))
+    pri = documents.select(
+        "lang",
+        "doc_id",
+        (h31 * F.lit(1_000_000)).alias("_scaled"),
+        weight.alias("_w"),
+    ).select(
+        "lang",
+        "doc_id",
+        F.expr("_scaled DIV _w").alias("priority"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("priority").asc_nulls_last(), F.col("doc_id").asc_nulls_last()
+    )
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _RESERVOIR_K)
+        .select("lang", "doc_id", "priority", "rn")
+    )

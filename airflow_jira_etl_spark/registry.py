@@ -47,99 +47,40 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # A budget-capped external sweep records the first ~50 queries in
 # registration order.  To keep every query's differential evidence fresh,
 # the sweep order is explicit and least-recently-checked-first, decoupled
-# from module import order.  Round-13 derivation (base order mechanical
-# via tools/sweep_advisor over CORRECTNESS_r*.json; r12 was 50/50 green,
-# the sixth consecutive fully-green driver round — no red rows, no
-# never-checked queries; evidence tiers now r09:6, r10:43, r11:47,
-# r12:50).  The 50-slot window:
-#   slots 1-6: the six r12 deferrals — the only r09-evidence rows left.
-#     NOTE (VERDICT/ADVICE r12): the r12 deferral rationale for
-#     report_monthly_growth and win_lag_lead ("code unchanged") was
-#     imprecise — their oracles gained NULLS FIRST in that very diff,
-#     so their driver evidence predated their contracts for one round
-#     (covered locally by test_value_drift_sweep in the interim). Both
-#     lead the window now; report_monthly_growth is ALSO code-recent
-#     this round (NULL-month chain split + window partitioned on
-#     month IS NULL, dodging the DuckDB 1.0.0 NULL-group race — see
-#     queries/reports.py and tests/test_value_drift_sweep.py).
-#   slots 7-49: the full r10-evidence tier (43, alphabetical).
-#   slot 50: llm_dedup_paragraph — NEW this round (paragraph-level
-#     dedup, the Dolma/RefinedWeb shape), never driver-checked, so it
-#     MUST sit in the window (test_never_checked_queries_lead_the
-#     _window). It takes the slot that an earlier draft gave a
-#     sink_scd2_apply code-recency promotion; that promotion is
-#     DEMOTED with cause: the r13 scd2 change rebinds the effective
-#     literal to the parsed date, which is value-identical for the
-#     ISO input the registered query always passes — differential
-#     info gain ~0, and the new-format paths are pinned by
-#     tests/test_scd2.py locally.
-# 6 + 43 + 1 = 50 exactly — no oversubscription, no deferrals this
-# round.  Code-recency note: round 13 also added an upfront
-# mode-mismatch gate to ParquetUpsertTable.apply (non-combining apply
-# on a null_keys='group' table now refuses before planning); the gate
-# is a new REFUSAL path — mv_incremental_refresh (combining, r12-green)
-# and stream_foreachbatch_upsert (default 'reject' table, in-window
-# via the r10 tier) execute only its condition check, and the refusal
-# itself is pinned by tests/test_upsert_table.py.
+# from module import order.  Round-14 derivation (base order mechanical
+# via tools/sweep_advisor over CORRECTNESS_r*.json; r13 was 50/50 green,
+# the seventh consecutive fully-green driver round — no red rows, no
+# never-checked queries before this round's registrations; evidence
+# tiers now r11:47, r12:50, r13:50).  The 50-slot window:
+#   slots 1-3: the three queries NEW this round, never driver-checked,
+#     so they MUST sit in the window (test_never_checked_queries_lead
+#     _the_window): llm_decontaminate_bloom (the fixed-size-bitset
+#     scale path for llm_decontaminate, boolean-contract oracle),
+#     llm_heavy_hitters (corpus-wide top-k bigrams, exact top-k
+#     oracle), llm_reservoir_sample (weighted per-language reservoir
+#     by deterministic integer priority).
+#   slots 4-50: the full r11-evidence tier (47, alphabetical) — the
+#     oldest remaining rows.  This tier includes llm_decontaminate,
+#     which is ALSO code-recent this round (its gram builder moved
+#     into the shared _doc_distinct_grams helper the bloom variant
+#     reuses — behavior-identical, oracle untouched — and the fresh
+#     differential re-proof is free since the row was already stale).
+# 3 + 47 = 50 exactly — no oversubscription, no deferrals this round.
+# Code-recency note: round 14 also added a runtime guard INSIDE
+# llm_dedup_paragraph's argmin encoding (raise on seg_idx >= 2^20 or
+# |doc_id| >= 2^43, ADVICE r13).  Its driver row is r13-fresh (last
+# round's slot 50) and the guard is value-neutral for every in-range
+# corpus (pinned both ways by tests/test_paragraph_dedup.py: in-range
+# outputs unchanged at the 2^43-1 boundary, out-of-range raises), so
+# it is NOT promoted — displacing an r11 row for it would trade a
+# stale re-proof for a fresh one with ~0 differential info gain.
 # tests/test_sweep_priority.py pins the invariants.
 SWEEP_PRIORITY: list[str] = [
-    # round-13 lead: the six r12 deferrals (r09 rows, oldest evidence)
-    "fn_bitwise_suite",
-    "fn_hash_suite",
-    "mm_resize_batch",
-    "report_monthly_growth",
-    "scan_csv",
-    "win_lag_lead",
-    # r10-evidence tier (all 43, alphabetical)
-    "agg_unpivot",
-    "filter_exists_subquery",
-    "filter_not_exists_subquery",
-    "filter_scalar_subquery",
-    "fn_array_suite",
-    "fn_conditional_suite",
-    "fn_date_suite",
-    "fn_map_json_suite",
-    "fn_math_suite",
-    "fn_string_suite",
-    "fn_time_of_day",
-    "llm_corpus_sample",
-    "llm_dedup_exact",
-    "llm_dedup_simhash",
-    "llm_lang_id",
-    "llm_stratified_sample",
-    "llm_text_quality",
-    "llm_text_stats",
-    "llm_text_tokens",
-    "llm_token_count_bpe",
-    "llm_train_val_test_split",
-    "mm_decode_features",
-    "report_returned_items",
-    "report_shipping_priority",
-    "scan_parquet",
-    "set_except",
-    "set_intersect",
-    "set_union_distinct",
-    "sink_create_table",
-    "sink_upsert",
-    "sort_limit_topk",
-    "stream_dedup_keys",
-    "stream_foreachbatch_upsert",
-    "stream_session_window",
-    "stream_sliding_avg",
-    "stream_stateful_profile",
-    "stream_static_enrich",
-    "stream_tumbling_count",
-    "stream_watermark_late",
-    "udaf_grouped_agg",
-    "udf_pandas_vectorized",
-    "udf_python_scalar",
-    "udtf_explode_kv",
-    # new this round, never driver-checked — must gain first evidence
-    "llm_dedup_paragraph",
-    # ---- 50-slot window boundary ----
-    # r11-evidence tier (alphabetical); the r12-evidenced queries
-    # (freshest driver rows) fall to the implicit registration-order
-    # tail below the explicit list
+    # round-14 lead: the three new queries, never driver-checked
+    "llm_decontaminate_bloom",
+    "llm_heavy_hitters",
+    "llm_reservoir_sample",
+    # r11-evidence tier (all 47, alphabetical)
     "agg_approx_distinct",
     "agg_approx_quantiles",
     "agg_collect_sorted",
@@ -187,6 +128,60 @@ SWEEP_PRIORITY: list[str] = [
     "win_rank_dense_rownum",
     "win_sliding_rows_frame",
     "win_topk_per_group",
+    # ---- 50-slot window boundary ----
+    # r12-evidence tier (50, alphabetical); the r13-evidenced queries
+    # (freshest driver rows) fall to the implicit registration-order
+    # tail below the explicit list
+    "agg_mode_per_group",
+    "agg_percentile_cont",
+    "agg_salted_skew",
+    "cdc_latest_per_key",
+    "filter_conjunctive",
+    "fn_timestamp_parse",
+    "join_asof_latest",
+    "join_asof_tolerance",
+    "join_bnl_range_bands",
+    "join_bucketed_colocated",
+    "join_dpp_partitioned",
+    "llm_containment_pairs",
+    "llm_corpus_clean_pipeline",
+    "llm_dedup_clusters",
+    "llm_dedup_minhash",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_semantic_clusters",
+    "llm_embed_centroids",
+    "llm_embed_knn_assign",
+    "llm_fingerprint_rolling",
+    "llm_pii_scrub",
+    "llm_quality_entropy",
+    "llm_sim_ivf_topk",
+    "llm_sim_lsh_topk",
+    "llm_sim_pairs_threshold",
+    "llm_sim_topk",
+    "mm_sample_frames",
+    "mv_incremental_refresh",
+    "project_rename_map",
+    "report_funnel_steps",
+    "report_large_volume_customers",
+    "report_promo_revenue",
+    "report_retention_cohorts",
+    "report_sales_opportunity",
+    "report_supplier_share",
+    "report_waiting_suppliers",
+    "scan_corrupt_quarantine",
+    "scan_jsonl",
+    "scan_schema_evolution",
+    "sink_scd2_apply",
+    "sink_sorted_write",
+    "sink_time_travel",
+    "source_paged_union",
+    "stream_stream_interval_join",
+    "stream_tumbling_topk",
+    "ts_gapfill_locf",
+    "win_consecutive_runs",
+    "win_running_distinct",
+    "win_running_sum",
+    "win_sessionize_gaps",
 ]
 
 

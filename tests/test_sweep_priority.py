@@ -41,32 +41,35 @@ def test_red_rows_lead_the_window():
     assert not missing, f"red-evidence queries outside the window: {missing}"
 
 
-# Round-13 window plan: evidence tiers after the sixth consecutive
-# fully-green driver round are r09:6 (the r12 deferrals), r10:43,
-# r11:47, r12:50. Candidates = 6 + 43 stale rows + 1 code-recency
-# promotion = 50 exactly — no oversubscription, so NO deferrals this
-# round (see the derivation comment above registry.SWEEP_PRIORITY).
+# Round-14 window plan: evidence tiers after the seventh consecutive
+# fully-green driver round are r11:47, r12:50, r13:50. Candidates =
+# 3 new never-checked queries + the 47-row r11 tier = 50 exactly — no
+# oversubscription, so NO deferrals this round (see the derivation
+# comment above registry.SWEEP_PRIORITY).
 DEFERRED: set[str] = set()
 
-# Evidence-age threshold for "must re-prove this round": the r09 and
-# r10 tiers both fit the window, so everything at or below r10 must be
+# Evidence-age threshold for "must re-prove this round": the whole
+# r11 tier fits the window, so everything at or below r11 must be
 # inside it.
-STALE_ROUND = 10
+STALE_ROUND = 11
 
 PROMOTED = {
-    # code-recency promotions, round 13 (the advisor cannot see code
-    # changes):
-    # - report_monthly_growth: oracle + engine rewritten (NULL-month
-    #   chain split; DuckDB 1.0.0 NULL-group race — reports.py); also
-    #   r09-stale, so doubly in-window;
-    # - llm_dedup_paragraph: NEW query, never driver-checked (also
-    #   enforced by test_never_checked_queries_lead_the_window).
-    # NOT promoted (documented demotion): sink_scd2_apply — the r13
-    # scd2 change rebinds the effective literal to the parsed date,
-    # value-identical for the ISO input the registered query passes;
-    # the new-format paths are pinned locally by tests/test_scd2.py.
-    "report_monthly_growth",
-    "llm_dedup_paragraph",
+    # round 14 (the advisor cannot see code changes):
+    # - the three NEW queries, never driver-checked (also enforced by
+    #   test_never_checked_queries_lead_the_window);
+    # - llm_decontaminate: gram builder factored into the shared
+    #   _doc_distinct_grams helper this round — already in-window via
+    #   the r11 tier, so the code-recency re-proof costs nothing.
+    # NOT promoted (documented demotion): llm_dedup_paragraph — its
+    # r14 argmin runtime guard (ADVICE r13) is value-neutral for every
+    # in-range corpus, pinned both ways by tests/test_paragraph_dedup
+    # (in-range outputs unchanged at the 2^43-1 boundary, out-of-range
+    # raises), and its driver row is r13-fresh; displacing an r11 row
+    # would trade a stale re-proof for ~0 differential info gain.
+    "llm_decontaminate_bloom",
+    "llm_heavy_hitters",
+    "llm_reservoir_sample",
+    "llm_decontaminate",
 }
 
 
