@@ -966,6 +966,12 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives when even the DISTINCT eval-gram set outgrows a join
     side.)"""
     docs = catalog.load(spark, sf_dir, "documents")
+    return exact_decontaminate(spark, docs)
+
+
+def exact_decontaminate(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Operator body — split out so tools/bloom_scale_probe.py can
+    diff the Bloom path against the exact path on replicated corpora."""
     grams = _doc_distinct_grams(spark, docs)
     eval_grams = (
         grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
@@ -1082,6 +1088,14 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same driver-resident-metadata trade as the IVF index, and the
     two-pass sizing is what keeps the FP bound scale-invariant."""
     docs = catalog.load(spark, sf_dir, "documents")
+    return bloom_decontaminate(spark, docs)
+
+
+def bloom_decontaminate(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Operator body over any (doc_id BIGINT, text STRING, ...) frame —
+    split out so tools/bloom_scale_probe.py can drive it on replicated
+    corpora (see llm_decontaminate_bloom for semantics and the plan
+    narrative)."""
     grams = _doc_distinct_grams(spark, docs)
     eval_grams = (
         grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()

@@ -821,6 +821,12 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     which bounds memory at the cost of eps-approximate tail counts;
     the exact form stays the oracle-able reference implementation."""
     documents = catalog.load(spark, sf_dir, "documents")
+    return heavy_hitters(documents)
+
+
+def heavy_hitters(documents: DataFrame) -> DataFrame:
+    """Operator body — split out so tools/heavyhitters_scale_probe.py
+    can drive it on replicated corpora (see llm_heavy_hitters)."""
     grams = (
         documents.select(
             "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")

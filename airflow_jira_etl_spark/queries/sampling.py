@@ -229,6 +229,12 @@ def llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     side (the repo's DuckDB null-order convention); NULL lang forms
     its own reservoir on both engines."""
     documents = catalog.load(spark, sf_dir, "documents")
+    return reservoir_sample(documents)
+
+
+def reservoir_sample(documents: DataFrame) -> DataFrame:
+    """Operator body — split out so tools/reservoir_scale_probe.py can
+    drive it on replicated corpora (see llm_reservoir_sample)."""
     from pyspark.sql import Window
 
     h31 = F.pmod(

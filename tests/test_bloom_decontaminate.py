@@ -155,3 +155,11 @@ def test_bitset_geometry_no_false_negatives_and_fp_bound(spark):
     fp = probe(outsiders).where("hit").count()
     assert fp <= _BLOOM_FP_BOUND * 20_000, f"fp={fp} of 20000"
     assert _BLOOM_K == 7  # geometry the bound was derived for
+
+
+def test_bloom_scale_probe_smoke(spark, sf_dir):
+    """The probe (tools/bloom_scale_probe) must run end-to-end at a
+    tiny scale and report zero diff vs the exact path."""
+    from airflow_jira_etl_spark.tools.bloom_scale_probe import main
+
+    assert main(["bloom_scale_probe", sf_dir, "1,2"]) == 0

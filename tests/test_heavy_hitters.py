@@ -96,3 +96,11 @@ def test_fixture_corpus_exercises_the_limit(spark, sf_dir):
     fixture regen quietly shrinking the surface below the boundary."""
     df = registry.QUERIES["llm_heavy_hitters"](spark, sf_dir)
     assert df.count() == K
+
+
+def test_heavyhitters_scale_probe_smoke(spark, sf_dir):
+    """The probe (tools/heavyhitters_scale_probe) must run end-to-end,
+    including from a non-1 base multiple (ratio scaling)."""
+    from airflow_jira_etl_spark.tools.heavyhitters_scale_probe import main
+
+    assert main(["heavyhitters_scale_probe", sf_dir, "2,4"]) == 0

@@ -121,3 +121,11 @@ def test_weight_preference_is_monotone(spark, tmp_path):
         if r.doc_id is None:
             continue
         assert r.priority <= _py_priority(r.doc_id, 1)
+
+
+def test_reservoir_scale_probe_smoke(spark, sf_dir):
+    """The probe (tools/reservoir_scale_probe) must run end-to-end at
+    a tiny scale with the cap and displacement checks green."""
+    from airflow_jira_etl_spark.tools.reservoir_scale_probe import main
+
+    assert main(["reservoir_scale_probe", sf_dir, "1,2"]) == 0
