@@ -260,10 +260,18 @@ def _connected_components(pairs: DataFrame, max_iters: int) -> DataFrame:
 def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
     """Full dedup decision: every id → (component, is_canonical).
     Ids with no duplicate edge are their own singleton component; the
-    canonical member of each component is its minimum id."""
+    canonical member of each component is its minimum id.
+
+    NULL ids are dropped (r14 docs-drift armor): an identity-less row
+    can neither be labeled nor be a label, and the family convention
+    (paragraph dedup, decontaminate's %-split) is that NULL-keyed docs
+    fall out of key-driven operators on both engines. Ids are assumed
+    UNIQUE (they are the table's key) — the operator does not pay a
+    dedup shuffle to re-derive what the catalog contract guarantees."""
     comp = connected_components(pairs)
     return (
         all_ids.select(F.col(id_col).alias("id"))
+        .where(F.col("id").isNotNull())
         .join(comp, "id", "left")
         .select(
             "id",

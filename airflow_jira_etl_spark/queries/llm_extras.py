@@ -454,7 +454,9 @@ def _clusters_oracle() -> str:
         SELECT id2, id1 FROM p
     ),
     lbl(id, comp) AS (
-        SELECT doc_id, doc_id FROM documents
+        -- NULL ids drop (identity-less rows cannot be labeled); the
+        -- engine side filters identically in dedup_clusters
+        SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
         UNION
         SELECT e.src, l.comp
         FROM edges e
@@ -663,7 +665,8 @@ _SEM_CLUSTERS_ORACLE = f"""
         SELECT id2, id1 FROM p
     ),
     lbl(id, comp) AS (
-        SELECT vec_id, vec_id FROM embeddings
+        -- NULL ids drop, matching dedup_clusters (r14 convention)
+        SELECT vec_id, vec_id FROM embeddings WHERE vec_id IS NOT NULL
         UNION
         -- propagate smaller labels along edges until fixpoint: the
         -- recursive-CTE form of min-label connected components
@@ -1325,7 +1328,7 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ch AS (
         SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     ),
     cnt AS (
         SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
@@ -1345,6 +1348,7 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(e.n_distinct_chars, 0) AS n_distinct_chars,
            round(coalesce(e.h, 0) + 1e-9, 4) AS char_entropy
     FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+    WHERE d.doc_id IS NOT NULL
     """,
 )
 def llm_quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1355,8 +1359,14 @@ def llm_quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     same map-only pass at 100 TB. The oracle recomputes it the
     relational way (unnest → group → window), pinning the in-array
     lowering against an independent formulation, not just an
-    independent engine."""
+    independent engine. NULL doc_id rows drop on BOTH engines (r14
+    docs-drift armor): the engine's map is row-wise, but the oracle's
+    relational reconstruction needs the key to regroup characters —
+    two identity-less docs would merge into one NULL group and score
+    garbage, so the differential surface is defined over keyed rows
+    only."""
     documents = catalog.load(spark, sf_dir, "documents")
+    documents = documents.where(F.col("doc_id").isNotNull())
     # per-char counts WITHOUT a quadratic distinct×scan pass: sort the
     # char array once, mark run boundaries, run lengths are the counts
     # — O(n log n) per document, each array built exactly once
@@ -1479,7 +1489,8 @@ def llm_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, CAST(gs.i AS BIGINT) AS seg_idx,
                array_to_string(w[gs.i*4+1 : gs.i*4+4], ' ') AS seg
         FROM (SELECT doc_id, string_split(text, ' ') AS w
-              FROM documents WHERE text IS NOT NULL) t,
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id IS NOT NULL) t,
              LATERAL (SELECT unnest(range(CAST(ceil(len(w)/4.0) AS BIGINT)))
                       AS i) gs(i)
     ),
@@ -1550,9 +1561,14 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
     split out so tools/paragraph_scale_probe.py can drive it on
     replicated corpora (see llm_dedup_paragraph for semantics and the
     plan narrative)."""
-    words = docs.where(F.col("text").isNotNull()).select(
-        "doc_id", F.split("text", " ").alias("w")
-    )
+    # NULL doc_id drops with NULL text (both engines): a document
+    # without an identity cannot hold a place in (doc_id, seg_idx)
+    # first-occurrence order — and filtering it FIRST keeps the range
+    # guard below a pure in-range/out-of-range decision (a NULL key
+    # would otherwise null the guard condition into the raise branch)
+    words = docs.where(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    ).select("doc_id", F.split("text", " ").alias("w"))
     seg_of = lambda i: F.array_join(  # noqa: E731 — tight lambda
         F.slice("w", i * 4 + 1, 4), " "
     )

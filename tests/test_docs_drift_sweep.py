@@ -92,6 +92,18 @@ def _adversarial_docs() -> list[tuple[int, str, str, str]]:
     rows.append((2_147_483_902, "null lang words spark table", None, "edge"))
     rows.append((2_147_483_903, "null source words scan join", "en", None))
     rows.append((2_147_483_904, None, None, None))
+    # NULL doc_id (r14): doc_id is a GROUP key (per-doc aggregates keep
+    # the NULL group on both engines), an equi-JOIN key (dropped on
+    # both), a `% 97` filter operand (NULL comparison drops the row on
+    # both sides of the eval/train split), a hash-priority input
+    # (NULL priority → asc_nulls_last, the repo's DuckDB null-order
+    # convention), and an argmin-encoding input (paragraph dedup's
+    # runtime guard must NOT trip: NULL propagates through the range
+    # check as NULL → WHEN condition not true... which would take the
+    # raise branch, so the operator filters NULL doc_id like NULL text)
+    rows.append((None, "null id words join hash batch", "en", "edge"))
+    rows.append((None, "join hash", "de", "edge"))
+    rows.append((None, None, None, None))
     return rows
 
 

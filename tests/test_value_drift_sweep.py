@@ -111,9 +111,10 @@ NULL_DATES = {
 }
 
 
-@pytest.fixture(scope="module")
-def nonfinite_fixture(tmp_path_factory):
-    tmp = str(tmp_path_factory.mktemp("valuedrift"))
+def build_nonfinite_fixture(tmp: str) -> str:
+    """Materialize the poisoned copy into ``tmp`` — importable so
+    tools/oracle_determinism.py can scan the SAME fixture the sweep
+    tests use (VERDICT r13 item 7)."""
     for t in catalog.TABLES:
         p = catalog.table_path(SRC, t)
         if t not in POISON:
@@ -204,6 +205,11 @@ def nonfinite_fixture(tmp_path_factory):
             tbl, os.path.join(tmp, os.path.basename(p)), store_schema=False
         )
     return tmp
+
+
+@pytest.fixture(scope="module")
+def nonfinite_fixture(tmp_path_factory):
+    return build_nonfinite_fixture(str(tmp_path_factory.mktemp("valuedrift")))
 
 
 def test_all_oracles_survive_nonfinite_measures(spark, nonfinite_fixture):
