@@ -1100,12 +1100,17 @@ def bloom_decontaminate(spark: SparkSession, docs: DataFrame) -> DataFrame:
     corpora (see llm_decontaminate_bloom for semantics and the plan
     narrative)."""
     grams = _doc_distinct_grams(spark, docs)
+    # cached: THREE consumers re-aggregate the eval distinct otherwise
+    # (the sizing count, the bitset build, the exact grounding join) —
+    # at scale that is 3× a shuffle over 1/97th of the corpus's grams
     eval_grams = (
         grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
-    )
+    ).cache()
 
     # size the table to the eval-gram cardinality (driver scalar on
-    # cached data): next power of two >= 16 bits/elem, floored
+    # cached data): next power of two >= 16 bits/elem, floored —
+    # this count also materializes the eval-gram cache for the two
+    # downstream consumers
     n_eval = eval_grams.count()
     m_bits = _BLOOM_MIN_BITS
     while m_bits < _BLOOM_BITS_PER_ELEM * n_eval:

@@ -117,6 +117,7 @@ def test_entire_registry_survives_compound_drift(spark, compound_fixture):
 _BOOLEAN_CONTRACTS = {
     "agg_approx_distinct": ("within_tol",),
     "agg_approx_quantiles": ("p25_ok", "p50_ok", "p75_ok"),
+    "llm_decontaminate_bloom": ("no_false_negatives", "fp_rate_ok"),
     "llm_sim_ivf_topk": (
         "k_exhausted",
         "subset_exact",
