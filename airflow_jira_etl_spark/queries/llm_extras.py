@@ -1006,27 +1006,53 @@ _BLOOM_MIN_BITS = 1 << 14
 _BLOOM_FP_BOUND = 0.02
 
 
-def _bloom_member_sql() -> str:
-    """Membership predicate over a positions array ``ps`` and a dense
-    BIGINT-array bitset ``bits`` (1-based element_at)."""
+# The k probe expressions are UNROLLED flat SQL, not
+# transform/forall lambdas: higher-order functions fall out of
+# whole-stage codegen into interpreted per-element evaluation, which
+# measured ~7× slower on the probe's hot path at a 30× replication
+# (all-hits worst case; the zero-bitset case hides it because forall
+# short-circuits on the first probe). They reference h1/h2 columns
+# (materialize with _bloom_hash_cols first) so each xxhash64 is
+# computed once per row: double hashing pos_i = h1 + i * h2 mod m,
+# with the step forced ODD so it cycles the whole power-of-two table;
+# every operand is reduced mod m FIRST so the arithmetic stays far
+# inside int64 under ANSI mode (h1 + 6*h2 < 13*m — the same overflow
+# discipline as sampling._pct_bucket).
+
+
+def _bloom_hash_cols(m_bits: int) -> tuple[str, str]:
+    """(h1, h2) SQL over gram column ``g`` — the two double-hashing
+    draws, h2 pre-oddened."""
     return (
-        "forall(ps, p -> (element_at(bits, CAST(p DIV 64 AS INT) + 1)"
-        " & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
+        f"pmod(xxhash64(g), {m_bits})",
+        f"2 * pmod(xxhash64(g, 1), {m_bits}) + 1",
     )
 
 
+def _bloom_pos_sql(i: int, m_bits: int) -> str:
+    return f"pmod(h1 + {i} * h2, {m_bits})"
+
+
 def _bloom_positions_sql(m_bits: int) -> str:
-    """The k probe positions of gram column ``g`` as an array — double
-    hashing pos_i = h1 + i * (2*h2 + 1) mod m over two independent
-    xxhash64 draws. The step is forced ODD so it cycles the whole
-    power-of-two table; every operand is reduced mod m FIRST so the
-    arithmetic stays far inside int64 under ANSI mode (h1 + 6*step <
-    13*m — the same overflow discipline as sampling._pct_bucket)."""
-    return (
-        f"transform(sequence(0, {_BLOOM_K - 1}), i -> "
-        f"pmod(pmod(xxhash64(g), {m_bits})"
-        f" + CAST(i AS BIGINT) * (2 * pmod(xxhash64(g, 1), {m_bits}) + 1),"
-        f" {m_bits}))"
+    """All k probe positions as an array (build side: explode → bit
+    OR-aggregate). Plain array() of unrolled elements — no lambda."""
+    elems = ", ".join(_bloom_pos_sql(i, m_bits) for i in range(_BLOOM_K))
+    return f"array({elems})"
+
+
+def _bloom_member_sql(m_bits: int) -> str:
+    """Membership: AND over the k unrolled bit tests against the dense
+    BIGINT-array bitset ``bits`` (1-based element_at). ``bits`` must
+    come from a one-row broadcast DataFrame, NOT an F.lit array — a
+    32k-element Python-list literal lands as boxed GenericArrayData
+    and element_at pays unboxing per probe (measured 5× slower than
+    the UnsafeArrayData a broadcast row carries)."""
+    return " AND ".join(
+        f"(element_at(bits, CAST(({_bloom_pos_sql(i, m_bits)}) DIV 64"
+        f" AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(({_bloom_pos_sql(i, m_bits)}) % 64 AS INT))) != 0"
+        for i in range(_BLOOM_K)
     )
 
 
@@ -1117,10 +1143,22 @@ def bloom_decontaminate(spark: SparkSession, docs: DataFrame) -> DataFrame:
         m_bits <<= 1
     n_words = m_bits // 64
 
+    h1_sql, h2_sql = _bloom_hash_cols(m_bits)
+
     # (1) bitset build: explode probe positions -> sparse word OR-agg
-    # -> one dense BIGINT-array row (map lookup fills the zero words)
-    bitset = (
-        eval_grams.select(
+    # -> one dense BIGINT-array row. Densification is a range LEFT
+    # JOIN + ordered collect, NOT a map lookup per index: element_at
+    # on a map_from_arrays map is a LINEAR scan, so the earlier
+    # transform(sequence(0, n_words-1), i -> mp[i]) form was O(n_words
+    # ^2) interpreted work inside the one-row projection — 130 s to
+    # materialize a 32k-word table at a 30× replication, and it hid
+    # from .count() because count prunes the array column. The join
+    # form is O(n log n), whole-plan JVM, and the collect_list stays
+    # bounded at n_words structs (broadcast-sized by construction).
+    sparse = (
+        eval_grams.withColumn("h1", F.expr(h1_sql))
+        .withColumn("h2", F.expr(h2_sql))
+        .select(
             F.explode(F.expr(_bloom_positions_sql(m_bits))).alias("pos")
         )
         .select(
@@ -1131,27 +1169,30 @@ def bloom_decontaminate(spark: SparkSession, docs: DataFrame) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    bitset = (
+        spark.range(n_words)
+        .select(F.col("id").alias("w"))
+        .join(sparse, "w", "left")
         .agg(
-            F.map_from_arrays(
-                F.collect_list("w"), F.collect_list("word")
-            ).alias("mp")
-        )
-        .select(
             F.expr(
-                f"transform(sequence(0, {n_words - 1}), i -> "
-                "coalesce(element_at(mp, CAST(i AS BIGINT)), "
-                "CAST(0 AS BIGINT)))"
+                "transform(array_sort(collect_list(struct(w, word))), "
+                "e -> coalesce(e.word, CAST(0 AS BIGINT)))"
             ).alias("bits")
         )
     )
 
-    # (2) probe: every train gram tests k bits of the broadcast row;
-    # the exact join rides the same pass to flag true matches
+    # (2) probe: every train gram tests k bits of the ONE-ROW
+    # broadcast bitset (its UnsafeArrayData gives O(1) unboxed
+    # element_at — see _bloom_member_sql for why not an F.lit array)
+    # with the unrolled codegen predicate; the exact join rides the
+    # same pass to flag true matches
     flagged = (
         grams.where(F.col("doc_id") % 97 != 0)
         .crossJoin(F.broadcast(bitset))
-        .withColumn("ps", F.expr(_bloom_positions_sql(m_bits)))
-        .withColumn("bloom_hit", F.expr(_bloom_member_sql()))
+        .withColumn("h1", F.expr(h1_sql))
+        .withColumn("h2", F.expr(h2_sql))
+        .withColumn("bloom_hit", F.expr(_bloom_member_sql(m_bits)))
         .join(
             eval_grams.withColumn("exact_hit", F.lit(True)), "g", "left"
         )

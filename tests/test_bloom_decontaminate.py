@@ -12,6 +12,7 @@ from airflow_jira_etl_spark.queries.llm_extras import (
     _BLOOM_FP_BOUND,
     _BLOOM_K,
     _BLOOM_MIN_BITS,
+    _bloom_hash_cols,
     _bloom_member_sql,
     _bloom_positions_sql,
 )
@@ -111,11 +112,14 @@ def test_bitset_geometry_no_false_negatives_and_fp_bound(spark):
 
     from pyspark.sql import functions as F
 
+    h1_sql, h2_sql = _bloom_hash_cols(m_bits)
     members = spark.range(n).select(
         F.concat(F.lit("member-gram-"), F.col("id")).alias("g")
     )
-    bitset = (
-        members.select(
+    sparse = (
+        members.withColumn("h1", F.expr(h1_sql))
+        .withColumn("h2", F.expr(h2_sql))
+        .select(
             F.explode(F.expr(_bloom_positions_sql(m_bits))).alias("pos")
         )
         .select(
@@ -126,16 +130,17 @@ def test_bitset_geometry_no_false_negatives_and_fp_bound(spark):
         )
         .groupBy("w")
         .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    # range-join densification, the production shape (element_at on a
+    # map_from_arrays map is a linear scan — O(n_words^2) to densify)
+    bitset = (
+        spark.range(n_words)
+        .select(F.col("id").alias("w"))
+        .join(sparse, "w", "left")
         .agg(
-            F.map_from_arrays(
-                F.collect_list("w"), F.collect_list("word")
-            ).alias("mp")
-        )
-        .select(
             F.expr(
-                f"transform(sequence(0, {n_words - 1}), i -> "
-                "coalesce(element_at(mp, CAST(i AS BIGINT)), "
-                "CAST(0 AS BIGINT)))"
+                "transform(array_sort(collect_list(struct(w, word))), "
+                "e -> coalesce(e.word, CAST(0 AS BIGINT)))"
             ).alias("bits")
         )
     )
@@ -143,8 +148,9 @@ def test_bitset_geometry_no_false_negatives_and_fp_bound(spark):
     def probe(df):
         return (
             df.crossJoin(F.broadcast(bitset))
-            .withColumn("ps", F.expr(_bloom_positions_sql(m_bits)))
-            .withColumn("hit", F.expr(_bloom_member_sql()))
+            .withColumn("h1", F.expr(h1_sql))
+            .withColumn("h2", F.expr(h2_sql))
+            .withColumn("hit", F.expr(_bloom_member_sql(m_bits)))
         )
 
     assert probe(members).where("NOT hit").count() == 0  # structural
