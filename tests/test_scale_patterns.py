@@ -371,3 +371,56 @@ def test_knn_assign_broadcasts_centroids_no_window(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "HashAggregate" in plan, plan
     assert "SortAggregate" not in plan, plan
+
+
+def test_registry_scale_sweep_builds_consistent_fixture(spark, sf_dir, tmp_path):
+    """build_scaled doubles every row-scaling table with disjoint keys
+    (shared orders stride keeps replica lineitems referencing their
+    replica's orders) and symlinks the dimensions unchanged."""
+    import os
+
+    from airflow_jira_etl_spark import catalog
+    from airflow_jira_etl_spark.tools.registry_scale_sweep import build_scaled
+
+    out = str(tmp_path / "scaled")
+    os.makedirs(out)
+    build_scaled(spark, sf_dir, 2, out)
+
+    for t, key in (
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+        ("events", "event_id"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ):
+        base = catalog.load(spark, sf_dir, t)
+        big = catalog.load(spark, out, t)
+        assert big.count() == 2 * base.count(), t
+        # key domains stay disjoint across replicas (stride is
+        # data-derived) — distinct keys double even for the non-unique
+        # l_orderkey (many lines per order)
+        assert (
+            big.select(key).distinct().count()
+            == 2 * base.select(key).distinct().count()
+        ), f"{t}.{key} collided"
+    # replica lineitems join their replica's orders: the join count
+    # scales exactly 2x
+    b_join = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .join(
+            catalog.load(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    s_join = (
+        catalog.load(spark, out, "lineitem")
+        .join(
+            catalog.load(spark, out, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert s_join == 2 * b_join
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        assert os.path.islink(os.path.join(out, f"{t}.parquet")), t
