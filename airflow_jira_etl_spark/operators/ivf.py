@@ -219,7 +219,13 @@ def _build_index_files(
         (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
         for r in cent_disk.collect()
     )
-    arow = on_disk.orderBy("vec_id").select("vec_id", "embedding").head()
+    # asc_nulls_last: callers own the NULL-id filter (r14 convention),
+    # but the anchor must never resolve to an id int() cannot take
+    arow = (
+        on_disk.orderBy(F.col("vec_id").asc_nulls_last())
+        .select("vec_id", "embedding")
+        .head()
+    )
     anchor = {
         "vec_id": int(arow["vec_id"]),
         "embedding": [float(x) for x in arow["embedding"]],

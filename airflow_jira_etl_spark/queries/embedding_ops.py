@@ -93,7 +93,11 @@ def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- list_cosine_similarity never sees a corrupt input
         SELECT e.vec_id, e.label, c.c_label,
                round(__CS__ + 1e-9, 4) + 0.0 AS cs
+        -- NULL-id rows drop from the KEYED assignment (they'd merge
+        -- into one NULL partition below); centroids above still
+        -- average every embedding (r14 NULL-key convention)
         FROM embeddings e, cent c
+        WHERE e.vec_id IS NOT NULL
     ),
     ranked AS (
         SELECT vec_id, label, c_label, cs,
@@ -129,7 +133,12 @@ def llm_embed_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte key per vector. Ranking compares the 4-dp ROUNDED
     similarity (ties broken by smaller label) so the winner is
     engine-independent; the oracle's row_number form picks the
-    identical row."""
+    identical row. The assignment is KEYED on vec_id, so NULL-id rows
+    drop on both engines (r14 NULL-key convention: the engine's
+    groupBy and the oracle's PARTITION BY would otherwise MERGE all
+    identity-less vectors into one meaningless NULL-group row).
+    Centroids still average over every embedding, id or not — the
+    filter guards the keyed output, not the prototype means."""
     emb = catalog.load(spark, sf_dir, "embeddings")
     cent = (
         _centroid_components(emb)
@@ -167,7 +176,9 @@ def llm_embed_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlining norm2 into the scoring expression would recompute an
     # O(d) fold per (vector × centroid) row in the map-side expand
     cent = cent.withColumn("c_zero", norm2(F.col("c")) == 0)
-    emb_flagged = emb.withColumn("e_zero", norm2(F.col("embedding")) == 0)
+    emb_flagged = emb.where(F.col("vec_id").isNotNull()).withColumn(
+        "e_zero", norm2(F.col("embedding")) == 0
+    )
     scored = emb_flagged.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",

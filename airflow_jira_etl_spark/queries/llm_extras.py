@@ -187,7 +187,8 @@ def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasting to all. The exact-baseline twin is llm_sim_topk.
     The probe is min(vec_id), not a hard-coded 0 — a renumbered
     fixture regen would have degraded the old probe to a vacuous
-    0-row green on both engines."""
+    0-row green on both engines; asc_nulls_last matches min()'s
+    NULL-skipping (r14 embeddings-drift axis, see llm_sim_topk)."""
     from airflow_jira_etl_spark.functions.similarity import cosine
 
     # rows without an embedding cannot participate in similarity search
@@ -206,7 +207,7 @@ def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
     probe = (
-        sig.orderBy("vec_id")
+        sig.orderBy(F.col("vec_id").asc_nulls_last())
         .limit(1)
         .select(
             F.col("vec_id").alias("pid"),
@@ -310,9 +311,13 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against every centroid under the guard ladder, so the assignment
     # argmax has no meaning (the stored cluster would be arbitrary and
     # assign_parity's re-argmax could never reproduce it); mirrored in
-    # the oracle's probe-id subquery
+    # the oracle's probe-id subquery. A NULL vec_id row is equally
+    # un-indexable (r14 NULL-key convention: it cannot be returned as
+    # an identifiable neighbor, and the driver-resident anchor int()s
+    # the id) — min(vec_id) in the oracle skips NULLs natively.
     emb = catalog.load(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
         & ~F.exists("embedding", lambda x: x.isNull() | F.isnan(x))
     )
     # the tag fingerprints the SOURCE DATA — per-part for a directory-

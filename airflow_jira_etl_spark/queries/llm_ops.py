@@ -583,10 +583,14 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(vec_id), not a hard-coded 0: a renumbered fixture regen would
     have silently degraded the old `vec_id = 0` probe to a vacuous
     0-row green on both engines (the crash-prone sibling was fixed the
-    same way — see llm_sim_ivf_topk)."""
+    same way — see llm_sim_ivf_topk). asc_nulls_last on the probe pick
+    mirrors the oracle's min(vec_id), which skips NULL ids — a NULL
+    vec_id row must never become the probe (r14 embeddings-drift axis:
+    Spark's default ASC is NULLS FIRST, and a NULL-id NULL-embedding
+    probe silently degrades the whole query to zero rows)."""
     emb = catalog.load(spark, sf_dir, "embeddings")
     probe = (
-        emb.orderBy("vec_id")
+        emb.orderBy(F.col("vec_id").asc_nulls_last())
         .limit(1)
         .select(F.col("vec_id").alias("pid"), F.col("embedding").alias("p"))
     )

@@ -64,6 +64,15 @@ def _adversarial_vectors() -> list[tuple[int, list[float], int]]:
     nanv = [1.0 / 64.0] * DIM
     nanv[3] = float("nan")
     rows.append((200_005, nanv, 5))
+    # NULL vec_id (r14, mirroring the docs corpus's NULL doc_id axis):
+    # vec_id is a JOIN key (pair queries drop it on both engines), a
+    # components seed (dedup_clusters filters NULL ids — the r14
+    # NULL-key convention, matched by the oracles' lbl seeds), an
+    # ordering tie-break (top-k rank chains end on vec_id — NULLS
+    # LAST convention), and a GROUP key. One healthy vector and one
+    # NULL-embedding row carry it so both code paths see the axis.
+    rows.append((None, [1.0 / 64.0] * DIM, 6))
+    rows.append((None, None, 7))
     return rows
 
 
