@@ -144,7 +144,7 @@ def main(argv: list[str]) -> int:
         shutil.rmtree(scaled, ignore_errors=True)
 
     rows = {}
-    flagged = []
+    suspects = []
     for name, w1 in base.items():
         wm = big.get(name)
         if wm is None:
@@ -152,7 +152,37 @@ def main(argv: list[str]) -> int:
         unit = wm / (w1 * mult) if w1 > 0 else float("inf")
         rows[name] = {"w1": w1, "wm": wm, "unit_ratio": round(unit, 2)}
         if unit > UNIT_RATIO_FLAG and wm > MIN_WALL_FLAG:
-            flagged.append((unit, name, w1, wm))
+            suspects.append(name)
+
+    # a single-pass wall after 140 queries of JVM/worker churn can
+    # carry one-off transients (observed: a 0.8 s query reading 40 s
+    # once at 30×); confirm every suspect with a fresh measurement on
+    # a rebuilt fixture and keep the MIN — only a REPRODUCIBLE blow-up
+    # is a finding
+    flagged = []
+    if suspects:
+        scaled2 = tempfile.mkdtemp(prefix=f"regsweep{mult}x_confirm_")
+        try:
+            build_scaled(spark, sf_dir, mult, scaled2)
+            for name in suspects:
+                t0 = time.perf_counter()
+                registry.QUERIES[name](spark, scaled2).count()
+                wm2 = round(time.perf_counter() - t0, 3)
+                spark.catalog.clearCache()
+                wm = min(big[name], wm2)
+                w1 = base[name]
+                unit = wm / (w1 * mult) if w1 > 0 else float("inf")
+                rows[name] = {
+                    "w1": w1, "wm": wm, "unit_ratio": round(unit, 2),
+                    "confirm_run": wm2,
+                }
+                if unit > UNIT_RATIO_FLAG and wm > MIN_WALL_FLAG:
+                    flagged.append((unit, name, w1, wm))
+                else:
+                    print(f"CLEAR {name}: first pass {big[name]:.2f}s was a "
+                          f"transient (confirm run {wm2:.2f}s)")
+        finally:
+            shutil.rmtree(scaled2, ignore_errors=True)
     for q, why in sorted(SKIP_OUTPUT_BOUND.items()):
         print(f"SKIP  {q}: output-bound under identical replicas — {why}")
     for unit, name, w1, wm in sorted(flagged, reverse=True):
