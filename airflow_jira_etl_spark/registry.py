@@ -47,91 +47,45 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # A budget-capped external sweep records the first ~50 queries in
 # registration order.  To keep every query's differential evidence fresh,
 # the sweep order is explicit and least-recently-checked-first, decoupled
-# from module import order.  Round-14 derivation (base order mechanical
-# via tools/sweep_advisor over CORRECTNESS_r*.json; r13 was 50/50 green,
-# the seventh consecutive fully-green driver round — no red rows, no
-# never-checked queries before this round's registrations; evidence
-# tiers now r11:47, r12:50, r13:50).  The 50-slot window:
-#   slots 1-3: the three queries NEW this round, never driver-checked,
-#     so they MUST sit in the window (test_never_checked_queries_lead
-#     _the_window): llm_decontaminate_bloom (the fixed-size-bitset
-#     scale path for llm_decontaminate, boolean-contract oracle),
-#     llm_heavy_hitters (corpus-wide top-k bigrams, exact top-k
-#     oracle), llm_reservoir_sample (weighted per-language reservoir
-#     by deterministic integer priority).
-#   slots 4-50: the full r11-evidence tier (47, alphabetical) — the
-#     oldest remaining rows.  This tier includes llm_decontaminate,
-#     which is ALSO code-recent this round (its gram builder moved
-#     into the shared _doc_distinct_grams helper the bloom variant
-#     reuses — behavior-identical, oracle untouched — and the fresh
-#     differential re-proof is free since the row was already stale).
-# 3 + 47 = 50 exactly — no oversubscription, no deferrals this round.
-# Code-recency note: round 14 also added a runtime guard INSIDE
-# llm_dedup_paragraph's argmin encoding (raise on seg_idx >= 2^20 or
-# |doc_id| >= 2^43, ADVICE r13).  Its driver row is r13-fresh (last
-# round's slot 50) and the guard is value-neutral for every in-range
-# corpus (pinned both ways by tests/test_paragraph_dedup.py: in-range
-# outputs unchanged at the 2^43-1 boundary, out-of-range raises), so
-# it is NOT promoted — displacing an r11 row for it would trade a
-# stale re-proof for a fresh one with ~0 differential info gain.
+# from module import order.  Round-15 derivation (base order mechanical
+# via tools/sweep_advisor over CORRECTNESS_r*.json; r14 was 50/50 green,
+# the eighth consecutive fully-green driver round — no red rows, no
+# never-checked queries, no new registrations this round; evidence
+# tiers now r12:50, r13:50, r14:50).  The 50-slot window:
+#   slots 1-50: the full r12-evidence tier (50, alphabetical) — the
+#     oldest remaining rows, and EXACTLY window-sized.  No room for
+#     anything else: a new registered query would displace an r12 row
+#     and leave it stale past three rounds, so round 15 registers
+#     NOTHING (the registry holds flat at 150).
+# STRUCTURAL NOTE FOR ROUND 16 (written r15 so no future round
+# rediscovers this at registration time): after the r15 sweep consumes
+# the r12 tier, the oldest tier is r13 — ALSO exactly 50 rows, so r16
+# has zero free slots too.  Registry growth stays frozen until either
+# (a) a redundant beyond-survey query is retired to shrink a tier, or
+# (b) the driver window grows.  New capability work in r15/r16 must
+# take non-query shapes: operator-level code paths (e.g. the
+# SpaceSaving heavy-hitters and banded-Bloom degradation paths landed
+# in r15 as operators + property tests + probes, NOT as registrations),
+# sources/sinks, or drift-armor axes.
+# Code-recency notes (round 15, the advisor cannot see code changes;
+# none displace an r12 row because each change is value-neutral on the
+# driver fixtures and pinned by tests):
+# - llm_heavy_hitters (r14-fresh): gained the SpaceSaving degradation
+#   operator (operators/heavy_hitters.py) — the REGISTERED query body
+#   still runs the exact one-shuffle top-k; the sketch path is
+#   property-tested against it (tests/test_heavy_hitters_sketch.py),
+#   so no promotion.
+# - llm_decontaminate_bloom (r14-fresh): gained a bands=N parameter
+#   (default 1 = the r14 single-bitset build, bit-identical output;
+#   pinned by tests/test_bloom_banding.py), so no promotion.
+# - llm_dedup_paragraph (r13-fresh): ADVICE-r14 guard-shape change
+#   only (abs() → explicit range compare so INT64_MIN raises the
+#   contract message, not an ANSI abs overflow) — error-path-only,
+#   in-range outputs unchanged (tests/test_paragraph_dedup.py), so
+#   no promotion.
 # tests/test_sweep_priority.py pins the invariants.
 SWEEP_PRIORITY: list[str] = [
-    # round-14 lead: the three new queries, never driver-checked
-    "llm_decontaminate_bloom",
-    "llm_heavy_hitters",
-    "llm_reservoir_sample",
-    # r11-evidence tier (all 47, alphabetical)
-    "agg_approx_distinct",
-    "agg_approx_quantiles",
-    "agg_collect_sorted",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_exact_quantiles",
-    "agg_group_sum",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "case_when_cast",
-    "filter_in_like_regex",
-    "filter_null_semantics",
-    "flagship_revenue_by_nation",
-    "join_anti",
-    "join_broadcast_dim",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_multiway_star",
-    "join_right_full",
-    "join_self_dedup_pairs",
-    "join_semi",
-    "join_theta_range",
-    "llm_corpus_stats",
-    "llm_decontaminate",
-    "llm_quality_repetition",
-    "llm_tfidf_top_terms",
-    "project_array_join",
-    "project_flatten_json",
-    "report_forecast_revenue_change",
-    "report_local_supplier_volume",
-    "report_market_share",
-    "report_top_parts_per_brand",
-    "scan_filter_prune",
-    "set_union_all",
-    "sink_partitioned_write",
-    "sort_multi_key",
-    "source_rest_datasource",
-    "win_concurrency_sweep",
-    "win_first_last",
-    "win_ntile_percent",
-    "win_range_frame",
-    "win_rank_dense_rownum",
-    "win_sliding_rows_frame",
-    "win_topk_per_group",
-    # ---- 50-slot window boundary ----
-    # r12-evidence tier (50, alphabetical); the r13-evidenced queries
-    # (freshest driver rows) fall to the implicit registration-order
-    # tail below the explicit list
+    # r12-evidence tier (all 50, alphabetical) — the full r15 window
     "agg_mode_per_group",
     "agg_percentile_cont",
     "agg_salted_skew",
@@ -182,6 +136,61 @@ SWEEP_PRIORITY: list[str] = [
     "win_running_distinct",
     "win_running_sum",
     "win_sessionize_gaps",
+    # ---- 50-slot window boundary ----
+    # r13-evidence tier (50, alphabetical) — the expected r16 window,
+    # also exactly 50 (see the structural note above); the r14-evidenced
+    # queries (freshest driver rows) fall to the implicit
+    # registration-order tail below the explicit list
+    "agg_unpivot",
+    "filter_exists_subquery",
+    "filter_not_exists_subquery",
+    "filter_scalar_subquery",
+    "fn_array_suite",
+    "fn_bitwise_suite",
+    "fn_conditional_suite",
+    "fn_date_suite",
+    "fn_hash_suite",
+    "fn_map_json_suite",
+    "fn_math_suite",
+    "fn_string_suite",
+    "fn_time_of_day",
+    "llm_corpus_sample",
+    "llm_dedup_exact",
+    "llm_dedup_paragraph",
+    "llm_dedup_simhash",
+    "llm_lang_id",
+    "llm_stratified_sample",
+    "llm_text_quality",
+    "llm_text_stats",
+    "llm_text_tokens",
+    "llm_token_count_bpe",
+    "llm_train_val_test_split",
+    "mm_decode_features",
+    "mm_resize_batch",
+    "report_monthly_growth",
+    "report_returned_items",
+    "report_shipping_priority",
+    "scan_csv",
+    "scan_parquet",
+    "set_except",
+    "set_intersect",
+    "set_union_distinct",
+    "sink_create_table",
+    "sink_upsert",
+    "sort_limit_topk",
+    "stream_dedup_keys",
+    "stream_foreachbatch_upsert",
+    "stream_session_window",
+    "stream_sliding_avg",
+    "stream_stateful_profile",
+    "stream_static_enrich",
+    "stream_tumbling_count",
+    "stream_watermark_late",
+    "udaf_grouped_agg",
+    "udf_pandas_vectorized",
+    "udf_python_scalar",
+    "udtf_explode_kv",
+    "win_lag_lead",
 ]
 
 

@@ -41,36 +41,34 @@ def test_red_rows_lead_the_window():
     assert not missing, f"red-evidence queries outside the window: {missing}"
 
 
-# Round-14 window plan: evidence tiers after the seventh consecutive
-# fully-green driver round are r11:47, r12:50, r13:50. Candidates =
-# 3 new never-checked queries + the 47-row r11 tier = 50 exactly — no
-# oversubscription, so NO deferrals this round (see the derivation
-# comment above registry.SWEEP_PRIORITY).
+# Round-15 window plan: evidence tiers after the eighth consecutive
+# fully-green driver round are r12:50, r13:50, r14:50. The oldest
+# (r12) tier is EXACTLY window-sized, so the window is that tier and
+# nothing else — no new registrations this round (and none possible
+# without a documented displacement), no oversubscription, NO
+# deferrals (see the derivation comment above registry.SWEEP_PRIORITY,
+# including the r16 structural note: the r13 tier is also exactly 50).
 DEFERRED: set[str] = set()
 
 # Evidence-age threshold for "must re-prove this round": the whole
-# r11 tier fits the window, so everything at or below r11 must be
+# r12 tier fits the window, so everything at or below r12 must be
 # inside it.
-STALE_ROUND = 11
+STALE_ROUND = 12
 
-PROMOTED = {
-    # round 14 (the advisor cannot see code changes):
-    # - the three NEW queries, never driver-checked (also enforced by
-    #   test_never_checked_queries_lead_the_window);
-    # - llm_decontaminate: gram builder factored into the shared
-    #   _doc_distinct_grams helper this round — already in-window via
-    #   the r11 tier, so the code-recency re-proof costs nothing.
-    # NOT promoted (documented demotion): llm_dedup_paragraph — its
-    # r14 argmin runtime guard (ADVICE r13) is value-neutral for every
-    # in-range corpus, pinned both ways by tests/test_paragraph_dedup
-    # (in-range outputs unchanged at the 2^43-1 boundary, out-of-range
-    # raises), and its driver row is r13-fresh; displacing an r11 row
-    # would trade a stale re-proof for ~0 differential info gain.
-    "llm_decontaminate_bloom",
-    "llm_heavy_hitters",
-    "llm_reservoir_sample",
-    "llm_decontaminate",
-}
+# Round 15 has NO code-recency promotions. Three round-15 code changes
+# touch registered-query modules but are all value-neutral on the
+# driver fixtures and pinned by tests, so none displaces an r12 row
+# (documented demotions, same rationale as llm_dedup_paragraph in
+# r14):
+# - llm_heavy_hitters: the SpaceSaving degradation path landed as a
+#   SEPARATE operator (operators/heavy_hitters.py) property-tested
+#   against the registered exact body — the registered query is
+#   unchanged.
+# - llm_decontaminate_bloom: gained bands=N with default 1 == the r14
+#   single-bitset build (bit-identical; tests/test_bloom_banding.py).
+# - llm_dedup_paragraph: ADVICE-r14 guard-shape fix (abs() → explicit
+#   range compare) — error-path-only, in-range outputs unchanged.
+PROMOTED: set[str] = set()
 
 
 def test_stale_evidence_queries_fill_the_window():
