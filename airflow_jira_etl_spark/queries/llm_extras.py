@@ -1643,10 +1643,15 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
     # than letting encodings collide across doc_ids and silently
     # reorder first occurrences (ADVICE r13). A >= 2^20 seg_idx means
     # a ~4M-word document — at that point the right fix is widening
-    # to a struct argmin, and a loud error is what forces it.
+    # to a struct argmin, and a loud error is what forces it. The
+    # |doc_id| bound is an explicit two-sided compare, NOT abs():
+    # under ANSI mode abs(INT64_MIN) raises an overflow error, which
+    # would replace the contract message at that one extreme input
+    # (ADVICE r14).
     enc = F.when(
         (F.col("seg_idx") < F.lit(1 << 20))
-        & (F.abs(F.col("doc_id")) < F.lit(1 << 43)),
+        & (F.col("doc_id") < F.lit(1 << 43))
+        & (F.col("doc_id") > F.lit(-(1 << 43))),
         F.col("doc_id") * 1048576 + F.col("seg_idx"),
     ).otherwise(
         F.raise_error(

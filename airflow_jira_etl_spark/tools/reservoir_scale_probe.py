@@ -60,20 +60,34 @@ def main(argv: list[str]) -> int:
         corpus = replicate_with_stride(docs, "doc_id", mult, stride)
         t0 = time.monotonic()
         sample = reservoir_sample(corpus).cache()
-        # cap: per-lang sample size == min(k, group size), rn dense
+        # cap: per-lang sample size == min(k, group size), rn dense.
+        # NULL lang is a real reservoir group (see reservoir_sample),
+        # so the join must be null-safe (eqNullSafe — a plain "lang"
+        # equi-join would split the NULL group into two half-rows) and
+        # the counters coalesced to distinct sentinels so a group
+        # present on only one side COUNTS as a violation instead of
+        # evaluating the predicate to NULL and slipping through
+        # (ADVICE r14).
+        want = corpus.groupBy("lang").agg(F.count("*").alias("n"))
+        got = sample.groupBy(F.col("lang").alias("s_lang")).agg(
+            F.count("*").alias("got"), F.max("rn").alias("max_rn")
+        )
         sizes = (
-            corpus.groupBy("lang")
-            .agg(F.count("*").alias("n"))
-            .join(
-                sample.groupBy("lang").agg(
-                    F.count("*").alias("got"), F.max("rn").alias("max_rn")
-                ),
-                "lang",
-                "full_outer",
+            want.join(
+                got, F.col("lang").eqNullSafe(F.col("s_lang")), "full_outer"
             )
             .where(
-                (F.col("got") != F.least("n", F.lit(_RESERVOIR_K)))
-                | (F.col("max_rn") != F.col("got"))
+                (
+                    F.coalesce(F.col("got"), F.lit(-1))
+                    != F.least(
+                        F.coalesce(F.col("n"), F.lit(-2)),
+                        F.lit(_RESERVOIR_K),
+                    )
+                )
+                | (
+                    F.coalesce(F.col("max_rn"), F.lit(-1))
+                    != F.coalesce(F.col("got"), F.lit(-2))
+                )
             )
             .count()
         )

@@ -73,7 +73,10 @@ def test_encoding_contract_is_runtime_enforced(spark):
     import pytest
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
-    for bad_doc in (1 << 43, -(1 << 43)):
+    # INT64_MIN is the ADVICE-r14 edge: the guard compares the range
+    # explicitly instead of abs(), so the extreme still raises the
+    # CONTRACT message, not an ANSI abs() overflow error.
+    for bad_doc in (1 << 43, -(1 << 43), -(1 << 63)):
         with pytest.raises(
             SparkRuntimeException, match="encoding contract violated"
         ):
