@@ -34,6 +34,8 @@ from airflow_jira_etl_spark.streaming.source import pages_dir_for, write_event_p
            round(sum(value) + 1e-9, 4) AS total_value,
            CAST(max(ts) AS TIMESTAMP) AS last_ts
     FROM events
+    WHERE event_id IS NOT NULL  -- NULL-key rows never enter the paged
+                                -- stream (streaming/source.py, r15)
     GROUP BY user_id
     """,
 )

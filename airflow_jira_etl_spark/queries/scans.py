@@ -470,7 +470,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_corrupt_quarantine",
     oracle="""
     SELECT event_id, user_id, event_type, round(value + 1e-9, 4) AS value
-    FROM events WHERE event_id % 1000 <> 17
+    FROM events WHERE event_id % 1000 <> 17 OR event_id IS NULL
     """,
 )
 def scan_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,7 +482,11 @@ def scan_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantine sink instead of failing the job (FAILFAST) or vanishing
     silently (DROPMALFORMED without capture). The query returns the
     clean rows; the quarantine side — count and raw-line preservation —
-    is asserted in tests/test_ingest.py."""
+    is asserted in tests/test_ingest.py. NULL event_id is a CLEAN row
+    here, not a key violation: ingest quarantines only unparseable
+    LINES, and an id-less record round-trips JSON fine — so the oracle
+    keeps NULL ids explicitly (the % predicate alone would drop them
+    as three-valued false, the r15 NULL-entity-key sweep's find)."""
     from pyspark.sql import types as T
 
     tag = os.path.basename(os.path.normpath(sf_dir))

@@ -255,6 +255,8 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(value) + 1e-9, 4) AS total_value,
                round(max(value) + 1e-9, 4) AS peak_value
         FROM events
+        WHERE event_id IS NOT NULL  -- dropped by the paged source
+                                    -- (streaming/source.py, r15)
         GROUP BY user_id
     )
     """,
@@ -299,6 +301,9 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, event_type,
            round(value + 1e-9, 4) AS value
     FROM events
+    WHERE event_id IS NOT NULL  -- a NULL key cannot be upsert-addressed
+                                -- (reference db_ops.py:29-43; the paged
+                                -- source drops it, streaming/source.py)
     """,
 )
 def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

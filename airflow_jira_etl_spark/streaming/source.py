@@ -152,7 +152,10 @@ def write_event_pages(
     size scales with the table — each downstream micro-batch MERGE
     rewrites the table once, so total work is O(n_pages · n), not the
     O(n²/page_size) a fixed-size page would cost. Returns the page
-    size (rows per page).
+    size (rows per page). Rows with a NULL event_id are dropped — they
+    have no position in the id-derived layout (the r15 NULL entity-key
+    convention; every consumer's oracle filters event_id IS NOT NULL
+    to match — see the in-body comment).
 
     The page layout is deterministic in (source, n_pages), so an
     existing directory with a matching meta file is reused as-is —
@@ -180,8 +183,9 @@ def write_event_pages(
         "src_fp": _src_fingerprint(src),
         "n_pages": n_pages,
         # page-format version — bump when the written page schema
-        # changes (v2: ts persisted as a real timestamp, not raw long)
-        "layout": 2,
+        # changes (v2: ts persisted as a real timestamp, not raw long;
+        # v3: NULL-event_id rows dropped from the paged stream)
+        "layout": 3,
     }
     meta_path = os.path.join(out_dir, "_PAGES_META.json")
 
@@ -199,27 +203,33 @@ def write_event_pages(
 
     from airflow_jira_etl_spark import catalog
 
-    events = catalog.load(spark, sf_dir, "events")
-    stats = events.agg(
-        F.max("event_id"),
-        F.min("event_id"),
-        F.count(F.lit(1)) - F.count("event_id"),
-    ).collect()[0]
-    max_id, min_id, n_null = stats[0], stats[1], stats[2]
+    # NULL-key convention (r15, the entity-key analog of the docs
+    # corpus's NULL doc_id rule): a row with a NULL event_id has no
+    # position in the id-derived page layout — it cannot be paged,
+    # cursor-addressed, or upsert-addressed (the reference's unique-key
+    # contract, db_ops.py:29-43: a NULL unique_column row is
+    # unaddressable by MERGE). Such rows are DROPPED from the paged
+    # stream, on both engines: every oracle downstream of this source
+    # filters event_id IS NOT NULL to match. max/min skip NULLs, so the
+    # stats row already describes the kept rows.
+    events = catalog.load(spark, sf_dir, "events").where(
+        F.col("event_id").isNotNull()
+    )
+    stats = events.agg(F.max("event_id"), F.min("event_id")).collect()[0]
+    max_id, min_id = stats[0], stats[1]
     if max_id is None:
         raise ValueError(
             f"events table at {src} is empty — cannot page a zero-row "
             f"stream source"
         )
-    if n_null or min_id < 0:
-        # page ids derive from event_id: a NULL lands in pg=NULL and a
-        # negative below page 0 — both outside the rename loop's
-        # range(n_pages), where the _tmp cleanup would DELETE the rows
-        # silently while the meta file commits the build as complete
+    if min_id < 0:
+        # page ids derive from event_id: a negative id lands below page
+        # 0, outside the rename loop's range(n_pages), where the _tmp
+        # cleanup would DELETE the rows silently while the meta file
+        # commits the build as complete
         raise ValueError(
-            f"events.event_id must be non-null and non-negative to "
-            f"page deterministically (found {n_null} NULLs, "
-            f"min={min_id})"
+            f"events.event_id must be non-negative to page "
+            f"deterministically (min={min_id})"
         )
     total = int(max_id) + 1
     page_size = -(-total // n_pages)  # ceil

@@ -225,24 +225,49 @@ def test_stateful_profile_all_null_values_emit_sql_null(spark):
     assert math.isnan(r["peak_value"]) and math.isnan(r["total_value"])
 
 
-def test_write_event_pages_rejects_null_and_negative_ids(spark, tmp_path):
-    """Page ids derive from event_id: a NULL lands in pg=NULL and a
-    negative below page 0 — both outside the rename loop's
-    range(n_pages), where the _tmp cleanup would DELETE the rows
-    silently while the meta commits the build as complete. The build
-    must refuse loudly instead."""
+def test_write_event_pages_drops_null_ids_rejects_negative(spark, tmp_path):
+    """Page ids derive from event_id. The r15 NULL entity-key
+    convention: a NULL-id row has no position in the id-derived layout
+    (the reference's unique-key contract — db_ops.py:29-43 — makes it
+    unaddressable by MERGE), so it is DROPPED from the paged stream,
+    and every consumer oracle filters event_id IS NOT NULL to match.
+    A NEGATIVE id still refuses loudly: it lands below page 0, outside
+    the rename loop's range(n_pages), where the _tmp cleanup would
+    DELETE the rows silently while the meta commits the build as
+    complete."""
     import os
 
     import pytest
 
     from airflow_jira_etl_spark.streaming.source import write_event_pages
 
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    # NULL id → dropped, the three addressable rows all paged
+    fix = str(tmp_path / "nullfix")
+    os.makedirs(fix)
+    spark.createDataFrame(
+        [
+            (0, None, 1, "view", 1.0, "{}"),
+            (None, None, 2, "click", 2.0, "{}"),
+            (1, None, 3, "view", 3.0, "{}"),
+            (2, None, 4, "view", 4.0, "{}"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(os.path.join(fix, "events.parquet"))
+    pages = str(tmp_path / "pages_null")
+    write_event_pages(spark, fix, pages, n_pages=2)
+    paged = spark.read.parquet(os.path.join(pages, "page_*"))
+    got = sorted(r.event_id for r in paged.select("event_id").collect())
+    assert got == [0, 1, 2]  # the NULL-id row is gone, nothing else
+
+    # negative id → loud refusal
     fix = str(tmp_path / "badfix")
     os.makedirs(fix)
     spark.createDataFrame(
-        [(-1, None, 1, "view", 1.0, "{}")],
-        "event_id long, ts timestamp, user_id long, event_type string,"
-        " value double, props string",
+        [(-1, None, 1, "view", 1.0, "{}")], schema
     ).write.mode("overwrite").parquet(os.path.join(fix, "events.parquet"))
     with pytest.raises(ValueError, match="non-negative"):
         write_event_pages(spark, fix, str(tmp_path / "pages"), n_pages=2)

@@ -189,7 +189,19 @@ def build_nonfinite_fixture(tmp: str) -> str:
             # user_id like its GROUP BY oracle does — the entity-key
             # NULL refusal mis-fired on it until the MV's table opened
             # with null_keys='group'
+            # the NULL entity-key axis (r15, the third keyed family
+            # after doc_id r14 / vec_id r14): event_id is the events
+            # table's identity — a dropDuplicates key
+            # (stream_dedup_keys), the upsert key (sink_upsert — the
+            # reference's db_ops.py:29-43 contract says a NULL
+            # unique_column row cannot be upsert-addressed), the
+            # latest-per-key tie-break (cdc, asof, windows), and an
+            # arithmetic operand (bitwise suite). Three NULL
+            # event_ids; row 1501 also carries the r12 NULL user_id,
+            # so one row is entirely key-less (unaddressable by any
+            # entity key).
             for col, idxs in (
+                ("event_id", (41, 1501, 3301)),
                 ("user_id", (23, 1501)),
                 ("event_type", (31, 2501)),
             ):
