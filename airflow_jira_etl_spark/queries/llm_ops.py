@@ -819,11 +819,15 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan). The count-distinct doc frequency is the expand phase
     of the same aggregate. At 100 TB with an adversarially unbounded
     vocabulary the exact aggregate's state is linear in DISTINCT
-    grams — if that outgrows executor memory, the standard
-    degradation is a per-partition SpaceSaving/Misra-Gries summary of
-    size O(k/eps) merged associatively (a Pandas-UDF partial agg),
-    which bounds memory at the cost of eps-approximate tail counts;
-    the exact form stays the oracle-able reference implementation."""
+    grams — when that outgrows executor memory, switch to
+    operators/heavy_hitters.spacesaving_heavy_hitters (r15): a
+    per-partition Misra-Gries summary of O(capacity) counters folded
+    vectorized per Arrow batch, merged in ONE tiny shuffle, with
+    guaranteed est ≤ freq ≤ hi bounds and no false negatives above
+    N/(capacity+1) — property-tested against THIS body
+    (tests/test_heavy_hitters_sketch.py) and probed at 30× alongside
+    it (tools/heavyhitters_scale_probe). The exact form stays the
+    oracle-able reference implementation."""
     documents = catalog.load(spark, sf_dir, "documents")
     return heavy_hitters(documents)
 
