@@ -1061,6 +1061,32 @@ def _bloom_member_sql(m_bits: int) -> str:
     )
 
 
+def _bloom_member_banded_sql(m_bits: int, bands: int, w_band: int) -> str:
+    """Banded membership — the SAME bit tests as _bloom_member_sql,
+    but the dense bitset is stored as ``bands`` word-range slices
+    (columns bits_0..bits_{bands-1}, band b holding word indices
+    [b·w_band, (b+1)·w_band)). Each probe routes to the one slice its
+    word index falls in via a flat CASE on (w DIV w_band) — still
+    unrolled codegen, no lambdas — so the verdict is BIT-IDENTICAL to
+    the single-array form; banding changes only how the filter is
+    broadcast (N pieces each under the per-broadcast cap), never what
+    it answers. Pinned by tests/test_bloom_banding.py."""
+    tests = []
+    for i in range(_BLOOM_K):
+        w = f"(({_bloom_pos_sql(i, m_bits)}) DIV 64)"
+        arms = " ".join(
+            f"WHEN {b} THEN element_at(bits_{b},"
+            f" CAST({w} - {b * w_band} AS INT) + 1)"
+            for b in range(bands)
+        )
+        tests.append(
+            f"((CASE CAST({w} DIV {w_band} AS INT) {arms} END)"
+            f" & shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(({_bloom_pos_sql(i, m_bits)}) % 64 AS INT))) != 0"
+        )
+    return " AND ".join(tests)
+
+
 @query(
     "llm_decontaminate_bloom",
     oracle="""
@@ -1125,11 +1151,26 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(spark, docs)
 
 
-def bloom_decontaminate(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def bloom_decontaminate(
+    spark: SparkSession, docs: DataFrame, bands: int = 1
+) -> DataFrame:
     """Operator body over any (doc_id BIGINT, text STRING, ...) frame —
     split out so tools/bloom_scale_probe.py can drive it on replicated
     corpora (see llm_decontaminate_bloom for semantics and the plan
-    narrative)."""
+    narrative).
+
+    ``bands`` is the >2^33-gram degradation path (r15, the PLANS.md
+    promise made code): the dense bitset is built and broadcast as N
+    word-range slices instead of one array, each probe routing to its
+    slice via a flat CASE (see _bloom_member_banded_sql). The verdict
+    is BIT-IDENTICAL at any band count — same m_bits, same hash
+    family, same bits — so the FP analysis is untouched; what banding
+    buys is that no single broadcast piece exceeds the per-broadcast
+    cap when the eval corpus pushes the bitset into the GBs (16 GiB at
+    2^33 grams — 8 bands of 2 GiB each clear Spark's limits). Default
+    bands=1 is exactly the r14 single-array build."""
+    if not 1 <= bands <= 64:
+        raise ValueError(f"bands must be in [1, 64], got {bands}")
     grams = _doc_distinct_grams(spark, docs)
     # cached: THREE consumers re-aggregate the eval distinct otherwise
     # (the sizing count, the bitset build, the exact grounding join) —
@@ -1175,29 +1216,44 @@ def bloom_decontaminate(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .groupBy("w")
         .agg(F.expr("bit_or(bit)").alias("word"))
     )
-    bitset = (
-        spark.range(n_words)
-        .select(F.col("id").alias("w"))
-        .join(sparse, "w", "left")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(w, word))), "
-                "e -> coalesce(e.word, CAST(0 AS BIGINT)))"
-            ).alias("bits")
-        )
-    )
+    dense = "transform(array_sort(collect_list(struct(w, word))), " \
+        "e -> coalesce(e.word, CAST(0 AS BIGINT)))"
+    if bands == 1:
+        band_frames = [
+            spark.range(n_words)
+            .select(F.col("id").alias("w"))
+            .join(sparse, "w", "left")
+            .agg(F.expr(dense).alias("bits"))
+        ]
+        member_sql = _bloom_member_sql(m_bits)
+    else:
+        # word-range slices: band b holds [b·w_band, (b+1)·w_band).
+        # The sparse OR-aggregate is shared by every band's densify
+        # join, so cache it (≤ n_words rows — broadcast-sized).
+        w_band = -(-n_words // bands)
+        sparse = sparse.cache()
+        band_frames = [
+            spark.range(b * w_band, min((b + 1) * w_band, n_words))
+            .select(F.col("id").alias("w"))
+            .join(sparse, "w", "left")
+            .agg(F.expr(dense).alias(f"bits_{b}"))
+            for b in range(bands)
+        ]
+        member_sql = _bloom_member_banded_sql(m_bits, bands, w_band)
 
     # (2) probe: every train gram tests k bits of the ONE-ROW
     # broadcast bitset (its UnsafeArrayData gives O(1) unboxed
     # element_at — see _bloom_member_sql for why not an F.lit array)
     # with the unrolled codegen predicate; the exact join rides the
     # same pass to flag true matches
+    train = grams.where(F.col("doc_id") % 97 != 0)
+    for bf in band_frames:  # one broadcast per band slice
+        train = train.crossJoin(F.broadcast(bf))
     flagged = (
-        grams.where(F.col("doc_id") % 97 != 0)
-        .crossJoin(F.broadcast(bitset))
+        train
         .withColumn("h1", F.expr(h1_sql))
         .withColumn("h2", F.expr(h2_sql))
-        .withColumn("bloom_hit", F.expr(_bloom_member_sql(m_bits)))
+        .withColumn("bloom_hit", F.expr(member_sql))
         .join(
             eval_grams.withColumn("exact_hit", F.lit(True)), "g", "left"
         )
