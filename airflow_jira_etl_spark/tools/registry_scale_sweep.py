@@ -4,9 +4,19 @@ against a mult× replicated fixture and report per-query wall growth.
 Usage::
 
     python -m airflow_jira_etl_spark.tools.registry_scale_sweep \
-        [sf_dir] [mult] [out.json]
+        [sf_dir] [mult] [out.json] [shuffle_partitions]
 
-(default sf0.1, 4×). Round-14 origin: the Bloom decontamination
+(default sf0.1, 4×). The optional 4th arg forces MULTI-WAVE
+scheduling (r15): local[32] at the default 32 shuffle partitions runs
+every shuffle in one wave, which hides the skew-at-shuffle effects a
+1000-executor cluster sees — one straggling partition stalls a whole
+wave there. Passing e.g. 256 sets spark.sql.shuffle.partitions=256
+AND drops the AQE advisory partition size to 1 MB; the advisory drop
+matters because at sweep data volumes AQE's coalescer would otherwise
+merge 256 small partitions straight back to one wave — on a real
+cluster the data (not a conf) keeps partition counts high, and a tiny
+advisory emulates exactly that data≫advisory regime while keeping
+AQE (including its skew-join splitter) active, the production config. Round-14 origin: the Bloom decontamination
 operator shipped oracle-green, plan-lint-green and bench-flat while
 hiding TWO scale-killers (interpreted lambda probes; an O(n²)
 map-lookup densification) that only a replicated-corpus TIMING run
@@ -121,8 +131,14 @@ def main(argv: list[str]) -> int:
     sf_dir = os.path.abspath(argv[1] if len(argv) > 1 else "/root/testdata/sf0.1")
     mult = int(argv[2]) if len(argv) > 2 else 4
     out_json = argv[3] if len(argv) > 3 else None
+    shuffle_parts = int(argv[4]) if len(argv) > 4 else None
 
     spark = get_spark("registry-scale-sweep")
+    if shuffle_parts is not None:  # multi-wave mode (module docstring)
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m"
+        )
     # compile-warm every query at the tiny sf (bench.py's convention)
     tiny = os.path.join(os.path.dirname(sf_dir), "sf0.001")
     if os.path.isdir(tiny):
@@ -192,7 +208,9 @@ def main(argv: list[str]) -> int:
           f"{len(SKIP_OUTPUT_BOUND)} skipped (documented)")
     if out_json:
         with open(out_json, "w") as f:
-            json.dump({"mult": mult, "sf_dir": sf_dir, "rows": rows,
+            json.dump({"mult": mult, "sf_dir": sf_dir,
+                       "shuffle_partitions": shuffle_parts,
+                       "rows": rows,
                        "flagged": [n for _, n, _, _ in flagged]}, f, indent=1)
         print(f"wrote {out_json}")
     return 0 if not flagged else 1
