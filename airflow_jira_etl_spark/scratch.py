@@ -1,7 +1,9 @@
 """Per-session scratch paths for sink/stream queries.
 
 Sink and streaming queries materialize real on-disk state (upsert
-tables, checkpoint logs, written-out tables) under ``.scratch/``. A
+tables, checkpoint logs, written-out tables) under the scratch root
+(``SCRATCH`` below — a repo-keyed tmpfs dir by default, see
+``_default_scratch``; ``SPARK_GRAFT_SCRATCH`` overrides). A
 FIXED path there is a concurrency bug: two sessions (a test run
 alongside a bench run — the scenario the page cache's flock already
 defends against) destroy()/overwrite each other's live state mid-query.
@@ -19,7 +21,44 @@ from __future__ import annotations
 import os
 import shutil
 
-SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+_REPO_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+)
+
+
+def _default_scratch() -> str:
+    """Scratch root selection (r15 optimization round, guide §6).
+
+    Everything under scratch is EPHEMERAL: per-session sink state that
+    each query destroys and rebuilds, availableNow checkpoints that are
+    rmtree'd on every exit path, and content-keyed caches that rebuild
+    from the parquet sources on any miss. None of it needs to survive a
+    reboot, but the parquet-commit fsyncs (manifest + pointer + dir
+    fsyncs in sinks/parquet_upsert._commit) and the streaming state
+    store's many small checkpoint files pay real block-device latency
+    on the repo filesystem — measured at sf0.1: a warm 4-page upsert
+    round ran 2.89 s on disk vs 2.32 s on tmpfs, and the availableNow
+    harness floor dropped 1.78 s -> 1.57 s. So the default root is a
+    RAM-backed tmpfs when one is available, keyed by a hash of the
+    repo path so two checkouts never share state. On a production
+    cluster the analog is executor-local SSD/ramdisk for ephemera and
+    durable storage for real sinks/checkpoints — point
+    ``SPARK_GRAFT_SCRATCH`` at the right place (it also serves runs
+    whose scratch volume would not fit in RAM, e.g. very large
+    replicated-fixture sweeps)."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return os.path.abspath(env)
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        import hashlib
+
+        tag = hashlib.sha256(_REPO_SCRATCH.encode()).hexdigest()[:8]
+        return os.path.join(shm, f"spark_graft_scratch_{tag}")
+    return _REPO_SCRATCH
+
+
+SCRATCH = _default_scratch()
 
 
 def reap_dead_session_dirs(parent: str) -> None:
