@@ -714,12 +714,23 @@ def llm_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL-embedding rows cannot pair (they become singleton components
     # via dedup_clusters over the FULL id set below); n_bits above
     # deliberately counts all rows — the oracle's CASE ladder does too
+    from airflow_jira_etl_spark.functions.similarity import (
+        cosine_prestats,
+        vec_corrupt,
+        vec_norm,
+    )
+
+    # per-ROW cosine invariants ride the cached signature pass (r15) —
+    # same hoist as llm_sim_pairs_threshold, see similarity.vec_norm
     sig = emb.where(F.col("embedding").isNotNull()).select(
-        "vec_id", "embedding", _hyperplane_bucket_spark(n_bits).alias("bucket")
+        "vec_id",
+        "embedding",
+        _hyperplane_bucket_spark(n_bits).alias("bucket"),
+        vec_norm(F.col("embedding")).alias("_nrm"),
+        vec_corrupt(F.col("embedding")).alias("_bad"),
     ).cache()
     sig.count()
     a, b = sig.alias("a"), sig.alias("b")
-    from airflow_jira_etl_spark.functions.similarity import cosine
 
     pairs = (
         a.join(
@@ -730,7 +741,19 @@ def llm_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rounded-value membership on both engines (see
         # llm_sim_pairs_threshold): a pair within an ulp of 0.8 must not
         # be admitted by one float pipeline and rejected by the other
-        .where(fround(cosine(F.col("a.embedding"), F.col("b.embedding"))) >= 0.8)
+        .where(
+            fround(
+                cosine_prestats(
+                    F.col("a.embedding"),
+                    F.col("b.embedding"),
+                    F.col("a._nrm"),
+                    F.col("b._nrm"),
+                    F.col("a._bad"),
+                    F.col("b._bad"),
+                )
+            )
+            >= 0.8
+        )
         .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
     )
     out = dedup_clusters(pairs, emb, "vec_id")

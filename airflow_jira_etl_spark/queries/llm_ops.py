@@ -725,17 +725,39 @@ def llm_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean bucket ~64 rows) so candidate generation stays linear in n
     instead of ~n²/2^bits; at rest the bucket doubles as a partition
     key so each bucket's pairs verify co-located."""
+    from airflow_jira_etl_spark.functions.similarity import (
+        cosine_prestats,
+        vec_corrupt,
+        vec_norm,
+    )
+
     emb0 = catalog.load(spark, sf_dir, "embeddings")
     n_bits = _hp_n_bits(emb0.count())  # parquet-stats count: O(footer)
     # The signature relation feeds BOTH sides of the self-join: cache
     # it and fill the cache eagerly, or the two sides race to
     # materialize it and the scan + bucket projection runs twice
     # concurrently (same pattern as the minhash band join — PLANS.md
-    # documents the 2× race there)
-    emb = emb0.withColumn("bucket", _hyperplane_bucket_spark(n_bits)).cache()
+    # documents the 2× race there). The per-ROW cosine invariants
+    # (norm, corrupt flag) ride the same cached pass (r15): hoisting
+    # them out of the per-PAIR expression cuts the interpreted
+    # higher-order-function passes per candidate pair from ~7 to 2 —
+    # see functions/similarity.vec_norm.
+    emb = (
+        emb0.withColumn("bucket", _hyperplane_bucket_spark(n_bits))
+        .withColumn("_nrm", vec_norm(F.col("embedding")))
+        .withColumn("_bad", vec_corrupt(F.col("embedding")))
+        .cache()
+    )
     emb.count()
     a, b = emb.alias("a"), emb.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = cosine_prestats(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a._nrm"),
+        F.col("b._nrm"),
+        F.col("a._bad"),
+        F.col("b._bad"),
+    )
     return (
         a.join(
             b,
