@@ -172,12 +172,40 @@ def llm_embed_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         ).otherwise(F.col("c_label")),
     )
-    # zero-norm flags precomputed ONCE per side (k rows / n rows) —
-    # inlining norm2 into the scoring expression would recompute an
-    # O(d) fold per (vector × centroid) row in the map-side expand
-    cent = cent.withColumn("c_zero", norm2(F.col("c")) == 0)
-    emb_flagged = emb.where(F.col("vec_id").isNotNull()).withColumn(
-        "e_zero", norm2(F.col("embedding")) == 0
+    # per-SIDE cosine invariants precomputed ONCE (k rows / n rows) —
+    # inlining them into the scoring expression would recompute O(d)
+    # interpreted folds per (vector × centroid) row in the map-side
+    # expand. r15: beyond the original zero-norm flags, the norms and
+    # NULL/NaN corrupt guards are hoisted too (similarity.vec_norm /
+    # vec_corrupt), leaving only the dot product per expanded row —
+    # same guard ladder, same double arithmetic, bit-identical cs
+    # (measured 0.72 s -> 0.64 s at sf0.1, min-of-3 — modest here
+    # because k, the label count, is small; the hoist exists for the
+    # n×k expand's scale shape).
+    from airflow_jira_etl_spark.functions.similarity import (
+        cosine_prestats,
+        vec_corrupt,
+        vec_norm,
+    )
+
+    cent = (
+        cent.withColumn("c_zero", norm2(F.col("c")) == 0)
+        .withColumn("c_nrm", vec_norm(F.col("c")))
+        .withColumn("c_bad", vec_corrupt(F.col("c")))
+    )
+    emb_flagged = (
+        emb.where(F.col("vec_id").isNotNull())
+        .withColumn("e_zero", norm2(F.col("embedding")) == 0)
+        .withColumn("e_nrm", vec_norm(F.col("embedding")))
+        .withColumn("e_bad", vec_corrupt(F.col("embedding")))
+    )
+    pair_cos = cosine_prestats(
+        F.col("embedding"),
+        F.col("c"),
+        F.col("e_nrm"),
+        F.col("c_nrm"),
+        F.col("e_bad"),
+        F.col("c_bad"),
     )
     scored = emb_flagged.crossJoin(F.broadcast(cent)).select(
         "vec_id",
@@ -188,7 +216,7 @@ def llm_embed_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # zero-norm vectors define cs = 0.0 (matching the oracle's
         # guard) instead of the engine-divergent NaN
         F.when(F.col("e_zero") | F.col("c_zero"), F.lit(0.0))
-        .otherwise(fround(cosine(F.col("embedding"), F.col("c"))) + F.lit(0.0))
+        .otherwise(fround(pair_cos) + F.lit(0.0))
         .alias("cs"),
     )
     # arg-max by (cs, then SMALLER label), packed into one long so the
