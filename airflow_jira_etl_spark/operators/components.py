@@ -134,7 +134,14 @@ def _union_find_local(spark, pairs: DataFrame, edges: DataFrame) -> DataFrame:
     schema = StructType(
         [StructField("id", id_type), StructField("component", id_type)]
     )
-    return spark.createDataFrame(rows, schema)
+    # broadcast-hinted (r15): this path is SIZE-GATED (≤ SMALL_EDGE_LIMIT
+    # edges → ≤ 2·limit label rows, the same order as a broadcast join's
+    # small side), but the planner only sees an estimate-less local
+    # relation and picked a SortMergeJoin for dedup_clusters' label
+    # re-attach — shuffling and sorting the FULL id table against a
+    # driver-sized frame. The hint removes that exchange; the
+    # distributed path's (unbounded) labels stay unhinted.
+    return F.broadcast(spark.createDataFrame(rows, schema))
 
 
 def _connected_components(pairs: DataFrame, max_iters: int) -> DataFrame:
