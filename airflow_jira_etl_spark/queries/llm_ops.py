@@ -1071,8 +1071,13 @@ def udtf_explode_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udtf(returnType="key string, val string")
     class ParseKV:
+        # bound once at class build, not re-imported per row (eval()
+        # runs once per input row; the sys.modules lookup per call is
+        # small but pure waste — within host noise at sf0.1)
+        import json as _json
+
         def eval(self, props: str):
-            import json
+            json = self._json
 
             if props:
                 # malformed JSON or a valid non-object (array/scalar)
