@@ -52,6 +52,20 @@ from contextlib import contextmanager
 
 
 @contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Temporarily set one runtime conf; restores the previous value on
+    exit. Session-wide while held (same caveat as
+    scoped_shuffle_partitions: the engine runs queries sequentially per
+    session)."""
+    old = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+@contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: str | int):
     """Temporarily size shuffle partitions to a job's actual
     parallelism need (state cardinality for streaming, fixpoint-loop

@@ -353,11 +353,24 @@ class ParquetUpsertTable:
             null_key = reduce(
                 or_, [F.col(k).isNull() for k in self.keys]
             )
-            raw = (
-                upd.groupBy(_BUCKET)
-                .agg(F.max(null_key).alias("has_null_key"))
-                .collect()
-            )
+            # AQE off for THIS statement only (r15, guide §1.2/§2):
+            # the dirty-set aggregate's output is bounded by n_buckets
+            # rows at any scale, so AQE's runtime replanning buys
+            # nothing here while its per-query-stage materialization
+            # adds one scheduling round-trip per MERGE batch (measured
+            # ~0.1 s per 4 applies at sf0.1). The merge WRITE below
+            # keeps AQE — there the partition coalescing genuinely
+            # sizes output files.
+            from airflow_jira_etl_spark.session import scoped_conf
+
+            with scoped_conf(
+                self.spark, "spark.sql.adaptive.enabled", "false"
+            ):
+                raw = (
+                    upd.groupBy(_BUCKET)
+                    .agg(F.max(null_key).alias("has_null_key"))
+                    .collect()
+                )
             if any(r["has_null_key"] for r in raw):
                 if self.null_keys == "reject":
                     raise ValueError(
