@@ -285,8 +285,19 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(pages_dir, "page_*"))
     )
     profile = running_user_profile(stream)
+    from airflow_jira_etl_spark.streaming.source import (
+        py_stateful_state_partitions,
+    )
+
     out = run_available_now(
-        profile, _ck("stateful"), "stream_stateful_out", output_mode="update"
+        profile,
+        _ck("stateful"),
+        "stream_stateful_out",
+        output_mode="update",
+        # Python-compute-bound stateful stage: shards scale with cores
+        # (r15; see py_stateful_state_partitions — the JVM stateful
+        # queries keep the small state default)
+        state_partitions=py_stateful_state_partitions(spark),
     )
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),

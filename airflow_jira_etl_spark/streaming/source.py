@@ -301,6 +301,27 @@ def _build_event_pages(
 STREAM_STATE_PARTITIONS = "4"
 
 
+def py_stateful_state_partitions(spark) -> str:
+    """Shard count for PYTHON-stateful streaming stages
+    (applyInPandasWithState), r15: the per-group update function runs
+    in Python workers, so the stage is compute-bound in Python and its
+    wall scales with how many workers run in parallel — unlike the
+    JVM stateful operators, where per-shard state-commit fixed cost
+    dominates and the small STREAM_STATE_PARTITIONS default wins
+    (measured: the JVM floor gets WORSE at 8 shards, while the
+    pystate profile improves 4.12 s -> 3.67 s at 8). Scales with the
+    session's actual core count (defaultParallelism tracks
+    local[$SPARK_GRAFT_CPUS] here and executor slots on a cluster),
+    never below the state default — the driver's low-core bench runs
+    keep the old shard count."""
+    return str(
+        max(
+            int(STREAM_STATE_PARTITIONS),
+            spark.sparkContext.defaultParallelism // 4,
+        )
+    )
+
+
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -347,7 +368,9 @@ def scoped_shuffle_partitions(spark, n: str = STREAM_STATE_PARTITIONS):
                 spark.conf.unset(_PROVIDER_KEY)
 
 
-def run_to_completion(spark, checkpoint: str, start) -> None:
+def run_to_completion(
+    spark, checkpoint: str, start, state_partitions: str | None = None
+) -> None:
     """The ONE availableNow run lifecycle — fresh throwaway checkpoint,
     state partitions scoped for the run, blocking await, checkpoint
     removed on every exit path (crashed runs leave theirs for the
@@ -358,7 +381,9 @@ def run_to_completion(spark, checkpoint: str, start) -> None:
     other."""
     shutil.rmtree(checkpoint, ignore_errors=True)
     try:
-        with scoped_shuffle_partitions(spark):
+        with scoped_shuffle_partitions(
+            spark, state_partitions or STREAM_STATE_PARTITIONS
+        ):
             start(checkpoint).awaitTermination()
     finally:
         shutil.rmtree(checkpoint, ignore_errors=True)
@@ -369,9 +394,13 @@ def run_available_now(
     checkpoint: str,
     name: str,
     output_mode: str = "complete",
+    state_partitions: str | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion with availableNow into a
-    memory sink; return the result as a batch DataFrame."""
+    memory sink; return the result as a batch DataFrame.
+    ``state_partitions`` overrides the engine's state-shard default for
+    Python-compute-bound stateful stages (see
+    py_stateful_state_partitions)."""
     spark = stream_df.sparkSession
 
     def start(ck: str):
@@ -384,5 +413,5 @@ def run_available_now(
             .start()
         )
 
-    run_to_completion(spark, checkpoint, start)
+    run_to_completion(spark, checkpoint, start, state_partitions)
     return spark.sql(f"SELECT * FROM {name}")
