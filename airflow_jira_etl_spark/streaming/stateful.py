@@ -84,11 +84,16 @@ def _update_profile(
                 # user_id is a GROUP KEY, and SQL grouping has a NULL
                 # group: the ndarray fast path only fits real ids (an
                 # int64 array cannot hold None — it would raise, or
-                # worse, coerce)
+                # worse, coerce). A NULL key reaches the Python worker
+                # as float NaN, not None (pandas' int64 missing-value
+                # sentinel — caught by the non-finite drift sweep), so
+                # test both; either emits an object column whose
+                # None/NaN crosses Arrow back as SQL NULL.
                 "user_id": (
-                    np.array([user_id], dtype="int64")
-                    if user_id is not None
-                    else [None]
+                    [user_id]
+                    if user_id is None
+                    or (isinstance(user_id, float) and user_id != user_id)
+                    else np.array([user_id], dtype="int64")
                 ),
                 "n_events": np.array([n], dtype="int64"),
                 "total_value": np.array([total], dtype="float64"),
