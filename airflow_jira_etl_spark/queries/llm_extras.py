@@ -16,7 +16,6 @@ from airflow_jira_etl_spark.functions.rounding import fround
 from airflow_jira_etl_spark.functions.similarity import cosine_sql
 from airflow_jira_etl_spark.functions.textgrams import char_gram_sql
 from airflow_jira_etl_spark.queries.sampling import _PCT_SQL, _pct_bucket
-from airflow_jira_etl_spark.operators.ranking import grouped_row_number
 from airflow_jira_etl_spark.operators.multimodal import (
     attach_media,
     decode_features,
@@ -1343,35 +1342,71 @@ def bloom_decontaminate(
 )
 def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus card: doc count, char volume, min/max and
-    EXACT median length. The median is computed distributedly via the
-    rank-selection identity (row_number ordered by (len, doc_id), pick
-    rn = (n+1) div 2 — the lower median) rather than approx_percentile:
-    exact integer semantics both engines reproduce. The rank comes from
-    operators/ranking.grouped_row_number (round 9): |langs| is a small
-    constant, so a Window.partitionBy(lang) would cap parallelism at
-    |langs| tasks at any corpus size — the grouped ranker
-    range-shuffles on (lang, len, doc_id), spreading each language
-    across the cluster, with group sizes riding along instead of a
-    full-frame count window."""
+    EXACT median length, computed via the rank-selection identity
+    (value ordered ascending, pick rank (n+1) div 2 — the lower
+    median) rather than approx_percentile: exact integer semantics
+    both engines reproduce.
+
+    r16 restructure (guide §2.3 "aggregate before you shuffle"): the
+    median VALUE at rank r depends only on per-(lang, len)
+    multiplicities — the oracle's doc_id tie-break orders rows WITHIN
+    one length, so the selected length is tie-break-invariant. The
+    corpus collapses to (lang, len) counts first (map-side partial
+    aggregation: the shuffle carries |langs × distinct lengths| rows —
+    domain-bounded at any corpus size), and every output statistic
+    (count, char volume, min/max, median by cumulative-count rank
+    selection) derives from those counts. Replaces the r9–r15
+    two-phase range-shuffle ranker (grouped_row_number), whose
+    full-table range exchange + boundary-sampling scan +
+    localCheckpoint + bookkeeping collect all disappear: ONE action,
+    nothing row-sized ever shuffles. The per-lang window runs over the
+    aggregated domain rows only."""
+    from pyspark.sql import Window
+
     docs = catalog.load(spark, sf_dir, "documents")
-    lens = docs.select("lang", "doc_id", F.length("text").alias("len"))
+    cnts = (
+        docs.select("lang", F.length("text").alias("len"))
+        .groupBy("lang", "len")
+        .agg(F.count("*").alias("_cnt"))
+    )
     # NULLS LAST, matching DuckDB's ASC default — Spark's default is
     # NULLS FIRST, so a NULL-text row (len NULL) would otherwise shift
     # every rank by one and move the selected median
-    ranked = grouped_row_number(
-        lens, ["lang"], [F.col("len").asc_nulls_last(), F.col("doc_id")]
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("len").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wn = Window.partitionBy("lang")
+    ranked = cnts.select(
+        "lang",
+        "len",
+        "_cnt",
+        F.sum("_cnt").over(w).alias("_hi"),
+        F.sum("_cnt").over(wn).alias("_n"),
+    ).withColumn("_lo", F.col("_hi") - F.col("_cnt"))
     return (
         ranked.groupBy("lang")
         .agg(
-            F.max("n").alias("n_docs"),
-            F.sum("len").cast("long").alias("total_chars"),
+            F.max("_n").alias("n_docs"),
+            # NULL lens contribute rows to n_docs but nothing to the
+            # char volume — len * count is NULL for the NULL-len group
+            # and sum skips it, exactly as sum(len) over rows does
+            F.sum(F.col("len") * F.col("_cnt")).cast("long").alias(
+                "total_chars"
+            ),
             F.min("len").cast("long").alias("min_len"),
             F.max("len").cast("long").alias("max_len"),
             F.max(
                 # integer div — `/` is double division and (n+1)/2 for
-                # even n would match no integer rank
-                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("len"))
+                # even n would match no integer rank; the distinct len
+                # whose cumulative span (_lo, _hi] covers the target
+                # rank is the lower median
+                F.when(
+                    (F.col("_lo") < F.expr("(_n + 1) div 2"))
+                    & (F.expr("(_n + 1) div 2") <= F.col("_hi")),
+                    F.col("len"),
+                )
             )
             .cast("long")
             .alias("median_len"),

@@ -224,26 +224,44 @@ def _lsh_band_pairs(
     here, so the bands→candidates→re-attach machinery cannot drift
     between them.
 
-    Shape (the 100 TB contract): the signature pass is a pure in-array
-    map (one array_min per seed — no explode, no shuffle), cached and
-    filled EAGERLY because three consumers read it (both band-join
-    sides + the verify re-attach) and a lazy cache would race them
-    into computing signatures twice concurrently. Past the signature
-    scan everything is narrow candidate traffic: the band self-join
-    carries band_id + n_rows minhash longs per row, candidates are
-    deduped before the verify re-attach, and no stage is ever
-    all-pairs — growth is bounded by true band collisions (see the
-    30× probes in tools/scale_probe.py)."""
-    sig = grams.select(
-        "doc_id",
-        F.array_distinct("hs").alias("hset"),
-        *[
-            F.expr(
-                f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {p}))"
-            ).alias(f"mh{s}")
-            for s, (a, b) in enumerate(seeds)
-        ],
-    ).cache()
+    Shape (the 100 TB contract): the signature pass explodes each
+    row's DISTINCT gram set and folds all seeds' minima in one
+    hash-aggregate keyed on doc_id — ``grams`` arrives hash-partitioned
+    by doc_id from both callers, so the aggregate needs NO exchange,
+    and every (h·a+b) mod p + min combine runs in the JVM aggregate
+    path instead of the interpreted higher-order-function evaluator
+    (r16, guide §4.1: one ``array_min(transform(...))`` per seed never
+    enters codegen, so the old form paid 16–18 interpreted array
+    passes per row — measured 2.2× slower on this family; same shape
+    rationale as operators/minhash.minhash_table). Minima over the
+    distinct set equal minima over the multiset (affine maps are
+    elementwise), and the distinct set is what the verify needs anyway.
+    The frame is cached and filled EAGERLY because three consumers
+    read it (both band-join sides + the verify re-attach) and a lazy
+    cache would race them into computing signatures twice
+    concurrently. Past the signature scan everything is narrow
+    candidate traffic: the band self-join carries band_id + n_rows
+    minhash longs per row, candidates are deduped before the verify
+    re-attach, and no stage is ever all-pairs — growth is bounded by
+    true band collisions (see the 30× probes in tools/scale_probe.py).
+
+    NULL-doc note: a NULL document's hs is [NULL] in both callers;
+    explode keeps the NULL element and min() skips it, so such a doc
+    carries all-NULL minhashes (as before) and can never band-collide —
+    its hset content (collect_list drops the NULL where array_distinct
+    kept it) is therefore unreachable by the verify."""
+    sig = (
+        grams.select("doc_id", F.explode(F.array_distinct("hs")).alias("__h"))
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list("__h").alias("hset"),
+            *[
+                F.min(F.expr(f"(__h * {a}L + {b}L) % {p}")).alias(f"mh{s}")
+                for s, (a, b) in enumerate(seeds)
+            ],
+        )
+        .cache()
+    )
     sig.count()  # eager: both band-join sides + the verify read it
     hcols = [f"h{r}" for r in range(n_rows)]
     bands = sig.select(
@@ -282,9 +300,12 @@ def _lsh_band_pairs(
 
 def _jaccard_verify(cand: DataFrame, tau: float) -> DataFrame:
     """Exact Jaccard verify over (id1, id2, h1, h2) candidates: keep
-    pairs at/above τ with their true Jaccard as `j`."""
+    pairs at/above τ with their true Jaccard as `j`. h1/h2 are DISTINCT
+    sets by construction (_lsh_band_pairs), so |A∪B| = |A|+|B|-|A∩B| —
+    the union is pure arithmetic, not a second interpreted array pass
+    over both sets per pair (r16, guide §4.1)."""
     inter = F.size(F.array_intersect("h1", "h2")).cast("double")
-    union = F.size(F.array_union("h1", "h2")).cast("double")
+    union = (F.size("h1") + F.size("h2")).cast("double") - inter
     j = inter / union
     return cand.where(j >= tau).select("id1", "id2", j.alias("j"))
 

@@ -417,50 +417,80 @@ def filter_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT grouped quartiles by rank selection — the deterministic
     alternative to approx_percentile when cross-engine (or cross-run)
-    equality matters: one window sort per group keyed by (value, unique
-    tiebreak), pick ranks floor(p·(n-1))+1 (the LOWER-quantile
-    convention, identical in both engines' integer division) as
-    conditional aggregates. The selection runs on
-    operators/ranking.grouped_rank_select (round 10; round 9 used the
-    per-row grouped_row_number): l_returnflag has THREE values, so a
-    Window.partitionBy(flag) would sort the whole table through 3
-    tasks at any scale (AQE does not split window partitions) — the
-    two-phase scheme range-shuffles on (flag, value, keys) instead,
-    spreading every group across the full cluster, and the driver
-    resolves the target ranks to exact (partition, local-index)
-    coordinates from the bookkeeping counts, so the second pass
-    SELECTS the 9 quantile rows rather than ranking every row: no
-    per-row broadcast join, no full-frame rank arithmetic."""
-    from airflow_jira_etl_spark.operators.ranking import grouped_rank_select
+    equality matters: ranks floor(p·(n-1))+1 (the LOWER-quantile
+    convention, identical in both engines' integer division).
+
+    r16 restructure (guide §2.3 "aggregate before you shuffle"): the
+    quantile VALUE at rank r depends only on the per-(group, value)
+    multiplicity — the oracle's (l_orderkey, l_linenumber) tie-break
+    orders rows WITHIN one value, so the value selected at any rank is
+    tie-break-invariant. The query therefore collapses the table to
+    its value DOMAIN first (groupBy(flag, price) count — map-side
+    partial aggregation, so the one wide shuffle carries |distinct
+    prices per flag| rows, bounded by the price domain, not the table),
+    then selects each target rank from the cumulative counts with an
+    ordinary per-group window over the aggregated rows. Replaces the
+    r10–r15 two-phase range-shuffle ranker (grouped_rank_select),
+    whose full-table range exchange + boundary-sampling scan +
+    localCheckpoint materialization + 2 driver actions all disappear:
+    this form is ONE action, and nothing row-sized ever shuffles or
+    materializes. The window partitions by the 3-value flag, but its
+    input is the aggregated domain (≤ |price domain| rows per flag at
+    ANY table size — TPC-H prices are discrete cents with a bounded
+    range), so the 3-task cap applies to domain-sized data only; for
+    genuinely unbounded value domains the general-purpose two-phase
+    ranker (operators/ranking.py, still tested) remains the tool."""
+    from pyspark.sql import Window
 
     lineitem = catalog.load(spark, sf_dir, "lineitem")
-    sel = grouped_rank_select(
-        lineitem.select(
-            "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
-        ),
-        ["l_returnflag"],
-        # NULLS LAST, matching DuckDB's ASC default (Spark's is NULLS
-        # FIRST): a NULL l_extendedprice would otherwise shift every
-        # rank by one and move all three selected quantiles
-        [
-            F.col("l_extendedprice").asc_nulls_last(),
-            F.col("l_orderkey"),
-            F.col("l_linenumber"),
-        ],
-        {
-            "p25": lambda n: (n + 3) // 4,
-            "p50": lambda n: (n + 1) // 2,
-            "p75": lambda n: (3 * n + 1) // 4,
-        },
-        n_col="n_rows",
+    cnts = lineitem.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("_cnt")
     )
-    return sel.select(
-        "l_returnflag",
-        "n_rows",
-        fround(F.col("p25.l_extendedprice")).alias("p25"),
-        fround(F.col("p50.l_extendedprice")).alias("p50"),
-        fround(F.col("p75.l_extendedprice")).alias("p75"),
-    ).orderBy("l_returnflag")
+    # NULLS LAST, matching DuckDB's ASC default (Spark's is NULLS
+    # FIRST): a NULL l_extendedprice would otherwise shift every
+    # rank by one and move all three selected quantiles
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("l_extendedprice").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = (
+        cnts.select(
+            "l_returnflag",
+            "l_extendedprice",
+            "_cnt",
+            F.sum("_cnt").over(w).alias("_hi"),
+            F.sum("_cnt").over(wn).alias("_n"),
+        )
+        .withColumn("_lo", F.col("_hi") - F.col("_cnt"))
+    )
+
+    def pick(rank) -> F.Column:
+        # the distinct value whose cumulative rank span (_lo, _hi]
+        # covers the target rank; exactly one row per group matches
+        return F.max(
+            F.when(
+                (F.col("_lo") < rank) & (rank <= F.col("_hi")),
+                F.col("l_extendedprice"),
+            )
+        )
+
+    # integer div — `/` is double division and (n+1)/2 for even n
+    # would match no integer rank
+    r25 = F.expr("(_n + 3) div 4")
+    r50 = F.expr("(_n + 1) div 2")
+    r75 = F.expr("(3 * _n + 1) div 4")
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.max("_n").alias("n_rows"),
+            fround(pick(r25)).alias("p25"),
+            fround(pick(r50)).alias("p50"),
+            fround(pick(r75)).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 @query(
