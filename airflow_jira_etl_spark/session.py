@@ -103,6 +103,25 @@ def get_spark(app_name: str = "airflow_jira_etl_spark") -> SparkSession:
         # receive pushed filters
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Local checkpoint I/O without Hadoop's ChecksumFs wrapper (r16,
+        # guide §6): streaming offset-WAL/commit-log writes and state
+        # store checkpoints go through the FileContext-based checkpoint
+        # file manager, whose default local binding (LocalFs extends
+        # ChecksumFs) writes a sibling .crc per file — temp file,
+        # checksum, extra rename — and re-verifies on read. The
+        # checkpoint tree is ephemeral scratch, so that buys nothing;
+        # measured: availableNow single-batch floor 0.61 -> 0.44 s
+        # (walCommit/commitOffsets/latestOffset each ~30%). Scoped to
+        # the FileContext binding of file:// ONLY — the FileSystem-API
+        # binding (fs.file.impl) stays LocalFileSystem because
+        # RocksDBFileManager casts to it (swapping it fails the
+        # SPARK_GRAFT_STATE_STORE=rocksdb path with a ClassCastException
+        # at state commit), and hdfs:///s3a:// checkpoints on a real
+        # cluster are untouched either way.
+        .config(
+            "spark.hadoop.fs.AbstractFileSystem.file.impl",
+            "org.apache.hadoop.fs.local.RawLocalFs",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
