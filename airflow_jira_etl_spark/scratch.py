@@ -53,8 +53,26 @@ def _default_scratch() -> str:
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
         import hashlib
 
+        # /dev/shm is world-writable shared tmp, so a predictable name
+        # is the classic pre-create/symlink-squat surface (ADVICE r15):
+        # key the dir by UID as well, create it 0o700 up front, and
+        # refuse anything that is a symlink or owned by someone else —
+        # falling back to the repo-local root rather than reading or
+        # rmtree'ing through another user's plant.
         tag = hashlib.sha256(_REPO_SCRATCH.encode()).hexdigest()[:8]
-        return os.path.join(shm, f"spark_graft_scratch_{tag}")
+        root = os.path.join(
+            shm, f"spark_graft_scratch_{os.getuid()}_{tag}"
+        )
+        try:
+            os.makedirs(root, mode=0o700, exist_ok=True)
+            st = os.lstat(root)
+        except OSError:
+            return _REPO_SCRATCH
+        import stat as _stat
+
+        if not _stat.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+            return _REPO_SCRATCH
+        return root
     return _REPO_SCRATCH
 
 

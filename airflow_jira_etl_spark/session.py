@@ -53,16 +53,21 @@ from contextlib import contextmanager
 
 @contextmanager
 def scoped_conf(spark: SparkSession, key: str, value: str):
-    """Temporarily set one runtime conf; restores the previous value on
-    exit. Session-wide while held (same caveat as
-    scoped_shuffle_partitions: the engine runs queries sequentially per
-    session)."""
-    old = spark.conf.get(key)
+    """Temporarily set one runtime conf; restores the previous state on
+    exit — including the truly-UNSET state (ADVICE r15: ``conf.get``
+    raises for a key with no session value and no default, and blindly
+    re-setting a string would leave a previously-unset key set).
+    Session-wide while held (same caveat as scoped_shuffle_partitions:
+    the engine runs queries sequentially per session)."""
+    old = spark.conf.get(key, None)
     spark.conf.set(key, value)
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 @contextmanager

@@ -313,7 +313,12 @@ def py_stateful_state_partitions(spark) -> str:
     session's actual core count (defaultParallelism tracks
     local[$SPARK_GRAFT_CPUS] here and executor slots on a cluster),
     never below the state default — the driver's low-core bench runs
-    keep the old shard count."""
+    keep the old shard count. The // 4 divisor means the count only
+    rises above the default of 4 past 16 cores (ADVICE r15): that is
+    deliberate — the measured win is at 32 cores, 16 shards measured
+    flat-to-worse there, and 8-16-core sessions keeping the default is
+    exactly the behavior the low-core bench validated; a gentler
+    divisor would need its own measurements at those widths first."""
     return str(
         max(
             int(STREAM_STATE_PARTITIONS),

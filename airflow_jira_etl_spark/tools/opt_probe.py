@@ -59,10 +59,15 @@ def main() -> None:
     tiny = os.path.join(os.path.dirname(os.path.normpath(args.sf_dir)), "sf0.001")
     if not os.path.isdir(tiny):
         tiny = args.sf_dir
+    warmup_failed: set[str] = set()
     for name in args.names:
         try:
             registry.QUERIES[name](spark, tiny).count()
         except Exception as exc:
+            # flagged in the final CSV too (ADVICE r15): a query whose
+            # warmup failed absorbs codegen warmup into its first timed
+            # run, skewing min-of-N silently otherwise
+            warmup_failed.add(name)
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     spark.catalog.clearCache()
     try:
@@ -82,7 +87,7 @@ def main() -> None:
             df = fn(spark, args.sf_dir)
             if args.noop:
                 df.write.format("noop").mode("overwrite").save()
-                n_rows = -1
+                n_rows = "noop"
             else:
                 n_rows = df.count()
             dt = time.perf_counter() - t0
@@ -103,7 +108,8 @@ def main() -> None:
     print("name,min,median,all")
     for name, ts in results.items():
         s = sorted(ts)
-        print(f"{name},{min(ts):.3f},{s[len(s)//2]:.3f},{'|'.join(f'{t:.3f}' for t in ts)}")
+        flag = ",WARMUP_FAILED" if name in warmup_failed else ""
+        print(f"{name},{min(ts):.3f},{s[len(s)//2]:.3f},{'|'.join(f'{t:.3f}' for t in ts)}{flag}")
 
 
 if __name__ == "__main__":
