@@ -920,7 +920,9 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_distinct_grams(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def _doc_distinct_grams(
+    spark: SparkSession, docs: DataFrame, eager: bool = True
+) -> DataFrame:
     """Per-doc-DISTINCT word 5-grams of the corpus, cached — shared by
     the exact (llm_decontaminate) and Bloom (llm_decontaminate_bloom)
     decontamination paths so the two stay gram-for-gram comparable.
@@ -936,7 +938,17 @@ def _doc_distinct_grams(spark: SparkSession, docs: DataFrame) -> DataFrame:
     distinct, per-doc match count, bitset build) only needs
     per-doc-distinct grams, so the exploded row count shrinks before
     anything shuffles. Cached because each query probes the SAME gram
-    frame from two subtrees (eval build + train scan)."""
+    frame from two subtrees (eval build + train scan).
+
+    ``eager`` (default) fills the cache with an immediate count —
+    REQUIRED when the caller's first action reads grams from two
+    subtrees at once (the exact path's one-job eval⋈train join would
+    otherwise race both sides into computing the gram pass twice
+    concurrently). The Bloom path passes eager=False (r16): its
+    bitset-sizing ``eval_grams.count()`` necessarily runs BEFORE any
+    two-subtree action and already materializes every cached grams
+    partition on the way — the extra fill job bought nothing there
+    (measured ~0.3 s of the query's wall)."""
     n_par = spark.sparkContext.defaultParallelism
     ws = F.filter(
         F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0
@@ -952,7 +964,8 @@ def _doc_distinct_grams(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .select("doc_id", F.explode(F.array_distinct(gram_arr)).alias("g"))
         .cache()
     )
-    grams.count()
+    if eager:
+        grams.count()
     return grams
 
 
@@ -1193,7 +1206,11 @@ def bloom_decontaminate(
     bands=1 is exactly the r14 single-array build."""
     if not 1 <= bands <= 64:
         raise ValueError(f"bands must be in [1, 64], got {bands}")
-    grams = _doc_distinct_grams(spark, docs)
+    # eager=False: the n_eval sizing count below is this query's first
+    # action and fills the shared grams cache itself (see
+    # _doc_distinct_grams) — the default eager fill would be a
+    # duplicate pass over the corpus
+    grams = _doc_distinct_grams(spark, docs, eager=False)
     # cached: THREE consumers re-aggregate the eval distinct otherwise
     # (the sizing count, the bitset build, the exact grounding join) —
     # at scale that is 3× a shuffle over 1/97th of the corpus's grams
